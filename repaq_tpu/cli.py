@@ -1,0 +1,274 @@
+"""Command-line interface, flag-compatible with the reference tool
+(reference main.cpp:29-49).
+
+The ``.rfq.xz`` paths pipe through the external ``xz`` binary with the same
+level/dict-size policy as the reference (main.cpp:134-177), but via an
+in-process subprocess pipe instead of re-invoking the CLI through a shell.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import subprocess
+import sys
+
+from . import pipeline
+from .constants import VERSION_NUM
+from .format.header import RfqFormatError
+
+
+def _ends_with(s: str, suffix: str) -> bool:
+    return s.endswith(suffix)
+
+
+def is_fastq_file(name: str) -> bool:
+    return name.endswith((".fq", ".fastq", ".fq.gz", ".fastq.gz"))
+
+
+def is_rfq_file(name: str) -> bool:
+    return name.endswith((".rfq", ".rfq.xz"))
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="repaq-tpu",
+        description="repack FASTQ to a smaller binary file (.rfq), TPU-native",
+    )
+    p.add_argument("--in1", "-i", default="", help="input file name")
+    p.add_argument("--out1", "-o", default="", help="output file name")
+    p.add_argument("--in2", "-I", default="", help="read2 input file name (PE)")
+    p.add_argument("--out2", "-O", default="", help="read2 output file name (PE)")
+    p.add_argument("--compress", "-c", action="store_true")
+    p.add_argument("--decompress", "-d", action="store_true")
+    p.add_argument(
+        "--chunk", "-k", type=int, default=1000,
+        help="chunk size (kilo bases) for encoding, default 1000",
+    )
+    p.add_argument("--stdin", action="store_true", help="input from STDIN")
+    p.add_argument("--stdout", action="store_true", help="write to STDOUT")
+    p.add_argument("--interleaved_in", action="store_true")
+    p.add_argument("--verify", "-v", action="store_true")
+    p.add_argument("--fast_verify", "-f", action="store_true")
+    p.add_argument("--compare", "-p", action="store_true")
+    p.add_argument("--rfq_to_compare", "-r", default="")
+    p.add_argument("--json_compare_result", "-j", default="")
+    p.add_argument("--thread", "-t", type=int, default=1)
+    p.add_argument("--compression", "-z", type=int, default=3)
+    p.add_argument(
+        "--engine", default="auto", choices=["auto", "oracle", "vectorized"],
+        help="codec engine (default: vectorized when available)",
+    )
+    p.add_argument("--version", action="version",
+                   version="repaq-tpu %s" % VERSION_NUM.decode())
+    return p
+
+
+def _xz_compress_args(compression: int, threads: int) -> list[str]:
+    # reference main.cpp:138-154
+    args = ["xz", "-z", "-c"]
+    if threads > 1:
+        args.append("-T%d" % threads)
+    if compression <= 4:
+        args.append("-%d" % (compression + 5))
+    else:
+        dict_size = (64 * 1024 * 1024) << (compression - 4)
+        if compression == 9:
+            dict_size = 1536 * 1024 * 1024
+        args.append("--lzma2=dict=%d" % dict_size)
+    if compression >= 4 and threads > 1:
+        print(
+            "WARNING: when repaq compression level is >= 4, only single "
+            "thread will be used for xz. Your options: compression = %d, "
+            "thread = %d" % (compression, threads),
+            file=sys.stderr,
+        )
+    return args
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+
+    mode_count = sum([args.compress, args.decompress, args.compare])
+    if mode_count > 1:
+        print(
+            "repaq can run in compress/decompress/compare mode, you can only "
+            "choose any one mode.",
+            file=sys.stderr,
+        )
+        return -1
+    if args.decompress:
+        mode = "decompress"
+    elif args.compare:
+        mode = "compare"
+    else:
+        mode = "compress"
+
+    chunk_size = max(100, args.chunk) * 1000
+    threads = max(1, min(16, args.thread))
+    compression = max(1, min(9, args.compression))
+
+    in1, out1 = args.in1, args.out1
+    if mode == "compress" and args.stdout and out1:
+        print("Output to STDOUT, ignore --out1 = %s" % out1, file=sys.stderr)
+        out1 = ""
+    if mode == "decompress" and args.stdin and in1:
+        print("Input from STDIN, ignore --in1 = %s" % in1, file=sys.stderr)
+        in1 = ""
+    rfq_compare = args.rfq_to_compare
+    if mode == "compare" and args.stdin and rfq_compare:
+        print(
+            "Input from STDIN, ignore --rfq_to_compare = %s" % rfq_compare,
+            file=sys.stderr,
+        )
+        rfq_compare = ""
+
+    # ---- validation (reference options.cpp:36-111) ----
+    if not in1:
+        if args.in2:
+            _die("read2 input is specified by <in2>, but read1 input is not specified by <in1>")
+        if args.stdin:
+            in1 = "/dev/stdin"
+        else:
+            _die("Please specify input file by <in1>, or enable --stdin if you want to read STDIN")
+    elif not os.path.exists(in1):
+        _die("Failed to open file: %s" % in1)
+    if args.in2 and not os.path.exists(args.in2):
+        _die("Failed to open file: %s" % args.in2)
+    if not out1:
+        if args.out2:
+            _die("read2 output is specified by <out2>, but read1 output is not specified by <out1>")
+        if args.stdout:
+            out1 = "/dev/stdout"
+        elif mode != "compare":
+            _die("Please specify output file by <out1>, or enable --stdout if you want to write STDOUT")
+    if mode == "compress":
+        if args.out2:
+            _die("In compress mode, only one RFQ output file is allowed, but you specified <out2>")
+        if is_fastq_file(out1):
+            _die("In compress mode, the output should not be a FASTQ file. Expect a .rfq or .rfq.xz file, but got " + out1)
+        if is_rfq_file(in1):
+            _die("In compress mode, the input should not be a RFQ file. Expect a .fq or .fq.gz file, but got " + in1)
+        if args.in2 and is_rfq_file(args.in2):
+            _die("In compress mode, the read2 input should not be a RFQ file.")
+    if mode == "decompress":
+        if args.in2:
+            _die("In decompress mode, only one RFQ input file is allowed, but you specified <in2>")
+        if is_fastq_file(in1):
+            _die("In decompress mode, the input should not be a FASTQ file. Expect a .rfq or .rfq.xz file, but got " + in1)
+        if is_rfq_file(out1):
+            _die("In decompress mode, the output should not be a RFQ file. Expect a .fq or .fq.gz file, but got " + out1)
+        if args.out2 and is_rfq_file(args.out2):
+            _die("In decompress mode, the read2 output should not be a RFQ file.")
+    if mode == "compare":
+        if args.stdin:
+            rfq_compare = "/dev/stdin"
+        if not rfq_compare:
+            _die("In compare mode, you should specify the RFQ file to compare by <rfq_to_compare>")
+        if out1 or args.out2:
+            _die("In compare mode, you cannot specify the output by <out1> or <out2>")
+        if rfq_compare != "/dev/stdin" and not os.path.exists(rfq_compare):
+            _die("Failed to open file: %s" % rfq_compare)
+    if chunk_size < 10000:
+        _die("chunk size cannot be less than 10 kb")
+    if chunk_size > 500000000:
+        _die("chunk size cannot be greater than 500,000 kb")
+    if (in1.endswith(".xz") or rfq_compare.endswith(".xz")) and args.stdin:
+        _die("STDIN cannot be read when the input is a .xz file")
+    if out1.endswith(".xz") and args.stdout:
+        _die("STDOUT cannot be written when the output is a .xz file")
+
+    engine = pipeline.get_engine(args.engine)
+
+    try:
+        if mode == "compress":
+            if out1.endswith(".xz"):
+                xz = subprocess.Popen(
+                    _xz_compress_args(compression, threads),
+                    stdin=subprocess.PIPE,
+                    stdout=open(out1, "wb"),
+                )
+                _run_compress(args, in1, "", chunk_size, engine, xz.stdin)
+                xz.stdin.close()
+                if xz.wait() != 0:
+                    _die("failed to call xz, please confirm that xz is installed in your system")
+            else:
+                _run_compress(args, in1, out1, chunk_size, engine, None)
+        elif mode == "decompress":
+            if in1.endswith(".xz"):
+                xz = subprocess.Popen(
+                    ["xz", "-d", "-c", in1], stdout=subprocess.PIPE
+                )
+                _run_decompress(args, "", out1, engine, xz.stdout)
+                if xz.wait() != 0:
+                    _die("failed to call xz")
+            else:
+                _run_decompress(args, in1, out1, engine, None)
+        else:
+            if rfq_compare.endswith(".xz"):
+                xz = subprocess.Popen(
+                    ["xz", "-d", "-c", rfq_compare], stdout=subprocess.PIPE
+                )
+                result = _run_compare(args, in1, "", engine, xz.stdout)
+                if xz.wait() != 0:
+                    _die("failed to call xz")
+            else:
+                result = _run_compare(args, in1, rfq_compare, engine, None)
+            if result["result"] != "passed":
+                return 1
+    except RfqFormatError as e:
+        print("ERROR: %s" % e, file=sys.stderr)
+        return -1
+    return 0
+
+
+def _run_compress(args, in1, out1, chunk_size, engine, out_stream):
+    if args.in2 or args.interleaved_in:
+        pipeline.compress_pe(
+            in1,
+            args.in2,
+            out1,
+            chunk_size=chunk_size,
+            interleaved=args.interleaved_in,
+            verify=args.verify,
+            fast_verify=args.fast_verify,
+            engine=engine,
+            out_stream=out_stream,
+        )
+    else:
+        pipeline.compress_se(
+            in1,
+            out1,
+            chunk_size=chunk_size,
+            verify=args.verify,
+            fast_verify=args.fast_verify,
+            engine=engine,
+            out_stream=out_stream,
+        )
+
+
+def _run_decompress(args, in1, out1, engine, in_stream):
+    if args.out2:
+        pipeline.decompress_pe(in1, out1, args.out2, engine=engine, in_stream=in_stream)
+    else:
+        pipeline.decompress(in1, out1, engine=engine, in_stream=in_stream)
+
+
+def _run_compare(args, in1, rfq, engine, in_stream):
+    if args.in2:
+        return pipeline.compare_pe(
+            in1, args.in2, rfq, args.json_compare_result, engine=engine,
+            in_stream=in_stream,
+        )
+    return pipeline.compare(
+        in1, rfq, args.json_compare_result, engine=engine, in_stream=in_stream
+    )
+
+
+def _die(msg: str) -> None:
+    print("ERROR: %s" % msg, file=sys.stderr)
+    raise SystemExit(-1)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,257 @@
+""".rfq chunk record: self-delimiting block of encoded reads.
+
+Wire layout (reference rfqchunk.cpp:230-311 write / 161-227 read):
+  size u32 | reads u32 | flags u16 | seq_buf_size u32 | qual_buf_size u32
+  | [npos_buf_size u32 iff header ENCODE_N_POS]
+  | read_len_buf | name1_len_buf | [name2_len_buf] | strand_len_buf
+  | [lane_buf] | [tile_buf] | [x_size u32 + x_buf] | [y_size u32 + y_buf]
+  | name1_buf | [name2_buf] | strand_buf | seq_buf | qual_buf
+  | [overlap_buf] | [npos_buf]
+
+``size`` is informational only (decoders never validate it) but must match
+the reference byte-for-byte, INCLUDING its accounting bug: the encoder
+stores the tile byte count into the lane size field and leaves the tile
+size 0 (reference rfqcodec.cpp:503-515), so ``size`` undercounts by the
+lane bytes whenever lane/tile are written, and overcounts by 2 when they
+are not. ``calc_total_buf_size`` reproduces that arithmetic.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..constants import (
+    BIT_ENCODE_PE_BY_OVERLAP,
+    BIT_LANE_SAME,
+    BIT_NAME1_LEN_SAME,
+    BIT_NAME1_SAME,
+    BIT_NAME2_LEN_SAME,
+    BIT_NAME2_SAME,
+    BIT_PE_INTERLEAVED,
+    BIT_READ_LEN_SAME,
+    BIT_STRAND_LEN_SAME,
+    BIT_STRAND_SAME,
+    BIT_TILE_SAME,
+)
+from ..util import read_exact, u16le, u32le
+from .header import RfqFormatError, RfqHeader
+
+
+class RfqChunk:
+    """In-memory chunk; all buffers are raw ``bytes`` in wire layout."""
+
+    def __init__(self, header: RfqHeader):
+        self.header = header
+        self.size = 0
+        self.reads = 0
+        self.flags = 0
+        self.seq_buf_size = 0
+        self.qual_buf_size = 0
+        self.npos_buf_size = 0
+        self.x_buf_size = 0
+        self.y_buf_size = 0
+
+        self.read_len_buf = b""
+        self.name1_len_buf = b""
+        self.name2_len_buf = b""
+        self.strand_len_buf = b""
+        self.lane_buf = b""
+        self.tile_buf = b""  # little-endian u16s
+        self.x_buf = b""
+        self.y_buf = b""
+        self.name1_buf = b""
+        self.name2_buf = b""
+        self.strand_buf = b""
+        self.seq_buf = b""
+        self.qual_buf = b""
+        self.overlap_buf = b""
+        self.npos_buf = b""
+
+        # size accounting fields mirroring the reference encoder's members
+        # (reference rfqcodec.cpp:453-515); see calc_total_buf_size.
+        self.read_len_buf_size = 0
+        self.name1_len_buf_size = 0
+        self.name2_len_buf_size = 0
+        self.strand_len_buf_size = 0
+        self.lane_buf_size = 0
+        self.tile_buf_size = 0
+        self.name1_buf_size = 0
+        self.name2_buf_size = 0
+        self.strand_buf_size = 0
+
+    # ---- helpers ----
+    def _lane_count(self) -> int:
+        if self.flags & BIT_LANE_SAME:
+            return 1
+        if self.flags & BIT_PE_INTERLEAVED:
+            return self.reads // 2
+        return self.reads
+
+    def _tile_count(self) -> int:
+        if self.flags & BIT_TILE_SAME:
+            return 1
+        if self.flags & BIT_PE_INTERLEAVED:
+            return self.reads // 2
+        return self.reads
+
+    def read_lengths(self) -> np.ndarray:
+        """Per-read lengths as uint32, expanding the SAME-flag case."""
+        nbytes = self.header.read_length_bytes
+        dtype = {1: np.uint8, 2: np.uint16, 4: np.uint32}.get(nbytes)
+        if dtype is None:
+            raise RfqFormatError("header incorrect: read length bytes should be 1/2/4")
+        arr = np.frombuffer(self.read_len_buf, dtype=dtype).astype(np.uint32)
+        if self.flags & BIT_READ_LEN_SAME:
+            return np.full(self.reads, arr[0], dtype=np.uint32)
+        return arr[: self.reads]
+
+    def calc_total_buf_size(self) -> None:
+        """Reproduce reference rfqchunk.cpp:141-159 arithmetic (with quirk)."""
+        size = 4 + 4 + 2 + 4 + 4
+        size += (
+            self.read_len_buf_size
+            + self.name1_len_buf_size
+            + self.name2_len_buf_size
+            + self.strand_len_buf_size
+        )
+        size += (
+            self.lane_buf_size
+            + self.tile_buf_size
+            + self.name1_buf_size
+            + self.name2_buf_size
+            + self.strand_buf_size
+        )
+        size += self.seq_buf_size + self.qual_buf_size
+        if (self.flags & BIT_PE_INTERLEAVED) and (
+            self.header.flags & BIT_ENCODE_PE_BY_OVERLAP
+        ):
+            size += self.reads // 2
+        if self.header.encode_n_pos():
+            size += 4 + self.npos_buf_size
+        if self.header.has_x():
+            size += 4 + self.x_buf_size
+        if self.header.has_y():
+            size += 4 + self.y_buf_size
+        self.size = size
+
+    # ---- serialization ----
+    def to_bytes(self) -> bytes:
+        out = bytearray()
+        out += u32le(self.size)
+        out += u32le(self.reads)
+        out += u16le(self.flags)
+        out += u32le(self.seq_buf_size)
+        out += u32le(self.qual_buf_size)
+        if self.header.encode_n_pos():
+            out += u32le(self.npos_buf_size)
+
+        out += self.read_len_buf
+        out += self.name1_len_buf
+        if self.header.has_name2():
+            out += self.name2_len_buf
+        out += self.strand_len_buf
+
+        if self.header.has_lane():
+            out += self.lane_buf[: self._lane_count()]
+        if self.header.has_tile():
+            out += self.tile_buf[: 2 * self._tile_count()]
+
+        if self.header.has_x():
+            out += u32le(self.x_buf_size)
+            out += self.x_buf
+        if self.header.has_y():
+            out += u32le(self.y_buf_size)
+            out += self.y_buf
+
+        out += self.name1_buf
+        if self.header.has_name2():
+            out += self.name2_buf
+        out += self.strand_buf
+        out += self.seq_buf
+        out += self.qual_buf
+
+        if (self.flags & BIT_PE_INTERLEAVED) and (
+            self.header.flags & BIT_ENCODE_PE_BY_OVERLAP
+        ):
+            out += self.overlap_buf[: self.reads // 2]
+        if self.header.encode_n_pos():
+            out += self.npos_buf
+        return bytes(out)
+
+    def write(self, stream) -> None:
+        stream.write(self.to_bytes())
+
+    @classmethod
+    def read(cls, stream, header: RfqHeader) -> "RfqChunk":
+        """Parse one chunk. At EOF all fields read as 0 (like the reference's
+        failed istream reads, rfqchunk.cpp:161-171), yielding the reads==0
+        terminator chunk."""
+        c = cls(header)
+
+        def _u32() -> int:
+            raw = read_exact(stream, 4)
+            return int.from_bytes(raw, "little") if len(raw) == 4 else 0
+
+        def _u16() -> int:
+            raw = read_exact(stream, 2)
+            return int.from_bytes(raw, "little") if len(raw) == 2 else 0
+
+        c.size = _u32()
+        c.reads = _u32()
+        c.flags = _u16()
+        c.seq_buf_size = _u32()
+        c.qual_buf_size = _u32()
+        if header.encode_n_pos():
+            c.npos_buf_size = _u32()
+
+        # read length array (reference rfqchunk.cpp:41-61)
+        rl_count = 1 if (c.flags & BIT_READ_LEN_SAME) else c.reads
+        c.read_len_buf = read_exact(stream, rl_count * header.read_length_bytes)
+
+        # name1 lengths (reference rfqchunk.cpp:63-77)
+        n1_count = 1 if (c.flags & BIT_NAME1_LEN_SAME) else c.reads
+        c.name1_len_buf = read_exact(stream, n1_count)
+        c.name1_buf_size = sum(c.name1_len_buf)
+        if (c.flags & BIT_NAME1_LEN_SAME) and not (c.flags & BIT_NAME1_SAME):
+            c.name1_buf_size *= c.reads
+
+        if header.has_name2():
+            n2_count = 1 if (c.flags & BIT_NAME2_LEN_SAME) else c.reads
+            c.name2_len_buf = read_exact(stream, n2_count)
+            c.name2_buf_size = sum(c.name2_len_buf)
+            if (c.flags & BIT_NAME2_LEN_SAME) and not (c.flags & BIT_NAME2_SAME):
+                c.name2_buf_size *= c.reads
+
+        st_count = 1 if (c.flags & BIT_STRAND_LEN_SAME) else c.reads
+        c.strand_len_buf = read_exact(stream, st_count)
+        c.strand_buf_size = sum(c.strand_len_buf)
+        if (c.flags & BIT_STRAND_LEN_SAME) and not (c.flags & BIT_STRAND_SAME):
+            c.strand_buf_size *= c.reads
+
+        if header.has_lane():
+            c.lane_buf = read_exact(stream, c._lane_count())
+        if header.has_tile():
+            c.tile_buf = read_exact(stream, 2 * c._tile_count())
+
+        if header.has_x():
+            c.x_buf_size = _u32()
+            c.x_buf = read_exact(stream, c.x_buf_size)
+        if header.has_y():
+            c.y_buf_size = _u32()
+            c.y_buf = read_exact(stream, c.y_buf_size)
+
+        c.name1_buf = read_exact(stream, c.name1_buf_size)
+        if header.has_name2():
+            c.name2_buf = read_exact(stream, c.name2_buf_size)
+        c.strand_buf = read_exact(stream, c.strand_buf_size)
+
+        c.seq_buf = read_exact(stream, c.seq_buf_size)
+        c.qual_buf = read_exact(stream, c.qual_buf_size)
+
+        if (c.flags & BIT_PE_INTERLEAVED) and (
+            header.flags & BIT_ENCODE_PE_BY_OVERLAP
+        ):
+            c.overlap_buf = read_exact(stream, c.reads // 2)
+        if header.encode_n_pos():
+            c.npos_buf = read_exact(stream, c.npos_buf_size)
+        return c

@@ -1,0 +1,147 @@
+"""Property tests for the token coders in the scalar oracle."""
+
+import random
+
+import pytest
+
+from repaq_tpu.codec import oracle
+from repaq_tpu.format.header import RfqHeader
+from repaq_tpu.meta import parse_name
+
+
+def test_pack_unpack_roundtrip():
+    random.seed(1)
+    for _ in range(50):
+        n = random.randint(0, 300)
+        seq = bytes(random.choice(b"GATC") for _ in range(n))
+        packed = oracle.pack_bases_2bit(seq)
+        assert len(packed) == (n + 3) // 4
+        assert bytes(oracle.unpack_bases_2bit(packed, n)) == seq
+
+
+def test_pack_n_as_zero():
+    assert oracle.pack_bases_2bit(b"N") == oracle.pack_bases_2bit(b"G")
+
+
+@pytest.mark.parametrize("density", [0.0, 0.01, 0.3, 0.9, 1.0])
+def test_single_qual_stream_roundtrip(density):
+    random.seed(int(density * 100) + 3)
+    for trial in range(20):
+        n = random.randint(1, 2000)
+        qual = bytearray(
+            ord("X") if random.random() < density else ord("Y") for _ in range(n)
+        )
+        enc = oracle.encode_single_qual_by_col(bytes(qual), ord("X"))
+        dec = bytearray(b"Y" * n)
+        oracle.decode_single_qual_by_col(enc, ord("X"), dec)
+        assert dec == qual
+
+
+def test_single_qual_long_gaps():
+    # exercise the 2-byte and 4-byte gap tokens
+    for gap in [127, 128, 129, 16384, 16385, 100000]:
+        qual = bytearray(b"." * (gap + 2))
+        qual[gap] = ord("X")
+        qual[gap + 1] = ord("X")
+        enc = oracle.encode_single_qual_by_col(bytes(qual), ord("X"))
+        dec = bytearray(b"." * len(qual))
+        oracle.decode_single_qual_by_col(enc, ord("X"), dec)
+        assert dec == qual
+
+
+def test_run_token_only_after_position_one():
+    # positions 0,1 adjacent but cur>1 fails -> two 1-byte gaps
+    enc = oracle.encode_single_qual_by_col(b"XXY", ord("X"))
+    assert enc == b"\x00\x00"
+    # positions 1,2: second is adjacent and cur>1 -> gap then run of 1
+    enc = oracle.encode_single_qual_by_col(b"YXXY", ord("X"))
+    assert enc == b"\x01\xc0"
+    # long run splits at 32
+    enc = oracle.encode_single_qual_by_col(b"Y" + b"X" * 40, ord("X"))
+    assert enc == b"\x01" + bytes([0xC0 | 31]) + bytes([0xC0 | 6])
+
+
+def test_coords_roundtrip():
+    random.seed(11)
+    for _ in range(30):
+        n = random.randint(0, 500)
+        vals = []
+        last = 1000
+        for _ in range(n):
+            r = random.random()
+            if r < 0.3:
+                vals.append(last)
+            elif r < 0.6:
+                last = last + random.randint(1, 64)
+                vals.append(last)
+            else:
+                last = random.randint(0, (1 << 21) - 1)
+                vals.append(last)
+        enc = oracle.encode_coords(vals)
+        assert oracle.decode_coords(enc, n) == vals
+
+
+def test_coords_over_2m_rejected():
+    with pytest.raises(Exception):
+        oracle.encode_coords([1 << 21])
+
+
+def test_overlap_search():
+    r1 = b"ACGTACGTACGTACGTACGT"
+    # forward: r2 starts with r1's 12-suffix
+    r2 = r1[-12:] + b"TTTTTTTT"
+    assert oracle.overlap(r1, r2) == 12
+    # backward: r2 ends with r1's 12-prefix
+    r2 = b"GGGGGGGG" + r1[:12]
+    assert oracle.overlap(r1, r2) == -12
+    # identical reads overlap fully forward at first o where suffix==prefix
+    assert oracle.overlap(r1, r1) > 0
+    assert oracle.overlap(r1, b"T" * 20) == 0
+
+
+def test_reverse_complement():
+    assert oracle.reverse_complement(b"ACGTN") == b"NACGT"
+    assert oracle.reverse_complement(b"AAAA") == b"TTTT"
+
+
+def test_meta_parse_reference_case():
+    m = parse_name(b"@A00251:28:H3YV7DSXX:40:1101:2356:1000 1:N:0:TAAGTGGC")
+    assert m.name_part1 == b"@A00251:28:H3YV7DSXX"
+    assert (m.lane, m.tile, m.x, m.y) == (40, 1101, 2356, 1000)
+    assert m.name_part2 == b" 1:N:0:TAAGTGGC"
+    assert m.has_lane_tile_xy
+
+
+def test_meta_parse_non_illumina():
+    m = parse_name(b"@V300026370L1C001R0010000123/1")
+    assert not m.has_lane_tile_xy
+    assert m.name_part1 == b"@V300026370L1C001R0010000123/1"
+
+
+def test_meta_parse_seven_colons():
+    # y parsed from field 7, name2 begins at the 7th colon (inclusive)
+    m = parse_name(b"@a:b:c:1:2:3:4:rest")
+    assert m.has_lane_tile_xy
+    assert (m.lane, m.tile, m.x, m.y) == (1, 2, 3, 4)
+    assert m.name_part2 == b":rest"
+
+
+def test_meta_parse_six_colons_no_space():
+    # no break event -> not illumina (reference quirk)
+    m = parse_name(b"@a:b:c:1:2:3:4")
+    assert not m.has_lane_tile_xy
+
+
+def test_qual_runlen_roundtrip():
+    random.seed(5)
+    header = RfqHeader()
+    header.qual_bins = 4
+    header.qual_buf = bytes([70, 58, 44, 35])
+    header._make_qual_bit_table()
+    for _ in range(20):
+        n = random.randint(1, 500)
+        qual = bytes(random.choice(header.qual_buf) for _ in range(n))
+        enc = oracle.encode_qual_runlen(header, qual)
+        dec = bytearray(n)
+        oracle.decode_qual_runlen(header, enc, dec)
+        assert bytes(dec) == qual
