@@ -1,0 +1,172 @@
+"""Structure-of-arrays chunk representation.
+
+A ``ReadBlock`` is the fixed-layout array form of one chunk: flat uint8
+buffers plus offset arrays. This is the canonical interface between the
+FASTQ reader, the vectorized/TPU codec, and the container writer — the
+TPU-native replacement for the reference's vector<Read*> object graph
+(reference read.h / repaq.cpp hot loops).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from .oracle import FastqRead
+
+
+def gather_slices(buf: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Concatenate buf[starts[i]:starts[i]+lens[i]] for all i (one gather)."""
+    lens = lens.astype(np.int64)
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, dtype=buf.dtype)
+    out_off = np.zeros(len(lens), dtype=np.int64)
+    np.cumsum(lens[:-1], out=out_off[1:])
+    idx = np.arange(total, dtype=np.int64) + np.repeat(
+        starts.astype(np.int64) - out_off, lens
+    )
+    return buf[idx]
+
+
+def lens_to_offsets(lens: np.ndarray) -> np.ndarray:
+    off = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(lens, out=off[1:])
+    return off
+
+
+@dataclass
+class ReadBlock:
+    n: int
+    name_flat: np.ndarray
+    name_off: np.ndarray
+    seq_flat: np.ndarray
+    seq_off: np.ndarray
+    strand_flat: np.ndarray
+    strand_off: np.ndarray
+    qual_flat: np.ndarray
+    qual_off: np.ndarray
+
+    @property
+    def total_bases(self) -> int:
+        return int(self.seq_off[-1])
+
+    def seq_lens(self) -> np.ndarray:
+        return np.diff(self.seq_off)
+
+    @classmethod
+    def from_reads(cls, reads: list[FastqRead]) -> "ReadBlock":
+        def pack(items):
+            lens = np.array([len(x) for x in items], dtype=np.int64)
+            flat = np.frombuffer(b"".join(items), dtype=np.uint8)
+            return flat, lens_to_offsets(lens)
+
+        name_flat, name_off = pack([r.name for r in reads])
+        seq_flat, seq_off = pack([r.seq for r in reads])
+        strand_flat, strand_off = pack([r.strand for r in reads])
+        qual_flat, qual_off = pack([r.qual for r in reads])
+        return cls(
+            len(reads),
+            name_flat,
+            name_off,
+            seq_flat,
+            seq_off,
+            strand_flat,
+            strand_off,
+            qual_flat,
+            qual_off,
+        )
+
+    def to_reads(self) -> list[FastqRead]:
+        nb = self.name_flat.tobytes()
+        sb = self.seq_flat.tobytes()
+        tb = self.strand_flat.tobytes()
+        qb = self.qual_flat.tobytes()
+        out = []
+        for i in range(self.n):
+            out.append(
+                FastqRead(
+                    nb[self.name_off[i] : self.name_off[i + 1]],
+                    sb[self.seq_off[i] : self.seq_off[i + 1]],
+                    tb[self.strand_off[i] : self.strand_off[i + 1]],
+                    qb[self.qual_off[i] : self.qual_off[i + 1]],
+                )
+            )
+        return out
+
+    def to_fastq_bytes(self) -> bytes:
+        """Assemble '@name\\nseq\\n+\\nqual\\n' records in one scatter pass."""
+        name_lens = np.diff(self.name_off)
+        seq_lens = np.diff(self.seq_off)
+        strand_lens = np.diff(self.strand_off)
+        qual_lens = np.diff(self.qual_off)
+        rec_lens = name_lens + seq_lens + strand_lens + qual_lens + 4
+        total = int(rec_lens.sum())
+        out = np.empty(total, dtype=np.uint8)
+        rec_off = lens_to_offsets(rec_lens)
+
+        def put(flat, off, lens, dst_start):
+            idx = np.arange(int(lens.sum()), dtype=np.int64) + np.repeat(
+                dst_start - lens_to_offsets(lens)[:-1], lens
+            )
+            out[idx] = gather_slices(flat, off[:-1], lens)
+
+        nl = np.uint8(10)
+        pos = rec_off[:-1]
+        put(self.name_flat, self.name_off, name_lens, pos)
+        pos = pos + name_lens
+        out[pos] = nl
+        pos = pos + 1
+        put(self.seq_flat, self.seq_off, seq_lens, pos)
+        pos = pos + seq_lens
+        out[pos] = nl
+        pos = pos + 1
+        put(self.strand_flat, self.strand_off, strand_lens, pos)
+        pos = pos + strand_lens
+        out[pos] = nl
+        pos = pos + 1
+        put(self.qual_flat, self.qual_off, qual_lens, pos)
+        pos = pos + qual_lens
+        out[pos] = nl
+        return out.tobytes()
+
+    def interleave(self, other: "ReadBlock") -> "ReadBlock":
+        """Interleave two blocks r1[0], r2[0], r1[1], r2[1], ..."""
+        assert self.n == other.n
+
+        def mix(flat_a, off_a, flat_b, off_b):
+            lens_a = np.diff(off_a)
+            lens_b = np.diff(off_b)
+            lens = np.empty(self.n * 2, dtype=np.int64)
+            lens[0::2] = lens_a
+            lens[1::2] = lens_b
+            off = lens_to_offsets(lens)
+            out = np.empty(int(lens.sum()), dtype=flat_a.dtype)
+            pos_a = off[0:-1:2]
+            pos_b = off[1:-1:2]
+            ia = np.arange(int(lens_a.sum()), dtype=np.int64) + np.repeat(
+                pos_a - lens_to_offsets(lens_a)[:-1], lens_a
+            )
+            ib = np.arange(int(lens_b.sum()), dtype=np.int64) + np.repeat(
+                pos_b - lens_to_offsets(lens_b)[:-1], lens_b
+            )
+            out[ia] = flat_a
+            out[ib] = flat_b
+            return out, off
+
+        name_flat, name_off = mix(self.name_flat, self.name_off, other.name_flat, other.name_off)
+        seq_flat, seq_off = mix(self.seq_flat, self.seq_off, other.seq_flat, other.seq_off)
+        strand_flat, strand_off = mix(self.strand_flat, self.strand_off, other.strand_flat, other.strand_off)
+        qual_flat, qual_off = mix(self.qual_flat, self.qual_off, other.qual_flat, other.qual_off)
+        return ReadBlock(
+            self.n * 2,
+            name_flat,
+            name_off,
+            seq_flat,
+            seq_off,
+            strand_flat,
+            strand_off,
+            qual_flat,
+            qual_off,
+        )

@@ -43,19 +43,26 @@ class EngineConfig:
 
 def get_engine(name: str = "auto") -> EngineConfig:
     if name in ("auto", "vectorized"):
-        try:
-            from .codec import vectorized
+        from .codec import vectorized
+        from .codec.blocks import ReadBlock
 
-            return EngineConfig(
-                make_header_se=vectorized.make_header_se,
-                make_header_pe=vectorized.make_header_pe,
-                encode_chunk=vectorized.encode_chunk,
-                encode_chunk_pe=vectorized.encode_chunk_pe,
-                decode_chunk=vectorized.decode_chunk,
-            )
-        except ImportError:
-            if name == "vectorized":
-                raise
+        def _mk_se(reads):
+            return vectorized.make_header_se(ReadBlock.from_reads(reads))
+
+        def _mk_pe(pairs):
+            reads = []
+            for r1, r2 in pairs:
+                reads.append(r1)
+                reads.append(r2)
+            return vectorized.make_header_pe(ReadBlock.from_reads(reads))
+
+        return EngineConfig(
+            make_header_se=_mk_se,
+            make_header_pe=_mk_pe,
+            encode_chunk=vectorized.encode_chunk_reads,
+            encode_chunk_pe=vectorized.encode_chunk_pe_reads,
+            decode_chunk=vectorized.decode_chunk_reads,
+        )
     return EngineConfig()
 
 
