@@ -1,22 +1,39 @@
 """ctypes bindings for the native (C++) host kernels.
 
-The sequential byte-stream scans (token boundary detection) are the one
-part of the codec that resists vectorization on the host; librepaq_native
-provides them at memory speed. Falls back gracefully when the library has
-not been built (pure-numpy/Python paths take over).
+The sequential byte-stream coders (gap/run emission, token walks, overlap
+search) are the parts of the codec that resist host vectorization;
+librepaq_native provides them at memory speed with the exact reference
+semantics. Every entry point has a numpy/Python fallback in kernels_np, and
+the test suite runs both paths.
 
-Build: ``make -C repaq_tpu/native`` (see repaq_tpu/native/Makefile).
+Build: ``make -C repaq_tpu/native`` (done automatically on first import
+when a compiler is available).
 """
 
 from __future__ import annotations
 
 import ctypes
 import os
+import subprocess
 
 import numpy as np
 
 _LIB = None
 _TRIED = False
+
+_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "native"
+)
+_SO = os.path.join(_DIR, "librepaq_native.so")
+
+_i64 = ctypes.c_int64
+_i32 = ctypes.c_int32
+_u8p = ctypes.POINTER(ctypes.c_uint8)
+_i64p = ctypes.POINTER(ctypes.c_int64)
+
+
+def _ptr(a: np.ndarray, typ):
+    return a.ctypes.data_as(typ)
 
 
 def _load():
@@ -24,20 +41,50 @@ def _load():
     if _TRIED:
         return _LIB
     _TRIED = True
-    path = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "native",
-        "librepaq_native.so",
-    )
-    if not os.path.exists(path):
+    if os.environ.get("REPAQ_TPU_NO_NATIVE"):
         return None
-    lib = ctypes.CDLL(path)
-    lib.token_starts.restype = ctypes.c_int64
-    lib.token_starts.argtypes = [
-        ctypes.POINTER(ctypes.c_int64),
-        ctypes.c_int64,
-        ctypes.POINTER(ctypes.c_int64),
-    ]
+    if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(
+        os.path.join(_DIR, "repaq_native.cpp")
+    ):
+        try:
+            subprocess.run(
+                ["make", "-s", "-C", _DIR],
+                check=True,
+                capture_output=True,
+                timeout=120,
+            )
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(_SO)
+    except OSError:
+        return None
+    lib.positions_encode.restype = _i64
+    lib.positions_encode.argtypes = [_u8p, _i64, ctypes.c_uint8, _u8p, _u8p]
+    lib.positions_decode.restype = _i64
+    lib.positions_decode.argtypes = [_u8p, _i64, _i64p]
+    lib.positions_scatter.restype = None
+    lib.positions_scatter.argtypes = [_u8p, _i64, ctypes.c_uint8, _u8p]
+    lib.qualcol_encode.restype = _i64
+    lib.qualcol_encode.argtypes = [_u8p, _i64, _u8p, _i32, ctypes.c_uint8, _u8p, _u8p]
+    lib.qualcol_decode.restype = None
+    lib.qualcol_decode.argtypes = [_u8p, _i64, _u8p, _i32, _u8p, _i64]
+    lib.coords_encode.restype = _i64
+    lib.coords_encode.argtypes = [_i64p, _i64, _u8p]
+    lib.coords_decode.restype = _i64
+    lib.coords_decode.argtypes = [_u8p, _i64, _i64p, _i64]
+    lib.token_starts.restype = _i64
+    lib.token_starts.argtypes = [_i64p, _i64, _i64p]
+    lib.overlap_pairs.restype = None
+    lib.overlap_pairs.argtypes = [_u8p, _u8p, _i64, _i64, _i64, _i64p]
+    lib.copy_slices.restype = None
+    lib.copy_slices.argtypes = [_u8p, _i64p, _u8p, _i64p, _i64p, _i64]
+    lib.reverse_slices.restype = None
+    lib.reverse_slices.argtypes = [_u8p, _i64p, _u8p, _i64p, _i64p, _i64, _u8p]
+    lib.pack_2bit.restype = None
+    lib.pack_2bit.argtypes = [_u8p, _i64, _u8p]
+    lib.unpack_2bit.restype = None
+    lib.unpack_2bit.argtypes = [_u8p, _i64, _u8p, _i64]
     _LIB = lib
     return _LIB
 
@@ -46,13 +93,146 @@ def available() -> bool:
     return _load() is not None
 
 
+def positions_encode(data: np.ndarray, q: int) -> np.ndarray:
+    lib = _load()
+    n = data.shape[0]
+    out = np.empty(n + 64, dtype=np.uint8)
+    ln = lib.positions_encode(
+        _ptr(data, _u8p), n, q, _ptr(out, _u8p), None
+    )
+    return out[:ln]
+
+
+def positions_decode(buf: np.ndarray) -> np.ndarray:
+    lib = _load()
+    # a 1-byte run token decodes to <=32 positions
+    out = np.empty(buf.shape[0] * 32 + 1, dtype=np.int64)
+    cnt = lib.positions_decode(_ptr(buf, _u8p), buf.shape[0], _ptr(out, _i64p))
+    return out[:cnt]
+
+
+def qualcol_encode(
+    qual: np.ndarray, bins: np.ndarray, major: int
+) -> np.ndarray:
+    lib = _load()
+    n = qual.shape[0]
+    nbins = bins.shape[0]
+    out = np.empty(4 * nbins + 6 * n + 64, dtype=np.uint8)
+    scratch = np.empty(max(n, 1), dtype=np.uint8)
+    bins = np.ascontiguousarray(bins, dtype=np.uint8)
+    ln = lib.qualcol_encode(
+        _ptr(qual, _u8p), n, _ptr(bins, _u8p), nbins, major, _ptr(out, _u8p),
+        _ptr(scratch, _u8p),
+    )
+    return out[:ln]
+
+
+def qualcol_decode(
+    buf: np.ndarray, bins: np.ndarray, major: int, length: int
+) -> np.ndarray:
+    lib = _load()
+    qual = np.full(length, major, dtype=np.uint8)
+    bins = np.ascontiguousarray(bins, dtype=np.uint8)
+    lib.qualcol_decode(
+        _ptr(buf, _u8p), buf.shape[0], _ptr(bins, _u8p), bins.shape[0],
+        _ptr(qual, _u8p), length,
+    )
+    return qual
+
+
+def coords_encode(vals: np.ndarray) -> np.ndarray:
+    lib = _load()
+    vals = np.ascontiguousarray(vals, dtype=np.int64)
+    out = np.empty(vals.shape[0] * 3 + 8, dtype=np.uint8)
+    ln = lib.coords_encode(_ptr(vals, _i64p), vals.shape[0], _ptr(out, _u8p))
+    if ln < 0:
+        from ..format.header import RfqFormatError
+
+        bad = int(vals[vals >= (1 << 21)][0])
+        raise RfqFormatError(
+            "The X/Y coordinate cannot be larger than 2M, but we get: %d" % bad
+        )
+    return out[:ln]
+
+
+def coords_decode(buf: np.ndarray, num: int) -> np.ndarray:
+    lib = _load()
+    out = np.zeros(num, dtype=np.int64)
+    lib.coords_decode(_ptr(buf, _u8p), buf.shape[0], _ptr(out, _i64p), num)
+    return out
+
+
 def token_starts(lens: np.ndarray) -> np.ndarray:
     lib = _load()
     lens = np.ascontiguousarray(lens, dtype=np.int64)
     out = np.empty(lens.shape[0], dtype=np.int64)
-    n = lib.token_starts(
-        lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-        lens.shape[0],
-        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-    )
+    n = lib.token_starts(_ptr(lens, _i64p), lens.shape[0], _ptr(out, _i64p))
     return out[:n]
+
+
+def overlap_pairs(r1: np.ndarray, r2: np.ndarray) -> np.ndarray:
+    lib = _load()
+    p, l1 = r1.shape
+    l2 = r2.shape[1]
+    out = np.zeros(p, dtype=np.int64)
+    r1 = np.ascontiguousarray(r1)
+    r2 = np.ascontiguousarray(r2)
+    lib.overlap_pairs(_ptr(r1, _u8p), _ptr(r2, _u8p), p, l1, l2, _ptr(out, _i64p))
+    return out
+
+
+def copy_slices(
+    src: np.ndarray,
+    src_starts: np.ndarray,
+    dst: np.ndarray,
+    dst_starts: np.ndarray,
+    lens: np.ndarray,
+) -> None:
+    lib = _load()
+    lib.copy_slices(
+        _ptr(src, _u8p),
+        _ptr(np.ascontiguousarray(src_starts, dtype=np.int64), _i64p),
+        _ptr(dst, _u8p),
+        _ptr(np.ascontiguousarray(dst_starts, dtype=np.int64), _i64p),
+        _ptr(np.ascontiguousarray(lens, dtype=np.int64), _i64p),
+        len(lens),
+    )
+
+
+def reverse_slices(
+    src: np.ndarray,
+    src_starts: np.ndarray,
+    dst: np.ndarray,
+    dst_starts: np.ndarray,
+    lens: np.ndarray,
+    table: np.ndarray | None,
+) -> None:
+    lib = _load()
+    tbl = (
+        _ptr(np.ascontiguousarray(table, dtype=np.uint8), _u8p)
+        if table is not None
+        else None
+    )
+    lib.reverse_slices(
+        _ptr(src, _u8p),
+        _ptr(np.ascontiguousarray(src_starts, dtype=np.int64), _i64p),
+        _ptr(dst, _u8p),
+        _ptr(np.ascontiguousarray(dst_starts, dtype=np.int64), _i64p),
+        _ptr(np.ascontiguousarray(lens, dtype=np.int64), _i64p),
+        len(lens),
+        tbl,
+    )
+
+
+def pack_2bit(seq: np.ndarray) -> np.ndarray:
+    lib = _load()
+    out = np.empty((seq.shape[0] + 3) // 4, dtype=np.uint8)
+    lib.pack_2bit(_ptr(seq, _u8p), seq.shape[0], _ptr(out, _u8p))
+    return out
+
+
+def unpack_2bit(buf: np.ndarray, length: int) -> np.ndarray:
+    lib = _load()
+    out = np.empty(length, dtype=np.uint8)
+    lib.unpack_2bit(_ptr(buf, _u8p), buf.shape[0], _ptr(out, _u8p), length)
+    return out

@@ -18,16 +18,57 @@ from .oracle import FastqRead
 
 def gather_slices(buf: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
     """Concatenate buf[starts[i]:starts[i]+lens[i]] for all i (one gather)."""
+    from . import _native
+
     lens = lens.astype(np.int64)
     total = int(lens.sum())
     if total == 0:
         return np.empty(0, dtype=buf.dtype)
     out_off = np.zeros(len(lens), dtype=np.int64)
     np.cumsum(lens[:-1], out=out_off[1:])
+    if buf.dtype == np.uint8 and _native.available():
+        buf = np.ascontiguousarray(buf)
+        out = np.empty(total, dtype=np.uint8)
+        _native.copy_slices(buf, starts, out, out_off, lens)
+        return out
     idx = np.arange(total, dtype=np.int64) + np.repeat(
         starts.astype(np.int64) - out_off, lens
     )
     return buf[idx]
+
+
+def scatter_slices(
+    src: np.ndarray,
+    dst: np.ndarray,
+    dst_starts: np.ndarray,
+    lens: np.ndarray,
+    src_starts: np.ndarray | None = None,
+) -> None:
+    """dst[dst_starts[i]:+lens[i]] = consecutive (or src_starts-addressed)
+    slices of src."""
+    from . import _native
+
+    lens = lens.astype(np.int64)
+    if src_starts is None:
+        src_starts = np.zeros(len(lens), dtype=np.int64)
+        np.cumsum(lens[:-1], out=src_starts[1:])
+    if dst.dtype == np.uint8 and src.dtype == np.uint8 and _native.available():
+        _native.copy_slices(
+            np.ascontiguousarray(src), src_starts, dst, dst_starts, lens
+        )
+        return
+    total = int(lens.sum())
+    if total == 0:
+        return
+    out_off = np.zeros(len(lens), dtype=np.int64)
+    np.cumsum(lens[:-1], out=out_off[1:])
+    idx = np.arange(total, dtype=np.int64) + np.repeat(
+        dst_starts.astype(np.int64) - out_off, lens
+    )
+    sidx = np.arange(total, dtype=np.int64) + np.repeat(
+        src_starts.astype(np.int64) - out_off, lens
+    )
+    dst[idx] = src[sidx]
 
 
 def lens_to_offsets(lens: np.ndarray) -> np.ndarray:
@@ -107,10 +148,7 @@ class ReadBlock:
         rec_off = lens_to_offsets(rec_lens)
 
         def put(flat, off, lens, dst_start):
-            idx = np.arange(int(lens.sum()), dtype=np.int64) + np.repeat(
-                dst_start - lens_to_offsets(lens)[:-1], lens
-            )
-            out[idx] = gather_slices(flat, off[:-1], lens)
+            scatter_slices(flat, out, dst_start, lens, src_starts=off[:-1])
 
         nl = np.uint8(10)
         pos = rec_off[:-1]
@@ -131,6 +169,21 @@ class ReadBlock:
         out[pos] = nl
         return out.tobytes()
 
+    def take(self, indices: np.ndarray) -> "ReadBlock":
+        """Sub-block of the given read indices (gather copy)."""
+        def pick(flat, off):
+            lens = (off[1:] - off[:-1])[indices]
+            return gather_slices(flat, off[:-1][indices], lens), lens_to_offsets(lens)
+
+        name_flat, name_off = pick(self.name_flat, self.name_off)
+        seq_flat, seq_off = pick(self.seq_flat, self.seq_off)
+        strand_flat, strand_off = pick(self.strand_flat, self.strand_off)
+        qual_flat, qual_off = pick(self.qual_flat, self.qual_off)
+        return ReadBlock(
+            len(indices), name_flat, name_off, seq_flat, seq_off,
+            strand_flat, strand_off, qual_flat, qual_off,
+        )
+
     def interleave(self, other: "ReadBlock") -> "ReadBlock":
         """Interleave two blocks r1[0], r2[0], r1[1], r2[1], ..."""
         assert self.n == other.n
@@ -143,16 +196,8 @@ class ReadBlock:
             lens[1::2] = lens_b
             off = lens_to_offsets(lens)
             out = np.empty(int(lens.sum()), dtype=flat_a.dtype)
-            pos_a = off[0:-1:2]
-            pos_b = off[1:-1:2]
-            ia = np.arange(int(lens_a.sum()), dtype=np.int64) + np.repeat(
-                pos_a - lens_to_offsets(lens_a)[:-1], lens_a
-            )
-            ib = np.arange(int(lens_b.sum()), dtype=np.int64) + np.repeat(
-                pos_b - lens_to_offsets(lens_b)[:-1], lens_b
-            )
-            out[ia] = flat_a
-            out[ib] = flat_b
+            scatter_slices(flat_a, out, off[0:-1:2], lens_a, src_starts=off_a[:-1])
+            scatter_slices(flat_b, out, off[1:-1:2], lens_b, src_starts=off_b[:-1])
             return out, off
 
         name_flat, name_off = mix(self.name_flat, self.name_off, other.name_flat, other.name_off)

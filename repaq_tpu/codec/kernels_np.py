@@ -30,6 +30,8 @@ _BIT2_BASE = np.frombuffer(b"GATC", dtype=np.uint8)
 
 def pack_2bit(seq: np.ndarray) -> np.ndarray:
     """seq: uint8 bases -> packed uint8, 4 bases/byte, low bits first."""
+    if _native.available():
+        return _native.pack_2bit(np.ascontiguousarray(seq))
     n = seq.shape[0]
     vals = _BASE_VAL[seq]
     pad = (-n) % 4
@@ -44,6 +46,8 @@ def pack_2bit(seq: np.ndarray) -> np.ndarray:
 def unpack_2bit(buf: np.ndarray, length: int) -> np.ndarray:
     """packed uint8 -> bases; positions beyond 4*len(buf) are 'N' (the
     decoder prefill, reference rfqcodec.cpp:1088)."""
+    if _native.available():
+        return _native.unpack_2bit(np.ascontiguousarray(buf), length)
     out = np.full(length, ord("N"), dtype=np.uint8)
     avail = min(length, buf.shape[0] * 4)
     if avail == 0:
@@ -61,6 +65,13 @@ def unpack_2bit(buf: np.ndarray, length: int) -> np.ndarray:
 # ---------------------------------------------------------------------------
 # gap/run position stream (reference rfqcodec.cpp:625-710, 957-1007)
 # ---------------------------------------------------------------------------
+
+
+def encode_positions_of(data: np.ndarray, q: int) -> np.ndarray:
+    """Gap/run stream for the positions of symbol q in data."""
+    if _native.available():
+        return _native.positions_encode(np.ascontiguousarray(data), q)
+    return encode_positions(np.flatnonzero(data == q))
 
 
 def encode_positions(positions: np.ndarray) -> np.ndarray:
@@ -156,6 +167,8 @@ def decode_positions(buf: np.ndarray) -> np.ndarray:
     n = buf.shape[0]
     if n == 0:
         return np.empty(0, dtype=np.int64)
+    if _native.available():
+        return _native.positions_decode(np.ascontiguousarray(buf))
     starts = _token_starts(buf, _stream_token_lens(buf))
     b0 = buf[starts].astype(np.int64)
     is_gap1 = b0 < 0x80
@@ -196,6 +209,12 @@ def encode_qual_by_col(
 ) -> np.ndarray:
     """u32le per-bin lengths, per-bin gap/run streams, then escape records
     (char u8 + abs pos u32le) for out-of-table qualities."""
+    if _native.available():
+        return _native.qualcol_encode(
+            np.ascontiguousarray(qual),
+            np.ascontiguousarray(normal_bins, dtype=np.uint8),
+            major_qual,
+        )
     streams = []
     for q in normal_bins:
         streams.append(encode_positions(np.flatnonzero(qual == q)))
@@ -223,6 +242,13 @@ def encode_qual_by_col(
 def decode_qual_by_col(
     buf: np.ndarray, normal_bins: np.ndarray, major_qual: int, length: int
 ) -> np.ndarray:
+    if _native.available():
+        return _native.qualcol_decode(
+            np.ascontiguousarray(buf),
+            np.ascontiguousarray(normal_bins, dtype=np.uint8),
+            major_qual,
+            length,
+        )
     qual = np.full(length, major_qual, dtype=np.uint8)
     nbins = normal_bins.shape[0]
     lens = buf[: 4 * nbins].view(np.uint32).astype(np.int64)
@@ -255,6 +281,8 @@ def decode_qual_by_col(
 def encode_coords(values: np.ndarray) -> np.ndarray:
     """Tokens: repeat groups (1 byte per <=32 repeats), +1..64 delta
     (1 byte), 15-bit absolute (2 bytes), 21-bit absolute (3 bytes)."""
+    if _native.available():
+        return _native.coords_encode(values)
     v = values.astype(np.int64)
     n = v.shape[0]
     if n == 0:
@@ -339,6 +367,8 @@ def decode_coords(buf: np.ndarray, num: int) -> np.ndarray:
     n = buf.shape[0]
     if n == 0:
         return np.zeros(num, dtype=np.int64)
+    if _native.available():
+        return _native.coords_decode(np.ascontiguousarray(buf), num)
     starts = _token_starts(buf, _coord_token_lens(buf))
     b0 = buf[starts].astype(np.int64)
     is_abs2 = b0 < 0x80

@@ -12,7 +12,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..util import c_atoi
-from .blocks import gather_slices, lens_to_offsets
+from .blocks import gather_slices, lens_to_offsets, scatter_slices
 
 _BIG = np.int64(1 << 60)
 
@@ -200,10 +200,7 @@ def build_names(
 
     def put_slices(flat, starts, lens):
         nonlocal pos
-        idx = np.arange(int(lens.sum()), dtype=np.int64) + np.repeat(
-            pos - lens_to_offsets(lens)[:-1], lens
-        )
-        out[idx] = gather_slices(flat, starts, lens)
+        scatter_slices(flat, out, pos, lens, src_starts=starts)
         pos = pos + lens
 
     put_slices(name1_flat, name1_starts, name1_lens.astype(np.int64))
@@ -219,10 +216,7 @@ def build_names(
             t //= 10
         # scatter only the significant digits (left-padded area skipped)
         dstarts = np.arange(n, dtype=np.int64) * maxd + (maxd - dl)
-        idx = np.arange(int(dl.sum()), dtype=np.int64) + np.repeat(
-            pos - lens_to_offsets(dl)[:-1], dl
-        )
-        out[idx] = gather_slices(digits.reshape(-1), dstarts, dl)
+        scatter_slices(digits.reshape(-1), out, pos, dl, src_starts=dstarts)
         pos = pos + dl
     if name2_lens is not None:
         put_slices(name2_flat, name2_starts, name2_lens.astype(np.int64))

@@ -162,6 +162,10 @@ def _overlap_pairs(r1: np.ndarray, r2: np.ndarray) -> np.ndarray:
     out = np.zeros(p, dtype=np.int64)
     if minlen < MIN_OVERLAP or p == 0:
         return out
+    from . import _native
+
+    if _native.available():
+        return _native.overlap_pairs(r1, r2)
 
     def first_candidate(a: np.ndarray, b: np.ndarray) -> np.ndarray:
         """min o in [12, minlen] with hash(a[:, La-o:]) == hash(b[:, :o])."""
@@ -326,7 +330,7 @@ def encode_chunk(header: RfqHeader, block: ReadBlock, is_pe: bool = False) -> Rf
 
     npos_buf = np.empty(0, dtype=np.uint8)
     if header.encode_n_pos():
-        npos_buf = K.encode_positions(np.flatnonzero(seq_concat == ord("N")))
+        npos_buf = K.encode_positions_of(seq_concat, ord("N"))
 
     # ---- assemble ----
     chunk = RfqChunk(header)
@@ -528,12 +532,23 @@ def _compute_name2_same_and_interleave(
 
 
 def _revcomp_odd(block: ReadBlock, seq_lens: np.ndarray):
-    """Reverse-complement odd reads' seqs and reverse their quals, in place
-    of the flat layout (even reads unchanged)."""
+    """Reverse-complement odd reads' seqs and reverse their quals, in the
+    flat layout (even reads unchanged)."""
+    from . import _native
+
     n = block.n
     off = block.seq_off.astype(np.int64)
+    odd_starts = off[:-1][1::2]
+    odd_lens = seq_lens[1::2]
+    if _native.available():
+        src_seq = np.ascontiguousarray(block.seq_flat)
+        src_qual = np.ascontiguousarray(block.qual_flat)
+        tseq = src_seq.copy()
+        tqual = src_qual.copy()
+        _native.reverse_slices(src_seq, odd_starts, tseq, odd_starts, odd_lens, _COMP)
+        _native.reverse_slices(src_qual, odd_starts, tqual, odd_starts, odd_lens, None)
+        return tseq, tqual
     idx = np.arange(int(seq_lens.sum()), dtype=np.int64)
-    # per-position read id
     rid = np.repeat(np.arange(n, dtype=np.int64), seq_lens)
     local = idx - off[rid]
     is_odd = (rid & 1) == 1
@@ -606,14 +621,32 @@ def decode_chunk(header: RfqHeader, chunk: RfqChunk) -> ReadBlock:
 
     if pe_interleaved:
         # revcomp odd reads back to their original orientation
-        idx = np.arange(seq_len, dtype=np.int64)
-        rid = np.repeat(np.arange(n, dtype=np.int64), read_lens)
-        local = idx - seq_off[rid]
-        is_odd = (rid & 1) == 1
-        src = np.where(is_odd, seq_off[rid] + (read_lens[rid] - 1 - local), idx)
-        seq2 = seq[src]
-        seq = np.where(is_odd, _COMP[seq2], seq2).astype(np.uint8)
-        qual = np.ascontiguousarray(qual)[src]
+        from . import _native
+
+        if _native.available():
+            odd_starts = seq_off[:-1][1::2]
+            odd_lens = read_lens[1::2]
+            src_seq = np.ascontiguousarray(seq)
+            src_qual = np.ascontiguousarray(qual)
+            seq = src_seq.copy()
+            qual = src_qual.copy()
+            _native.reverse_slices(
+                src_seq, odd_starts, seq, odd_starts, odd_lens, _COMP
+            )
+            _native.reverse_slices(
+                src_qual, odd_starts, qual, odd_starts, odd_lens, None
+            )
+        else:
+            idx = np.arange(seq_len, dtype=np.int64)
+            rid = np.repeat(np.arange(n, dtype=np.int64), read_lens)
+            local = idx - seq_off[rid]
+            is_odd = (rid & 1) == 1
+            src = np.where(
+                is_odd, seq_off[rid] + (read_lens[rid] - 1 - local), idx
+            )
+            seq2 = seq[src]
+            seq = np.where(is_odd, _COMP[seq2], seq2).astype(np.uint8)
+            qual = np.ascontiguousarray(qual)[src]
 
     # ---- name reconstruction ----
     name1_flat, name1_starts, name1_lens = _expand_strings(

@@ -1,17 +1,29 @@
 """FASTQ input/output.
 
 ``FastqReader`` reproduces the reference's buffered 4-line reader semantics
-(reference fastqreader.cpp): 1 MB refills, transparent gzip for ``.gz``
-names, '\\r'/'\\r\\n' handling including its buffer-boundary quirks, and the
-``has_no_line_break_at_end`` flag whose *timing* (it flips to true when the
-final short block is fetched) decides which chunks carry the
-no-trailing-newline flag.
+(reference fastqreader.cpp): 1 MB fetch granularity, transparent gzip for
+``.gz`` names, and the ``has_no_line_break_at_end`` flag whose *timing*
+decides which chunks carry the no-trailing-newline flag.
 
-The scalar ``read()`` path is the exact oracle; ``read_many()`` is the
-production path, which extracts all complete records from the buffered
-window with numpy and falls back to the scalar path for windows containing
-'\\r' or empty lines (where the reference's quirky line splitting can
-diverge from plain newline splitting).
+Two scan modes:
+
+- **fast** (default): records are parsed in bulk with numpy straight into
+  ReadBlock arrays — no per-read objects. Valid for windows free of '\\r'
+  and empty lines, where the reference's quirky line splitting equals plain
+  '\\n' splitting. The reference's lazy-fetch flag timing is modeled
+  arithmetically: after consuming through global offset e, the reference
+  has fetched ceil(e / 1MB) blocks, so the no-newline flag is visible iff
+  that reaches the final block (see _flag_visible).
+- **scalar**: exact line-by-line emulation (including the \\r\\n and
+  empty-line quirks) for inputs containing '\\r' or empty lines. Sticky
+  once triggered. Known divergence: if such a file is ALSO >1MB, quirks
+  that depend on exact 1MB buffer boundaries may differ (the fast path may
+  have coalesced buffers before the switch).
+
+One further deliberate divergence: for files whose size is an exact
+multiple of 1MB, the reference reads one byte of uninitialized memory to
+decide the flag (fastqreader.cpp:43 with mBufDataLen==0); we use the true
+last byte of the stream.
 """
 
 from __future__ import annotations
@@ -23,6 +35,7 @@ from typing import Optional
 
 import numpy as np
 
+from ..codec.blocks import ReadBlock, gather_slices, lens_to_offsets
 from ..codec.oracle import FastqRead
 
 FQ_BUF_SIZE = 1 << 20
@@ -43,40 +56,237 @@ class FastqReader:
             self._file = open(filename, "rb")
         self._buf = b""
         self._buf_used = 0
+        self._gbase = 0  # global offset of _buf[0]
         self._eof = False
-        self._has_no_line_break_at_end = False
-        self._prev_last_byte = _NL
-        self._read_to_buf()
+        self._total_size = 0
+        self._last_byte = _NL
+        self._scalar_mode = False
+        self._dead = False  # reference returned NULL mid-file (empty line)
+        # fast-mode scan cache: newline positions (buffer-relative) at or
+        # after _buf_used, plus how far the buffer has been scanned
+        self._nl = np.empty(0, dtype=np.int64)
+        self._scanned = 0
+        self._fetch_block()
 
-    def close(self) -> None:
-        if self._file is not sys.stdin.buffer:
-            self._file.close()
-
-    def has_no_line_break_at_end(self) -> bool:
-        return self._has_no_line_break_at_end
-
-    def _read_to_buf(self) -> None:
-        if self._buf:
-            self._prev_last_byte = self._buf[-1]
+    # ------------------------------------------------------------------
+    # block fetching
+    # ------------------------------------------------------------------
+    def _fetch_block(self) -> None:
         data = self._file.read(FQ_BUF_SIZE)
-        # gzip/stdin streams may return short non-final reads; top up so a
-        # short block really means EOF, matching fread/gzread on files.
         while data is not None and 0 < len(data) < FQ_BUF_SIZE:
             more = self._file.read(FQ_BUF_SIZE - len(data))
             if not more:
                 break
             data += more
-        self._buf = data or b""
-        self._buf_used = 0
-        if len(self._buf) < FQ_BUF_SIZE:
+        data = data or b""
+        self._total_size += len(data)
+        if data:
+            self._last_byte = data[-1]
+        if len(data) < FQ_BUF_SIZE:
             self._eof = True
-            # reference fastqreader.cpp:42-44; for a 0-byte refill the
-            # reference reads one byte before the buffer (indeterminate); we
-            # deterministically use the previous block's last byte.
-            last = self._buf[-1] if self._buf else self._prev_last_byte
-            if last != _NL:
-                self._has_no_line_break_at_end = True
+        self._buf += data
 
+    def _compact(self) -> None:
+        if self._buf_used > FQ_BUF_SIZE:
+            drop = self._buf_used
+            self._buf = self._buf[drop:]
+            self._gbase += drop
+            self._buf_used = 0
+            self._nl = self._nl[self._nl >= drop] - drop
+            self._scanned = max(0, self._scanned - drop)
+
+    def close(self) -> None:
+        if self._file is not sys.stdin.buffer:
+            self._file.close()
+
+    # ------------------------------------------------------------------
+    # no-trailing-newline flag
+    # ------------------------------------------------------------------
+    def _flag_visible(self, e: int) -> bool:
+        """Would the reference reader's flag be set after consuming through
+        global offset e? (reference fastqreader.cpp:31-46 + lazy fetches)"""
+        if not self._eof or self._last_byte == _NL:
+            return False
+        e = min(e, self._total_size)
+        blocks_total = max(1, -(-self._total_size // FQ_BUF_SIZE))
+        return -(-e // FQ_BUF_SIZE) >= blocks_total
+
+    def has_no_line_break_at_end(self) -> bool:
+        """Current-state flag (scalar-mode / compare-mode use)."""
+        return self._flag_visible(self._gbase + self._buf_used)
+
+    # ------------------------------------------------------------------
+    # fast-mode scanning
+    # ------------------------------------------------------------------
+    def _scan_new(self) -> bool:
+        """Scan unscanned bytes for newlines; returns False if danger bytes
+        force scalar mode."""
+        start = max(self._scanned, self._buf_used)
+        if start >= len(self._buf):
+            return True
+        # include the previous byte so '\n\n' across the scan seam is seen
+        probe_start = max(start - 1, self._buf_used)
+        probe = self._buf[probe_start:]
+        if b"\r" in probe or b"\n\n" in probe:
+            return False
+        if probe_start == 0 and self._gbase == 0 and probe.startswith(b"\n"):
+            return False  # file starts with an empty line
+        new = np.frombuffer(self._buf, dtype=np.uint8, count=len(self._buf) - start, offset=start)
+        nl = np.flatnonzero(new == _NL) + start
+        self._nl = np.concatenate([self._nl, nl]) if self._nl.size else nl
+        self._scanned = len(self._buf)
+        return True
+
+    def _available(self):
+        """(record_count, per-record seq_len array, record_end array).
+
+        record_end[i] = buffer offset one past record i's terminating
+        newline. Includes an unterminated final record at EOF."""
+        nl = self._nl
+        n_lines = nl.shape[0]
+        count = n_lines // 4
+        tail_start = int(nl[-1]) + 1 if n_lines else self._buf_used
+        has_tail = self._eof and tail_start < len(self._buf)
+        if has_tail and n_lines % 4 == 3:
+            # final record with unterminated quality line
+            count_extra = 1
+        else:
+            count_extra = 0
+        total = count + count_extra
+        if total == 0:
+            return 0, None, None
+        seq_start = nl[0 : 4 * count : 4] + 1
+        seq_end = nl[1 : 4 * count + 1 : 4]
+        seq_lens = seq_end - seq_start
+        rec_end = nl[3 : 4 * count + 3 : 4] + 1
+        if count_extra:
+            seq_lens = np.concatenate(
+                [seq_lens, [int(nl[4 * count + 1]) - int(nl[4 * count]) - 1]]
+            )
+            rec_end = np.concatenate([rec_end, [len(self._buf)]])
+        return total, seq_lens, rec_end
+
+    def _consume_block(self, k: int) -> tuple[ReadBlock, int]:
+        """Build a ReadBlock from the first k available records and consume
+        them. Returns (block, global e after the k-th record)."""
+        nl = self._nl
+        count_term = min(k, nl.shape[0] // 4)
+        used = self._buf_used
+        flat = np.frombuffer(self._buf, dtype=np.uint8)
+
+        line_starts = np.empty(4 * count_term, dtype=np.int64)
+        line_starts[0] = used
+        line_starts[1:] = nl[: 4 * count_term - 1] + 1
+        line_ends = nl[: 4 * count_term].copy()
+        if k > count_term:
+            # unterminated final record (3 newlines + tail)
+            extra_starts = np.empty(4, dtype=np.int64)
+            extra_starts[0] = nl[4 * count_term - 1] + 1 if count_term else used
+            base = 4 * count_term
+            extra_starts[1:] = nl[base : base + 3] + 1
+            extra_ends = np.concatenate([nl[base : base + 3], [len(self._buf)]])
+            line_starts = np.concatenate([line_starts, extra_starts])
+            line_ends = np.concatenate([line_ends, extra_ends])
+            new_used = len(self._buf) + 1  # mirrors the reference's end+1
+        else:
+            new_used = int(nl[4 * count_term - 1]) + 1
+
+        def part(j):
+            starts = line_starts[j::4]
+            lens = line_ends[j::4] - starts
+            return gather_slices(flat, starts, lens), lens_to_offsets(lens)
+
+        name_flat, name_off = part(0)
+        seq_flat, seq_off = part(1)
+        strand_flat, strand_off = part(2)
+        qual_flat, qual_off = part(3)
+        block = ReadBlock(
+            k, name_flat, name_off, seq_flat, seq_off,
+            strand_flat, strand_off, qual_flat, qual_off,
+        )
+        self._buf_used = new_used
+        self._nl = self._nl[np.searchsorted(self._nl, new_used) :]
+        e = self._gbase + min(new_used, len(self._buf))
+        self._compact()
+        return block, e
+
+    def ensure_available(self, min_records: int) -> int:
+        """Fetch until >= min_records complete records are available (or
+        EOF). Returns available record count. Switches to scalar mode on
+        danger bytes (caller must then use read())."""
+        if self._dead:
+            return 0
+        while True:
+            if not self._scalar_mode and not self._scan_new():
+                self._scalar_mode = True
+            if self._scalar_mode:
+                return -1
+            total, _, _ = self._available()
+            if total >= min_records or self._eof:
+                return total
+            self._fetch_block()
+
+    def available_seq_lens(self):
+        return self._available()
+
+    # ------------------------------------------------------------------
+    # public block API
+    # ------------------------------------------------------------------
+    def read_block(
+        self, budget_bases: Optional[int] = None, max_records: Optional[int] = None
+    ) -> tuple[Optional[ReadBlock], bool]:
+        """Read the minimal record prefix whose cumulative base count
+        reaches budget_bases (reference repaq.cpp:546-553), or exactly
+        max_records. Returns (block, no_line_break_flag_at_block_end)."""
+        if self._dead:
+            return None, self.has_no_line_break_at_end()
+        if self._scalar_mode:
+            return self._read_block_scalar(budget_bases, max_records)
+        want = max_records if max_records is not None else 4
+        while True:
+            avail = self.ensure_available(want)
+            if avail < 0:
+                return self._read_block_scalar(budget_bases, max_records)
+            if avail == 0:
+                return None, self.has_no_line_break_at_end()
+            total, seq_lens, _ = self._available()
+            if max_records is not None:
+                if total >= max_records or self._eof:
+                    k = min(total, max_records)
+                    block, e = self._consume_block(k)
+                    return block, self._flag_visible(e)
+                want = max_records
+                continue
+            cum = np.cumsum(seq_lens)
+            cut = int(np.searchsorted(cum, budget_bases, side="left"))
+            if cut < total:
+                block, e = self._consume_block(cut + 1)
+                return block, self._flag_visible(e)
+            if self._eof:
+                block, e = self._consume_block(total)
+                return block, self._flag_visible(e)
+            want = total + max(4, total // 2)
+
+    def _read_block_scalar(self, budget_bases, max_records):
+        reads = []
+        bases = 0
+        while True:
+            r = self.read()
+            if r is None:
+                break
+            reads.append(r)
+            bases += len(r.seq)
+            if budget_bases is not None and bases >= budget_bases:
+                break
+            if max_records is not None and len(reads) >= max_records:
+                break
+        if not reads:
+            return None, self.has_no_line_break_at_end()
+        return ReadBlock.from_reads(reads), self.has_no_line_break_at_end()
+
+    # ------------------------------------------------------------------
+    # scalar record API (exact reference line semantics)
+    # ------------------------------------------------------------------
     def _get_line(self) -> bytes:
         buf = self._buf
         n = len(buf)
@@ -85,27 +295,31 @@ class FastqReader:
         while end < n and buf[end] != _CR and buf[end] != _NL:
             end += 1
 
-        if end < n or n < FQ_BUF_SIZE:
+        if end < n or self._eof:
             line = buf[start:end]
             end += 1
             # \r\n handling with the reference's boundary condition
-            # (fastqreader.cpp:115): the second byte is only consumed when it
-            # is not the final byte of the block.
+            # (fastqreader.cpp:115)
             if end < n - 1 and buf[end] == _NL:
                 end += 1
             self._buf_used = end
             return line
 
-        # line spans blocks
+        # line spans fetch boundaries
         parts = [buf[start:]]
         while True:
-            self._read_to_buf()
+            self._gbase += len(self._buf)
+            self._buf = b""
+            self._buf_used = 0
+            self._nl = np.empty(0, dtype=np.int64)
+            self._scanned = 0
+            self._fetch_block()
             buf = self._buf
             n = len(buf)
             end = 0
             while end < n and buf[end] != _CR and buf[end] != _NL:
                 end += 1
-            if end < n or n < FQ_BUF_SIZE:
+            if end < n or self._eof:
                 parts.append(buf[:end])
                 end += 1
                 if end < n - 1 and buf[end] == _NL:
@@ -116,89 +330,26 @@ class FastqReader:
 
     def read(self) -> Optional[FastqRead]:
         """Scalar record reader (reference fastqreader.cpp:166-196)."""
+        if self._dead:
+            return None
+        # scalar consumption invalidates the fast-path scan cache
+        self._nl = np.empty(0, dtype=np.int64)
+        self._scanned = 0
+        while self._buf_used >= len(self._buf) and not self._eof:
+            self._fetch_block()
         if self._buf_used >= len(self._buf) and self._eof:
             return None
         name = self._get_line()
         seq = self._get_line()
         strand = self._get_line()
         if not name or not seq or not strand:
+            self._dead = True
             return None
         qual = self._get_line()
         if not qual:
+            self._dead = True
             return None
         return FastqRead(name, seq, strand, qual)
-
-    # ---- production block path ----
-    def _window_is_plain(self) -> bool:
-        """True when the remaining window has no '\\r' and no empty lines, so
-        plain '\\n' splitting matches the reference line semantics."""
-        window = self._buf[self._buf_used :]
-        return b"\r" not in window and b"\n\n" not in window
-
-    def read_many(self, max_records: int) -> list[FastqRead]:
-        """Read up to max_records complete records, vectorized when safe."""
-        out: list[FastqRead] = []
-        while len(out) < max_records:
-            window = self._buf[self._buf_used :]
-            if b"\r" in window or b"\n\n" in window:
-                r = self.read()
-                if r is None:
-                    return out
-                out.append(r)
-                continue
-            arr = np.frombuffer(window, dtype=np.uint8)
-            nl = np.flatnonzero(arr == _NL)
-            complete = nl.size // 4
-            if complete == 0 and self._eof:
-                # possibly a final record without trailing newline
-                r = self.read()
-                if r is None:
-                    return out
-                out.append(r)
-                continue
-            if complete == 0:
-                if len(self._buf) < FQ_BUF_SIZE:
-                    return out
-                self._refill_keep_tail()
-                continue
-            take = min(complete, max_records - len(out))
-            starts = np.empty(take * 4, dtype=np.int64)
-            starts[0] = 0
-            starts[1:] = nl[: take * 4 - 1] + 1
-            ends = nl[: take * 4]
-            for k in range(take):
-                i = 4 * k
-                out.append(
-                    FastqRead(
-                        window[starts[i] : ends[i]],
-                        window[starts[i + 1] : ends[i + 1]],
-                        window[starts[i + 2] : ends[i + 2]],
-                        window[starts[i + 3] : ends[i + 3]],
-                    )
-                )
-            self._buf_used += int(ends[take * 4 - 1]) + 1
-        return out
-
-    def _refill_keep_tail(self) -> None:
-        """Fetch another block, keeping the unconsumed tail (used only by the
-        vectorized path; the scalar path refills inside _get_line)."""
-        tail = self._buf[self._buf_used :]
-        if self._buf:
-            self._prev_last_byte = self._buf[-1]
-        data = self._file.read(FQ_BUF_SIZE)
-        while data is not None and 0 < len(data) < FQ_BUF_SIZE:
-            more = self._file.read(FQ_BUF_SIZE - len(data))
-            if not more:
-                break
-            data += more
-        data = data or b""
-        if len(data) < FQ_BUF_SIZE:
-            self._eof = True
-            last = data[-1] if data else (tail[-1] if tail else self._prev_last_byte)
-            if last != _NL:
-                self._has_no_line_break_at_end = True
-        self._buf = tail + data
-        self._buf_used = 0
 
 
 class FastqReaderPair:
@@ -216,6 +367,91 @@ class FastqReaderPair:
         if l is None or r is None:
             return None
         return (l, r)
+
+    def read_pair_block(
+        self, budget_bases: int
+    ) -> tuple[Optional[ReadBlock], bool, bool]:
+        """Minimal pair prefix with cum(len1+len2) >= budget (reference
+        repaq.cpp:656-663). Returns (interleaved block, flag_r1, flag_r2)."""
+        if self.interleaved:
+            return self._read_pair_block_interleaved(budget_bases)
+        r1, r2 = self.left, self.right
+        while True:
+            if r1.ensure_available(1) < 0 or r2.ensure_available(1) < 0:
+                return self._read_pair_block_scalar(budget_bases)
+            t1, l1, _ = r1._available()
+            t2, l2, _ = r2._available()
+            m = min(t1, t2)
+            if m > 0:
+                cum = np.cumsum(l1[:m] + l2[:m])
+                cut = int(np.searchsorted(cum, budget_bases, side="left"))
+                if cut < m:
+                    return self._consume_pairs(cut + 1)
+            # need more pairs: grow whichever reader limits m
+            grew = False
+            if t1 == m and not r1._eof:
+                r1._fetch_block()
+                grew = True
+            if t2 == m and not r2._eof:
+                r2._fetch_block()
+                grew = True
+            if not grew:
+                if m == 0:
+                    return None, r1.has_no_line_break_at_end(), (
+                        r2.has_no_line_break_at_end()
+                    )
+                return self._consume_pairs(m)
+
+    def _consume_pairs(self, k: int):
+        b1, e1 = self.left._consume_block(k)
+        b2, e2 = self.right._consume_block(k)
+        return (
+            b1.interleave(b2),
+            self.left._flag_visible(e1),
+            self.right._flag_visible(e2),
+        )
+
+    def _read_pair_block_interleaved(self, budget_bases: int):
+        r = self.left
+        while True:
+            if r.ensure_available(2) < 0:
+                return self._read_pair_block_scalar(budget_bases)
+            total, seq_lens, _ = r._available()
+            pairs = total // 2
+            if pairs > 0:
+                psum = seq_lens[0 : 2 * pairs : 2] + seq_lens[1 : 2 * pairs : 2]
+                cum = np.cumsum(psum)
+                cut = int(np.searchsorted(cum, budget_bases, side="left"))
+                if cut < pairs:
+                    block, e = r._consume_block(2 * (cut + 1))
+                    f = r._flag_visible(e)
+                    return block, f, f
+            if r._eof:
+                if pairs == 0:
+                    f = r.has_no_line_break_at_end()
+                    return None, f, f
+                block, e = r._consume_block(2 * pairs)
+                f = r._flag_visible(e)
+                return block, f, f
+            r._fetch_block()
+
+    def _read_pair_block_scalar(self, budget_bases: int):
+        reads = []
+        bases = 0
+        while True:
+            pair = self.read()
+            if pair is None:
+                break
+            reads.append(pair[0])
+            reads.append(pair[1])
+            bases += len(pair[0].seq) + len(pair[1].seq)
+            if bases >= budget_bases:
+                break
+        f1 = self.left.has_no_line_break_at_end()
+        f2 = f1 if self.interleaved else self.right.has_no_line_break_at_end()
+        if not reads:
+            return None, f1, f2
+        return ReadBlock.from_reads(reads), f1, f2
 
     def close(self) -> None:
         self.left.close()

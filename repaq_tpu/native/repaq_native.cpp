@@ -1,0 +1,314 @@
+// Native host kernels for the sequential byte-stream codecs.
+//
+// These implement the exact .rfq token-stream semantics (same algorithms as
+// the numpy formulations in repaq_tpu/codec/kernels_np.py; both are
+// cross-checked against the scalar oracle). C++ is used for the scans that
+// resist vectorization: greedy gap/run emission, varint-style token
+// boundary detection, and the first-match PE overlap search.
+//
+// Exposed via ctypes (see repaq_tpu/codec/_native.py). Build: make.
+
+#include <cstdint>
+#include <cstring>
+
+extern "C" {
+
+// Gap/run position stream for one symbol (reference rfqcodec.cpp:625-710).
+// If mask != nullptr, marks matched positions (by-column quality escapes
+// depend on it). Returns bytes written.
+int64_t positions_encode(const uint8_t* data, int64_t n, uint8_t q,
+                         uint8_t* out, uint8_t* mask) {
+    int64_t buf_len = 0;
+    int64_t last = -1;
+    int64_t cur = 0;
+    while (cur < n) {
+        while (data[cur] != q) {
+            cur++;
+            if (cur >= n) return buf_len;
+        }
+        if (mask) mask[cur] = 1;
+        if (cur - last == 1 && cur > 1) {
+            int64_t run = 1;
+            while (cur + run != n && run < 32 && data[cur + run] == q) run++;
+            if (mask) memset(mask + cur, 1, (size_t)run);
+            out[buf_len++] = (uint8_t)((run - 1) | 0xC0);
+            cur += run;
+            last = cur - 1;
+            continue;
+        }
+        int64_t d = cur - last;
+        if (d <= 128) {
+            out[buf_len++] = (uint8_t)(d - 1);
+        } else if (d <= (1 << 14)) {
+            int64_t v = d - 1;
+            out[buf_len++] = (uint8_t)((v >> 8) | 0x80);
+            out[buf_len++] = (uint8_t)(v & 0xFF);
+        } else {
+            int64_t v = d - 1;
+            out[buf_len++] = (uint8_t)((v >> 24) | 0xE0);
+            out[buf_len++] = (uint8_t)((v >> 16) & 0xFF);
+            out[buf_len++] = (uint8_t)((v >> 8) & 0xFF);
+            out[buf_len++] = (uint8_t)(v & 0xFF);
+        }
+        last = cur;
+        cur++;
+    }
+    return buf_len;
+}
+
+// Positions of symbol q decoded from a gap/run stream; returns count.
+int64_t positions_decode(const uint8_t* buf, int64_t buf_len, int64_t* out) {
+    int64_t consumed = 0, last = -1, cnt = 0;
+    while (consumed < buf_len) {
+        uint8_t b0 = buf[consumed];
+        if ((b0 & 0x80) == 0) {
+            last += b0 + 1;
+            out[cnt++] = last;
+            consumed += 1;
+        } else if ((b0 & 0x40) == 0) {
+            last += (((int64_t)(b0 & 0x3F) << 8) | buf[consumed + 1]) + 1;
+            out[cnt++] = last;
+            consumed += 2;
+        } else if ((b0 & 0x20) == 0) {
+            int64_t run = (b0 & 0x1F) + 1;
+            for (int64_t i = 0; i < run; i++) out[cnt++] = ++last;
+            consumed += 1;
+        } else {
+            int64_t d = ((int64_t)(b0 & 0x1F) << 24) |
+                        ((int64_t)buf[consumed + 1] << 16) |
+                        ((int64_t)buf[consumed + 2] << 8) | buf[consumed + 3];
+            last += d + 1;
+            out[cnt++] = last;
+            consumed += 4;
+        }
+    }
+    return cnt;
+}
+
+// Scatter-decode one bin's stream directly into the target array
+// (bounds-unchecked like the reference; valid streams stay in range).
+void positions_scatter(const uint8_t* buf, int64_t buf_len, uint8_t q,
+                       uint8_t* target) {
+    int64_t consumed = 0, last = -1;
+    while (consumed < buf_len) {
+        uint8_t b0 = buf[consumed];
+        if ((b0 & 0x80) == 0) {
+            last += b0 + 1;
+            target[last] = q;
+            consumed += 1;
+        } else if ((b0 & 0x40) == 0) {
+            last += (((int64_t)(b0 & 0x3F) << 8) | buf[consumed + 1]) + 1;
+            target[last] = q;
+            consumed += 2;
+        } else if ((b0 & 0x20) == 0) {
+            int64_t run = (b0 & 0x1F) + 1;
+            for (int64_t i = 0; i < run; i++) target[++last] = q;
+            consumed += 1;
+        } else {
+            int64_t d = ((int64_t)(b0 & 0x1F) << 24) |
+                        ((int64_t)buf[consumed + 1] << 16) |
+                        ((int64_t)buf[consumed + 2] << 8) | buf[consumed + 3];
+            last += d + 1;
+            target[last] = q;
+            consumed += 4;
+        }
+    }
+}
+
+// Full by-column quality encode: u32le per-bin lengths, per-bin streams,
+// escape records (reference rfqcodec.cpp:712-765). Returns bytes written.
+// scratch must hold n bytes (mask).
+int64_t qualcol_encode(const uint8_t* qual, int64_t n, const uint8_t* bins,
+                       int32_t nbins, uint8_t major, uint8_t* out,
+                       uint8_t* scratch) {
+    memset(scratch, 0, (size_t)n);
+    int64_t pos = 4LL * nbins;
+    for (int32_t b = 0; b < nbins; b++) {
+        int64_t len = positions_encode(qual, n, bins[b], out + pos, scratch);
+        out[4 * b + 0] = (uint8_t)(len & 0xFF);
+        out[4 * b + 1] = (uint8_t)((len >> 8) & 0xFF);
+        out[4 * b + 2] = (uint8_t)((len >> 16) & 0xFF);
+        out[4 * b + 3] = (uint8_t)((len >> 24) & 0xFF);
+        pos += len;
+    }
+    for (int64_t i = 0; i < n; i++) {
+        if (!scratch[i] && qual[i] != major) {
+            out[pos++] = qual[i];
+            uint32_t p = (uint32_t)i;
+            out[pos++] = (uint8_t)(p & 0xFF);
+            out[pos++] = (uint8_t)((p >> 8) & 0xFF);
+            out[pos++] = (uint8_t)((p >> 16) & 0xFF);
+            out[pos++] = (uint8_t)((p >> 24) & 0xFF);
+        }
+    }
+    return pos;
+}
+
+// Full by-column quality decode incl. escapes into a major-prefilled array.
+void qualcol_decode(const uint8_t* buf, int64_t buf_len, const uint8_t* bins,
+                    int32_t nbins, uint8_t* qual, int64_t n) {
+    int64_t consumed = 4LL * nbins;
+    for (int32_t b = 0; b < nbins; b++) {
+        uint32_t len = (uint32_t)buf[4 * b] | ((uint32_t)buf[4 * b + 1] << 8) |
+                       ((uint32_t)buf[4 * b + 2] << 16) |
+                       ((uint32_t)buf[4 * b + 3] << 24);
+        positions_scatter(buf + consumed, len, bins[b], qual);
+        consumed += len;
+    }
+    while (consumed + 4 < buf_len) {
+        uint8_t q = buf[consumed++];
+        uint32_t p = (uint32_t)buf[consumed] | ((uint32_t)buf[consumed + 1] << 8) |
+                     ((uint32_t)buf[consumed + 2] << 16) |
+                     ((uint32_t)buf[consumed + 3] << 24);
+        consumed += 4;
+        if (p < (uint64_t)n) qual[p] = q;
+    }
+}
+
+// Coordinate coder (reference rfqcodec.cpp:1262-1389).
+// Returns bytes written, or -1 if a value exceeds 2^21-1.
+int64_t coords_encode(const int64_t* vals, int64_t n, uint8_t* out) {
+    int64_t last = 1000, buf_len = 0;
+    int32_t repeat = 0;
+    for (int64_t i = 0; i < n; i++) {
+        int64_t v = vals[i];
+        if (repeat > 0 && (v != last || repeat == 32)) {
+            out[buf_len++] = (uint8_t)((repeat - 1) | 0xC0);
+            repeat = 0;
+        }
+        if (v == last) {
+            repeat++;
+            continue;
+        }
+        int64_t diff = v - last;
+        last = v;
+        if (diff > 0 && diff <= 64) {
+            out[buf_len++] = (uint8_t)((diff - 1) | 0x80);
+            continue;
+        }
+        if (v <= 32767) {
+            out[buf_len++] = (uint8_t)(v >> 8);
+            out[buf_len++] = (uint8_t)(v & 0xFF);
+        } else if (v < (1 << 21)) {
+            out[buf_len++] = (uint8_t)((v >> 16) | 0xE0);
+            out[buf_len++] = (uint8_t)((v >> 8) & 0xFF);
+            out[buf_len++] = (uint8_t)(v & 0xFF);
+        } else {
+            return -1;
+        }
+    }
+    if (repeat > 0) out[buf_len++] = (uint8_t)((repeat - 1) | 0xC0);
+    return buf_len;
+}
+
+int64_t coords_decode(const uint8_t* buf, int64_t buf_len, int64_t* out,
+                      int64_t num) {
+    int64_t last = 1000, consumed = 0, decoded = 0;
+    while (consumed < buf_len && decoded < num) {
+        uint8_t b0 = buf[consumed++];
+        if ((b0 & 0x80) == 0) {
+            last = ((int64_t)b0 << 8) | buf[consumed++];
+            out[decoded++] = last;
+        } else if ((b0 & 0x40) == 0) {
+            last += (b0 & 0x3F) + 1;
+            out[decoded++] = last;
+        } else if ((b0 & 0x20) == 0) {
+            int32_t rep = (b0 & 0x1F) + 1;
+            for (int32_t i = 0; i < rep && decoded < num; i++) out[decoded++] = last;
+        } else {
+            last = ((int64_t)(b0 & 0x1F) << 16) | ((int64_t)buf[consumed] << 8) |
+                   buf[consumed + 1];
+            consumed += 2;
+            out[decoded++] = last;
+        }
+    }
+    return decoded;
+}
+
+// Token boundary walk: out gets indices where tokens start, given per-byte
+// token length (valid only at start bytes). Returns token count.
+int64_t token_starts(const int64_t* lens, int64_t n, int64_t* out) {
+    int64_t i = 0, cnt = 0;
+    while (i < n) {
+        out[cnt++] = i;
+        i += lens[i];
+    }
+    return cnt;
+}
+
+// First-match PE overlap (reference rfqcodec.cpp:1391-1438): r1/r2 are
+// (pairs, L1)/(pairs, L2) row-major; out gets +o forward / -o backward / 0.
+void overlap_pairs(const uint8_t* r1, const uint8_t* r2, int64_t pairs,
+                   int64_t l1, int64_t l2, int64_t* out) {
+    int64_t minlen = l1 < l2 ? l1 : l2;
+    for (int64_t p = 0; p < pairs; p++) {
+        const uint8_t* a = r1 + p * l1;
+        const uint8_t* b = r2 + p * l2;
+        int64_t found = 0;
+        for (int64_t o = 12; o <= minlen; o++) {
+            if (memcmp(a + l1 - o, b, (size_t)o) == 0) {
+                found = o;
+                break;
+            }
+        }
+        if (!found) {
+            for (int64_t o = 12; o <= minlen; o++) {
+                if (memcmp(b + l2 - o, a, (size_t)o) == 0) {
+                    found = -o;
+                    break;
+                }
+            }
+        }
+        out[p] = found;
+    }
+}
+
+// Batched slice copy: dst[dst_starts[i] : +lens[i]] = src[src_starts[i] : +lens[i]].
+// Backs both ragged gathers (dst offsets = prefix sums) and scatters.
+void copy_slices(const uint8_t* src, const int64_t* src_starts, uint8_t* dst,
+                 const int64_t* dst_starts, const int64_t* lens, int64_t n) {
+    for (int64_t i = 0; i < n; i++)
+        memcpy(dst + dst_starts[i], src + src_starts[i], (size_t)lens[i]);
+}
+
+// Reverse-copy each slice (dst slice i = reversed src slice i), optionally
+// mapping bytes through a 256-entry table (revcomp); table==nullptr copies.
+void reverse_slices(const uint8_t* src, const int64_t* src_starts, uint8_t* dst,
+                    const int64_t* dst_starts, const int64_t* lens, int64_t n,
+                    const uint8_t* table) {
+    for (int64_t i = 0; i < n; i++) {
+        const uint8_t* s = src + src_starts[i];
+        uint8_t* d = dst + dst_starts[i];
+        int64_t L = lens[i];
+        if (table) {
+            for (int64_t j = 0; j < L; j++) d[j] = table[s[L - 1 - j]];
+        } else {
+            for (int64_t j = 0; j < L; j++) d[j] = s[L - 1 - j];
+        }
+    }
+}
+
+// 2-bit base pack/unpack (reference rfqcodec.cpp:588-609, 832-853).
+void pack_2bit(const uint8_t* seq, int64_t n, uint8_t* out) {
+    static uint8_t table[256];
+    static bool init = false;
+    if (!init) {
+        memset(table, 0, 256);
+        table['G'] = 0; table['A'] = 1; table['T'] = 2; table['C'] = 3;
+        init = true;
+    }
+    memset(out, 0, (size_t)((n + 3) / 4));
+    for (int64_t i = 0; i < n; i++)
+        out[i >> 2] |= table[seq[i]] << ((i & 3) * 2);
+}
+
+void unpack_2bit(const uint8_t* buf, int64_t nbytes, uint8_t* out,
+                 int64_t length) {
+    static const char base[4] = {'G', 'A', 'T', 'C'};
+    int64_t avail = nbytes * 4 < length ? nbytes * 4 : length;
+    for (int64_t i = 0; i < avail; i++)
+        out[i] = base[(buf[i >> 2] >> ((i & 3) * 2)) & 3];
+    for (int64_t i = avail; i < length; i++) out[i] = 'N';
+}
+
+}  // extern "C"

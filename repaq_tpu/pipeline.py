@@ -1,9 +1,10 @@
-"""Compress / decompress / compare drivers.
+"""Compress / decompress / compare drivers (block-native).
 
 Mirrors the reference pipeline (reference repaq.cpp): chunk accumulation
 until the base budget is reached, header inferred from the first chunk only,
 per-chunk trailing-newline flags with one-chunk lookahead on decode, verify
-modes, and the compare JSON verdict.
+modes, and the compare JSON verdict. All data moves as ReadBlock arrays —
+no per-read objects on the hot path.
 
 One deliberate divergence: the reference's PE decompress drops the lookahead
 chunk when a no-line-break flag appears on a non-final chunk (reference
@@ -13,13 +14,16 @@ the next iteration like the single-end path does (repaq.cpp:301-331).
 
 from __future__ import annotations
 
+import io as _io
 import json
 import sys
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Callable, Iterable, Optional
 
-from .codec import oracle
-from .codec.oracle import FastqRead
+import numpy as np
+
+from .codec import oracle, vectorized
+from .codec.blocks import ReadBlock
 from .constants import (
     BIT_HAS_NO_LINE_BREAK_AT_END,
     BIT_HAS_NO_LINE_BREAK_AT_END_R2,
@@ -32,71 +36,147 @@ from .io.fastq import FastqReader, FastqReaderPair, Writer
 
 @dataclass
 class EngineConfig:
-    """Codec engine selection: the scalar oracle or the vectorized path."""
+    """Codec engine: block-level make_header/encode/decode callables."""
 
-    make_header_se: Callable = oracle.make_header_se
-    make_header_pe: Callable = oracle.make_header_pe
-    encode_chunk: Callable = oracle.encode_chunk
-    encode_chunk_pe: Callable = oracle.encode_chunk_pe
-    decode_chunk: Callable = oracle.decode_chunk
+    make_header_se: Callable
+    make_header_pe: Callable
+    encode_chunk: Callable  # (header, block, is_pe) -> RfqChunk
+    decode_chunk: Callable  # (header, chunk) -> ReadBlock
+    name: str = "vectorized"
+
+
+def _oracle_engine() -> EngineConfig:
+    def mk_se(block):
+        return oracle.make_header_se(block.to_reads())
+
+    def mk_pe(block):
+        reads = block.to_reads()
+        return oracle.make_header_pe(list(zip(reads[0::2], reads[1::2])))
+
+    def enc(header, block, is_pe):
+        return oracle.encode_chunk(header, block.to_reads(), is_pe)
+
+    def dec(header, chunk):
+        return ReadBlock.from_reads(oracle.decode_chunk(header, chunk))
+
+    return EngineConfig(mk_se, mk_pe, enc, dec, name="oracle")
 
 
 def get_engine(name: str = "auto") -> EngineConfig:
-    if name in ("auto", "vectorized"):
-        from .codec import vectorized
-        from .codec.blocks import ReadBlock
+    if name == "oracle":
+        return _oracle_engine()
+    return EngineConfig(
+        make_header_se=vectorized.make_header_se,
+        make_header_pe=vectorized.make_header_pe,
+        encode_chunk=vectorized.encode_chunk,
+        decode_chunk=vectorized.decode_chunk,
+    )
 
-        def _mk_se(reads):
-            return vectorized.make_header_se(ReadBlock.from_reads(reads))
 
-        def _mk_pe(pairs):
-            reads = []
-            for r1, r2 in pairs:
-                reads.append(r1)
-                reads.append(r2)
-            return vectorized.make_header_pe(ReadBlock.from_reads(reads))
-
-        return EngineConfig(
-            make_header_se=_mk_se,
-            make_header_pe=_mk_pe,
-            encode_chunk=vectorized.encode_chunk_reads,
-            encode_chunk_pe=vectorized.encode_chunk_pe_reads,
-            decode_chunk=vectorized.decode_chunk_reads,
+def _blocks_equal(a: ReadBlock, b: ReadBlock) -> Optional[int]:
+    """None if equal; else index of the first differing read."""
+    if a.n == b.n and all(
+        np.array_equal(getattr(a, f), getattr(b, f))
+        for f in (
+            "name_off",
+            "seq_off",
+            "strand_off",
+            "qual_off",
+            "name_flat",
+            "seq_flat",
+            "strand_flat",
+            "qual_flat",
         )
-    return EngineConfig()
+    ):
+        return None
+    ra, rb = a.to_reads(), b.to_reads()
+    for i in range(min(len(ra), len(rb))):
+        if ra[i] != rb[i]:
+            return i
+    return min(len(ra), len(rb))
 
 
 def _verify_chunk(
     header: RfqHeader,
     chunk_bytes: bytes,
-    originals: list[FastqRead],
+    original: ReadBlock,
     engine: EngineConfig,
     header_bytes: bytes,
 ) -> bool:
-    """Re-parse and fully decode an encoded chunk, comparing field-by-field
-    against the source reads (reference repaq.cpp:430-528)."""
-    import io as _io
-
+    """Re-parse and fully decode an encoded chunk, comparing against the
+    source block (reference repaq.cpp:430-528)."""
     header4check = RfqHeader.read(_io.BytesIO(header_bytes))
     header4check.support_interleaved = header.support_interleaved
     chunk = RfqChunk.read(_io.BytesIO(chunk_bytes), header4check)
     decoded = engine.decode_chunk(header4check, chunk)
-    if len(decoded) != len(originals):
+    if decoded.n != original.n:
         raise RfqFormatError(
             "encoding error in chunk, the output will be wrong, quit now!"
         )
-    for got, want in zip(decoded, originals):
-        for attr in ("name", "seq", "strand", "qual"):
-            g = getattr(got, attr)
-            w = getattr(want, attr)
-            if g != w:
-                print(
-                    "integrity check failure \nexpected: \n%s\ngot:\n%s"
-                    % (w.decode("latin1"), g.decode("latin1")),
-                    file=sys.stderr,
-                )
-                return False
+    bad = _blocks_equal(decoded, original)
+    if bad is not None:
+        got = decoded.to_reads()[bad]
+        want = original.to_reads()[bad]
+        print(
+            "integrity check failure \nexpected: \n%s\ngot:\n%s"
+            % (want.to_fastq().decode("latin1"), got.to_fastq().decode("latin1")),
+            file=sys.stderr,
+        )
+        return False
     return True
+
+
+def _open_out(out1: str, out_stream):
+    if out_stream is not None:
+        return out_stream, False
+    if out1 in ("/dev/stdout", "-"):
+        return sys.stdout.buffer, False
+    return open(out1, "wb"), True
+
+
+class _Compressor:
+    def __init__(self, out, engine, verify, fast_verify, is_pe):
+        self.out = out
+        self.engine = engine
+        self.verify = verify
+        self.fast_verify = fast_verify
+        self.is_pe = is_pe
+        self.header: Optional[RfqHeader] = None
+        self.header_bytes = b""
+        self.passnum = 0
+
+    def flush(self, block: ReadBlock, flag_r1: bool, flag_r2: bool) -> None:
+        if self.header is None:
+            mk = (
+                self.engine.make_header_pe
+                if self.is_pe
+                else self.engine.make_header_se
+            )
+            self.header = mk(block)
+            if self.header is None:
+                raise RfqFormatError(
+                    "failed to encode, please confirm the input FASTQ file is "
+                    "valid and not empty"
+                )
+            self.header_bytes = self.header.to_bytes()
+            self.out.write(self.header_bytes)
+            check = RfqHeader.read(_io.BytesIO(self.header_bytes))
+            if not self.header.identical_with(check):
+                raise RfqFormatError(
+                    "encoding error in header, the output will be wrong, quit now!"
+                )
+        chunk = self.engine.encode_chunk(self.header, block, self.is_pe)
+        if chunk is None:
+            return
+        if flag_r1:
+            chunk.flags |= BIT_HAS_NO_LINE_BREAK_AT_END
+        if self.is_pe and flag_r2:
+            chunk.flags |= BIT_HAS_NO_LINE_BREAK_AT_END_R2
+        data = chunk.to_bytes()
+        self.out.write(data)
+        if self.verify or (self.fast_verify and self.passnum % 10 == 0):
+            _verify_chunk(self.header, data, block, self.engine, self.header_bytes)
+        self.passnum += 1
 
 
 def compress_se(
@@ -110,55 +190,15 @@ def compress_se(
 ) -> None:
     engine = engine or get_engine()
     reader = FastqReader(in1)
-    out = out_stream or (sys.stdout.buffer if out1 in ("/dev/stdout", "-") else open(out1, "wb"))
-    header: Optional[RfqHeader] = None
-    header_bytes = b""
-    passnum = 0
-
-    def flush(reads: list[FastqRead]) -> None:
-        nonlocal header, header_bytes, passnum
-        if header is None:
-            header = engine.make_header_se(reads)
-            if header is None:
-                raise RfqFormatError(
-                    "failed to encode, please confirm the input FASTQ file is "
-                    "valid and not empty"
-                )
-            header_bytes = header.to_bytes()
-            out.write(header_bytes)
-            import io as _io
-
-            if not header.identical_with(RfqHeader.read(_io.BytesIO(header_bytes))):
-                raise RfqFormatError(
-                    "encoding error in header, the output will be wrong, quit now!"
-                )
-        chunk = engine.encode_chunk(header, reads, False)
-        if chunk is not None:
-            if reader.has_no_line_break_at_end():
-                chunk.flags |= BIT_HAS_NO_LINE_BREAK_AT_END
-            data = chunk.to_bytes()
-            out.write(data)
-            if verify or (fast_verify and passnum % 10 == 0):
-                _verify_chunk(header, data, reads, engine, header_bytes)
-            passnum += 1
-
-    reads: list[FastqRead] = []
-    total_bases = 0
+    out, own = _open_out(out1, out_stream)
+    comp = _Compressor(out, engine, verify, fast_verify, is_pe=False)
     while True:
-        batch = reader.read_many(4096)
-        if not batch:
+        block, flag = reader.read_block(budget_bases=chunk_size)
+        if block is None or block.n == 0:
             break
-        for r in batch:
-            reads.append(r)
-            total_bases += len(r.seq)
-            if total_bases >= chunk_size:
-                flush(reads)
-                reads = []
-                total_bases = 0
-    if reads:
-        flush(reads)
+        comp.flush(block, flag, False)
     reader.close()
-    if out_stream is None and out is not sys.stdout.buffer:
+    if own:
         out.close()
     elif out is sys.stdout.buffer:
         out.flush()
@@ -177,59 +217,15 @@ def compress_pe(
 ) -> None:
     engine = engine or get_engine()
     reader = FastqReaderPair(in1, in2, interleaved)
-    out = out_stream or (sys.stdout.buffer if out1 in ("/dev/stdout", "-") else open(out1, "wb"))
-    header: Optional[RfqHeader] = None
-    header_bytes = b""
-    passnum = 0
-
-    def flush(pairs: list[tuple[FastqRead, FastqRead]]) -> None:
-        nonlocal header, header_bytes, passnum
-        if header is None:
-            header = engine.make_header_pe(pairs)
-            if header is None:
-                raise RfqFormatError(
-                    "failed to encode, please confirm the input FASTQ file is "
-                    "valid and not empty"
-                )
-            header_bytes = header.to_bytes()
-            out.write(header_bytes)
-        chunk = engine.encode_chunk_pe(header, pairs)
-        if chunk is not None:
-            no_break_r1 = reader.left.has_no_line_break_at_end()
-            if not interleaved:
-                no_break_r2 = reader.right.has_no_line_break_at_end()
-            else:
-                no_break_r2 = no_break_r1
-            if no_break_r1:
-                chunk.flags |= BIT_HAS_NO_LINE_BREAK_AT_END
-            if no_break_r2:
-                chunk.flags |= BIT_HAS_NO_LINE_BREAK_AT_END_R2
-            data = chunk.to_bytes()
-            out.write(data)
-            if verify or (fast_verify and passnum % 10 == 0):
-                originals: list[FastqRead] = []
-                for r1, r2 in pairs:
-                    originals.append(r1)
-                    originals.append(r2)
-                _verify_chunk(header, data, originals, engine, header_bytes)
-            passnum += 1
-
-    pairs: list[tuple[FastqRead, FastqRead]] = []
-    total_bases = 0
+    out, own = _open_out(out1, out_stream)
+    comp = _Compressor(out, engine, verify, fast_verify, is_pe=True)
     while True:
-        pair = reader.read()
-        if pair is None:
+        block, flag1, flag2 = reader.read_pair_block(chunk_size)
+        if block is None or block.n == 0:
             break
-        pairs.append(pair)
-        total_bases += len(pair[0].seq) + len(pair[1].seq)
-        if total_bases >= chunk_size:
-            flush(pairs)
-            pairs = []
-            total_bases = 0
-    if pairs:
-        flush(pairs)
+        comp.flush(block, flag1, flag2)
     reader.close()
-    if out_stream is None and out is not sys.stdout.buffer:
+    if own:
         out.close()
     elif out is sys.stdout.buffer:
         out.flush()
@@ -243,6 +239,14 @@ def _iter_chunks(stream, header: RfqHeader) -> Iterable[RfqChunk]:
         yield chunk
 
 
+def _open_in(in1: str, in_stream):
+    if in_stream is not None:
+        return in_stream, False
+    if in1 in ("/dev/stdin", "-"):
+        return sys.stdin.buffer, False
+    return open(in1, "rb"), True
+
+
 def decompress(
     in1: str,
     out1: str,
@@ -252,7 +256,7 @@ def decompress(
     """Single-output decompress; PE containers produce interleaved FASTQ
     (reference repaq.cpp:262-333)."""
     engine = engine or get_engine()
-    stream = in_stream or (sys.stdin.buffer if in1 in ("/dev/stdin", "-") else open(in1, "rb"))
+    stream, own = _open_in(in1, in_stream)
     writer = Writer(out1)
     header = RfqHeader.read(stream)
 
@@ -262,22 +266,19 @@ def decompress(
         carried = None
         if chunk.reads == 0:
             break
-        reads = engine.decode_chunk(header, chunk)
-        if not reads:
+        block = engine.decode_chunk(header, chunk)
+        if block.n == 0:
             break
-        outstr = b"".join(r.to_fastq() for r in reads)
-        no_break = bool(chunk.flags & BIT_HAS_NO_LINE_BREAK_AT_END)
-        if no_break:
+        outstr = block.to_fastq_bytes()
+        if chunk.flags & BIT_HAS_NO_LINE_BREAK_AT_END:
             lookahead = RfqChunk.read(stream, header)
             if lookahead.reads == 0:
                 writer.write(outstr[:-1])
                 break
             carried = lookahead
-            writer.write(outstr)
-            continue
         writer.write(outstr)
     writer.close()
-    if in_stream is None and stream is not sys.stdin.buffer:
+    if own:
         stream.close()
 
 
@@ -289,7 +290,7 @@ def decompress_pe(
     in_stream=None,
 ) -> None:
     engine = engine or get_engine()
-    stream = in_stream or (sys.stdin.buffer if in1 in ("/dev/stdin", "-") else open(in1, "rb"))
+    stream, own = _open_in(in1, in_stream)
     writer1 = Writer(out1)
     writer2 = Writer(out2)
     header = RfqHeader.read(stream)
@@ -305,11 +306,12 @@ def decompress_pe(
         carried = None
         if chunk.reads == 0:
             break
-        reads = engine.decode_chunk(header, chunk)
-        if not reads:
+        block = engine.decode_chunk(header, chunk)
+        if block.n == 0:
             break
-        outstr1 = b"".join(r.to_fastq() for i, r in enumerate(reads) if i % 2 == 0)
-        outstr2 = b"".join(r.to_fastq() for i, r in enumerate(reads) if i % 2 == 1)
+        idx = np.arange(block.n)
+        outstr1 = block.take(idx[0::2]).to_fastq_bytes()
+        outstr2 = block.take(idx[1::2]).to_fastq_bytes()
         no_break1 = bool(chunk.flags & BIT_HAS_NO_LINE_BREAK_AT_END)
         no_break2 = bool(chunk.flags & BIT_HAS_NO_LINE_BREAK_AT_END_R2)
         is_last = False
@@ -323,7 +325,7 @@ def decompress_pe(
         writer2.write(outstr2[:-1] if (no_break2 and is_last) else outstr2)
     writer1.close()
     writer2.close()
-    if in_stream is None and stream is not sys.stdin.buffer:
+    if own:
         stream.close()
 
 
@@ -354,6 +356,19 @@ def _report_compare(
     return json.loads(text)
 
 
+_FIELD_LABELS = ("name", "sequence", "strand", "quality")
+
+
+def _compare_read(got: oracle.FastqRead, want: oracle.FastqRead):
+    for label, g, w in zip(
+        _FIELD_LABELS, (got.name, got.seq, got.strand, got.qual),
+        (want.name, want.seq, want.strand, want.qual),
+    ):
+        if g != w:
+            return label, g, w
+    return None
+
+
 def compare(
     in1: str,
     rfq: str,
@@ -364,47 +379,58 @@ def compare(
 ) -> dict:
     """Read-by-read consistency check (reference repaq.cpp:36-128)."""
     engine = engine or get_engine()
-    stream = in_stream or (sys.stdin.buffer if rfq in ("/dev/stdin", "-") else open(rfq, "rb"))
+    stream, _own = _open_in(rfq, in_stream)
     reader = FastqReader(in1)
     header = RfqHeader.read(stream)
 
     fq_reads = fq_bases = rfq_reads = rfq_bases = 0
     for chunk in _iter_chunks(stream, header):
         decoded = engine.decode_chunk(header, chunk)
-        if not decoded:
+        if decoded.n == 0:
             break
-        for got in decoded:
-            rfq_bases += len(got.seq)
+        fq_block, _flag = reader.read_block(max_records=decoded.n)
+        n_fq = fq_block.n if fq_block is not None else 0
+        seq_lens = decoded.seq_lens()
+        if n_fq == decoded.n:
+            bad = _blocks_equal(decoded, fq_block)
+            if bad is None:
+                rfq_reads += decoded.n
+                rfq_bases += int(seq_lens.sum())
+                fq_reads += decoded.n
+                fq_bases += int(np.diff(fq_block.seq_off).sum())
+                continue
+        else:
+            bad = n_fq  # first missing fastq read
+        # slow path: account reads up to the mismatch like the reference
+        got_reads = decoded.to_reads()
+        fq_reads_list = fq_block.to_reads() if fq_block is not None else []
+        for i in range(bad):
             rfq_reads += 1
-            want = reader.read()
-            if want is None:
-                msg = (
-                    "The RFQ file has more reads than the FASTQ file. The RFQ "
-                    "file has >= %d reads, while the FASTQ file only has %d reads"
-                    % (rfq_reads, fq_reads)
-                )
-                return _report_compare(
-                    False, msg, fq_reads, fq_bases, rfq_reads, rfq_bases,
-                    json_file, quiet,
-                )
+            rfq_bases += len(got_reads[i].seq)
             fq_reads += 1
-            fq_bases += len(want.seq)
-            for label, g, w in (
-                ("name", got.name, want.name),
-                ("sequence", got.seq, want.seq),
-                ("strand", got.strand, want.strand),
-                ("quality", got.qual, want.qual),
-            ):
-                if g != w:
-                    msg = (
-                        "The RFQ file and FASTQ file have different %s in the "
-                        "%d read. %s | %s"
-                        % (label, rfq_reads, g.decode("latin1"), w.decode("latin1"))
-                    )
-                    return _report_compare(
-                        False, msg, fq_reads, fq_bases, rfq_reads, rfq_bases,
-                        json_file, quiet,
-                    )
+            fq_bases += len(fq_reads_list[i].seq)
+        rfq_reads += 1
+        rfq_bases += len(got_reads[bad].seq)
+        if bad >= n_fq:
+            msg = (
+                "The RFQ file has more reads than the FASTQ file. The RFQ "
+                "file has >= %d reads, while the FASTQ file only has %d reads"
+                % (rfq_reads, fq_reads)
+            )
+            return _report_compare(
+                False, msg, fq_reads, fq_bases, rfq_reads, rfq_bases, json_file,
+                quiet,
+            )
+        fq_reads += 1
+        fq_bases += len(fq_reads_list[bad].seq)
+        label, g, w = _compare_read(got_reads[bad], fq_reads_list[bad])
+        msg = (
+            "The RFQ file and FASTQ file have different %s in the %d read. "
+            "%s | %s" % (label, rfq_reads, g.decode("latin1"), w.decode("latin1"))
+        )
+        return _report_compare(
+            False, msg, fq_reads, fq_bases, rfq_reads, rfq_bases, json_file, quiet
+        )
     if reader.read() is not None:
         fq_reads += 1
         msg = (
@@ -430,58 +456,66 @@ def compare_pe(
     quiet: bool = False,
 ) -> dict:
     engine = engine or get_engine()
-    stream = in_stream or (sys.stdin.buffer if rfq in ("/dev/stdin", "-") else open(rfq, "rb"))
-    reader = FastqReaderPair(in1, in2)
+    stream, _own = _open_in(rfq, in_stream)
+    r1 = FastqReader(in1)
+    r2 = FastqReader(in2)
     header = RfqHeader.read(stream)
 
     fq_reads = fq_bases = rfq_reads = rfq_bases = 0
-    pair = None
     for chunk in _iter_chunks(stream, header):
         decoded = engine.decode_chunk(header, chunk)
-        if not decoded:
+        if decoded.n == 0:
             break
-        for got in decoded:
-            rfq_bases += len(got.seq)
+        pairs = decoded.n // 2
+        b1, _ = r1.read_block(max_records=pairs)
+        b2, _ = r2.read_block(max_records=pairs)
+        n1 = b1.n if b1 is not None else 0
+        n2 = b2.n if b2 is not None else 0
+        fq_block = None
+        if n1 == pairs and n2 == pairs:
+            fq_block = b1.interleave(b2)
+            bad = _blocks_equal(decoded, fq_block)
+            if bad is None:
+                rfq_reads += decoded.n
+                rfq_bases += int(decoded.seq_lens().sum())
+                fq_reads += decoded.n
+                fq_bases += int(np.diff(fq_block.seq_off).sum())
+                continue
+        else:
+            bad = 2 * min(n1, n2)  # first read lacking a complete pair
+        got_reads = decoded.to_reads()
+        want_reads = fq_block.to_reads() if fq_block is not None else (
+            [x for p in zip(b1.to_reads() if b1 else [], b2.to_reads() if b2 else []) for x in p]
+        )
+        for i in range(bad):
             rfq_reads += 1
-            if pair is None:
-                pair = reader.read()
-            if pair is None:
-                msg = (
-                    "The RFQ file has more reads than the FASTQ file. The RFQ "
-                    "file has >= %d pairs, while the FASTQ file only has %d pairs"
-                    % (rfq_reads // 2, fq_reads // 2)
-                )
-                return _report_compare(
-                    False, msg, fq_reads, fq_bases, rfq_reads, rfq_bases,
-                    json_file, quiet,
-                )
-            want = pair[0] if rfq_reads % 2 == 1 else pair[1]
+            rfq_bases += len(got_reads[i].seq)
             fq_reads += 1
-            fq_bases += len(want.seq)
-            for label, g, w in (
-                ("name", got.name, want.name),
-                ("sequence", got.seq, want.seq),
-                ("strand", got.strand, want.strand),
-                ("quality", got.qual, want.qual),
-            ):
-                if g != w:
-                    msg = (
-                        "The RFQ file and FASTQ file have different %s in the "
-                        "%d pair. %s | %s"
-                        % (
-                            label,
-                            rfq_reads // 2,
-                            g.decode("latin1"),
-                            w.decode("latin1"),
-                        )
-                    )
-                    return _report_compare(
-                        False, msg, fq_reads, fq_bases, rfq_reads, rfq_bases,
-                        json_file, quiet,
-                    )
-            if rfq_reads % 2 == 0:
-                pair = None
-    if reader.read() is not None:
+            fq_bases += len(want_reads[i].seq)
+        rfq_reads += 1
+        rfq_bases += len(got_reads[bad].seq)
+        if bad >= len(want_reads):
+            msg = (
+                "The RFQ file has more reads than the FASTQ file. The RFQ "
+                "file has >= %d pairs, while the FASTQ file only has %d pairs"
+                % (rfq_reads // 2, fq_reads // 2)
+            )
+            return _report_compare(
+                False, msg, fq_reads, fq_bases, rfq_reads, rfq_bases, json_file,
+                quiet,
+            )
+        fq_reads += 1
+        fq_bases += len(want_reads[bad].seq)
+        label, g, w = _compare_read(got_reads[bad], want_reads[bad])
+        msg = (
+            "The RFQ file and FASTQ file have different %s in the %d pair. "
+            "%s | %s"
+            % (label, rfq_reads // 2, g.decode("latin1"), w.decode("latin1"))
+        )
+        return _report_compare(
+            False, msg, fq_reads, fq_bases, rfq_reads, rfq_bases, json_file, quiet
+        )
+    if r1.read() is not None and r2.read() is not None:
         fq_reads += 1
         msg = (
             "The FASTQ file has more reads than the RFQ file. The FASTQ file "

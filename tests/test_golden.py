@@ -24,12 +24,7 @@ ENGINES = ["oracle", "vectorized"]
 
 
 def _engine(name):
-    if name == "oracle":
-        return pipeline.EngineConfig()
-    try:
-        return pipeline.get_engine("vectorized")
-    except ImportError:
-        pytest.skip("vectorized engine not built yet")
+    return pipeline.get_engine(name)
 
 
 @pytest.mark.parametrize("engine_name", ENGINES)
