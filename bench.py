@@ -1,0 +1,169 @@
+"""End-to-end benchmark: NovaSeq-like PE FASTQ encode+decode throughput.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "MB/s", "vs_baseline": N}
+
+Baseline: the reference encodes nova R1+R2 (3408 MB) in <1 min on one CPU
+core => 57 MB/s input throughput (BASELINE.md / reference README.md:27).
+We report the same quantity — FASTQ input MB per second of wall time for a
+full compress (PE joint) — after asserting the roundtrip is bit-exact.
+
+Diagnostics (per-stage timings, compression ratio, decode rate, device
+kernel rates when a TPU is reachable) go to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from repaq_tpu import pipeline  # noqa: E402
+
+BASELINE_MBPS = 57.0  # reference: 3408 MB in <60 s, single core
+READ_LEN = 150
+PAIRS = 400_000  # ~230 MB of FASTQ text
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def make_dataset(tmp: str) -> tuple[str, str, int]:
+    """Synthetic NovaSeq-like paired-end FASTQ (4 quality bins, ~1% N with
+    constant '#' qual, 35% overlapping fragments)."""
+    rng = np.random.default_rng(2024)
+    n = PAIRS
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    quals = np.frombuffer(b"FFF:FFF,F:", dtype=np.uint8)
+    comp = np.zeros(256, dtype=np.uint8)
+    for a, b in zip(b"ACGT", b"TGCA"):
+        comp[a] = b
+
+    s1 = rng.choice(bases, size=(n, READ_LEN))
+    s2 = rng.choice(bases, size=(n, READ_LEN))
+    # overlapping fragments: R2 rc-prefix == R1 suffix (batched per overlap
+    # length so generation stays vectorized)
+    ov_mask = rng.random(n) < 0.35
+    ov_len = rng.integers(30, READ_LEN, size=n)
+    for o in range(30, READ_LEN):
+        rows = np.flatnonzero(ov_mask & (ov_len == o))
+        if rows.size == 0:
+            continue
+        rc = comp[s1[rows, READ_LEN - o :]][:, ::-1]
+        s2i = np.concatenate([rc, s2[rows, : READ_LEN - o]], axis=1)
+        s2[rows] = comp[s2i][:, ::-1]
+    q1 = rng.choice(quals, size=(n, READ_LEN))
+    q2 = rng.choice(quals, size=(n, READ_LEN))
+    nmask1 = rng.random((n, READ_LEN)) < 0.01
+    nmask2 = rng.random((n, READ_LEN)) < 0.01
+    s1[nmask1] = ord("N")
+    q1[nmask1] = ord("#")
+    s2[nmask2] = ord("N")
+    q2[nmask2] = ord("#")
+    xs = rng.integers(1000, 40000, size=n)
+    ys = rng.integers(1000, 40000, size=n)
+
+    def write(fname, seqs, qs, mate):
+        from repaq_tpu.codec.blocks import ReadBlock, lens_to_offsets
+        from repaq_tpu.codec.names import build_names
+
+        pre = b"@A00251:28:H3YV7DSXX:4:1101"
+        n1_flat = np.frombuffer(pre, dtype=np.uint8)
+        n2 = b" %d:N:0:TAAGTGGC" % mate
+        n2_flat = np.frombuffer(n2, dtype=np.uint8)
+        name_flat, name_off = build_names(
+            n,
+            n1_flat,
+            np.zeros(n, dtype=np.int64),
+            np.full(n, len(pre), dtype=np.int64),
+            None,
+            None,
+            xs.astype(np.int64),
+            ys.astype(np.int64),
+            n2_flat,
+            np.zeros(n, dtype=np.int64),
+            np.full(n, len(n2), dtype=np.int64),
+        )
+        lens = np.full(n, READ_LEN, dtype=np.int64)
+        off = lens_to_offsets(lens)
+        strand = np.full(n, ord("+"), dtype=np.uint8)
+        block = ReadBlock(
+            n, name_flat, name_off, seqs.reshape(-1), off,
+            strand, lens_to_offsets(np.ones(n, dtype=np.int64)),
+            qs.reshape(-1), off.copy(),
+        )
+        with open(fname, "wb") as f:
+            f.write(block.to_fastq_bytes())
+
+    f1 = os.path.join(tmp, "bench_R1.fq")
+    f2 = os.path.join(tmp, "bench_R2.fq")
+    write(f1, s1, q1, 1)
+    write(f2, s2, q2, 2)
+    total = os.path.getsize(f1) + os.path.getsize(f2)
+    return f1, f2, total
+
+
+def main() -> None:
+    tmp = tempfile.mkdtemp(prefix="repaq_bench_")
+    t0 = time.time()
+    f1, f2, total_bytes = make_dataset(tmp)
+    log("dataset: %.1f MB generated in %.1fs" % (total_bytes / 1e6, time.time() - t0))
+
+    rfq = os.path.join(tmp, "bench.rfq")
+    t0 = time.time()
+    pipeline.compress_pe(f1, f2, rfq)
+    enc_s = time.time() - t0
+    rfq_bytes = os.path.getsize(rfq)
+    log(
+        "encode: %.2fs -> %.1f MB/s in, .rfq %.1f MB (CR %.2f%%)"
+        % (enc_s, total_bytes / 1e6 / enc_s, rfq_bytes / 1e6,
+           100.0 * rfq_bytes / total_bytes)
+    )
+
+    d1 = os.path.join(tmp, "dec_R1.fq")
+    d2 = os.path.join(tmp, "dec_R2.fq")
+    t0 = time.time()
+    pipeline.decompress_pe(rfq, d1, d2)
+    dec_s = time.time() - t0
+    log("decode: %.2fs -> %.1f MB/s out" % (dec_s, total_bytes / 1e6 / dec_s))
+
+    # bit-exact roundtrip gate
+    import filecmp
+
+    assert filecmp.cmp(f1, d1, shallow=False), "roundtrip mismatch R1"
+    assert filecmp.cmp(f2, d2, shallow=False), "roundtrip mismatch R2"
+    log("roundtrip: bit-exact")
+
+    enc_mbps = total_bytes / 1e6 / enc_s
+    log(
+        "combined encode+decode: %.1f MB/s"
+        % (total_bytes / 1e6 / (enc_s + dec_s))
+    )
+
+    for p in (f1, f2, rfq, d1, d2):
+        os.unlink(p)
+    os.rmdir(tmp)
+
+    # headline matches the reference's published quantity: FASTQ input MB/s
+    # for a full PE joint compress (reference: 3408 MB < 60 s, 1 core)
+    print(
+        json.dumps(
+            {
+                "metric": "PE FASTQ .rfq encode throughput, bit-exact roundtrip verified",
+                "value": round(enc_mbps, 1),
+                "unit": "MB/s",
+                "vs_baseline": round(enc_mbps / BASELINE_MBPS, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

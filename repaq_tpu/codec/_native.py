@@ -67,6 +67,8 @@ def _load():
     lib.positions_scatter.argtypes = [_u8p, _i64, ctypes.c_uint8, _u8p]
     lib.qualcol_encode.restype = _i64
     lib.qualcol_encode.argtypes = [_u8p, _i64, _u8p, _i32, ctypes.c_uint8, _u8p, _u8p]
+    lib.qualcol_encode_sp.restype = _i64
+    lib.qualcol_encode_sp.argtypes = [_u8p, _i64, _u8p, _i32, _u8p, _u8p, _u8p]
     lib.qualcol_decode.restype = None
     lib.qualcol_decode.argtypes = [_u8p, _i64, _u8p, _i32, _u8p, _i64]
     lib.coords_encode.restype = _i64
@@ -117,12 +119,19 @@ def qualcol_encode(
     lib = _load()
     n = qual.shape[0]
     nbins = bins.shape[0]
-    out = np.empty(4 * nbins + 6 * n + 64, dtype=np.uint8)
-    scratch = np.empty(max(n, 1), dtype=np.uint8)
     bins = np.ascontiguousarray(bins, dtype=np.uint8)
-    ln = lib.qualcol_encode(
-        _ptr(qual, _u8p), n, _ptr(bins, _u8p), nbins, major, _ptr(out, _u8p),
-        _ptr(scratch, _u8p),
+    # single-pass encoder: LUT qual byte -> bin ordinal; bins take
+    # precedence over the major marker (the major may itself be a bin when
+    # it doubles as the N-base qual, reference rfqheader.cpp:308-320)
+    bin_of = np.full(256, 0xFF, dtype=np.uint8)
+    bin_of[bins] = np.arange(nbins, dtype=np.uint8)
+    if bin_of[major] == 0xFF:
+        bin_of[major] = 0xFE
+    out = np.empty(9 * n + 4 * nbins + 1024, dtype=np.uint8)
+    scratch = np.empty(9 * n + 8 * nbins + 2048, dtype=np.uint8)
+    ln = lib.qualcol_encode_sp(
+        _ptr(qual, _u8p), n, _ptr(bins, _u8p), nbins, _ptr(bin_of, _u8p),
+        _ptr(out, _u8p), _ptr(scratch, _u8p),
     )
     return out[:ln]
 

@@ -144,6 +144,95 @@ int64_t qualcol_encode(const uint8_t* qual, int64_t n, const uint8_t* bins,
     return pos;
 }
 
+// Single-pass by-column quality encode. Equivalent byte-for-byte to the
+// per-bin scans (each bin's stream depends only on its own match
+// positions) but touches the chunk once: per-bin (last, pending-run) state
+// machines emit into pre-sized segments, then segments are compacted into
+// the wire layout. bin_of: 256-entry LUT mapping qual byte -> bin index,
+// 0xFE for the major qual, 0xFF for out-of-table (escape record).
+// Returns total bytes written.
+int64_t qualcol_encode_sp(const uint8_t* qual, int64_t n, const uint8_t* bins,
+                          int32_t nbins, const uint8_t* bin_of, uint8_t* out,
+                          uint8_t* scratch) {
+    // pass 1: match counts per bin -> segment capacities (<=4 bytes/match)
+    int64_t counts[256] = {0};
+    for (int64_t i = 0; i < n; i++) counts[bin_of[qual[i]]]++;
+    int64_t seg_off[129];
+    int64_t off = 0;
+    for (int32_t b = 0; b < nbins; b++) {
+        seg_off[b] = off;
+        off += 4 * counts[b] + 8;
+    }
+    seg_off[nbins] = off;  // escape segment
+    uint8_t* esc = scratch + off;
+
+    int64_t last[128];
+    int32_t pending[128];
+    int64_t pos[128];
+    for (int32_t b = 0; b < nbins; b++) {
+        last[b] = -1;
+        pending[b] = 0;
+        pos[b] = seg_off[b];
+    }
+    int64_t esc_len = 0;
+
+    for (int64_t i = 0; i < n; i++) {
+        uint8_t b = bin_of[qual[i]];
+        if (b == 0xFE) continue;  // major qual: never encoded
+        if (b == 0xFF) {          // escape record
+            esc[esc_len++] = qual[i];
+            uint32_t p = (uint32_t)i;
+            esc[esc_len++] = (uint8_t)(p & 0xFF);
+            esc[esc_len++] = (uint8_t)((p >> 8) & 0xFF);
+            esc[esc_len++] = (uint8_t)((p >> 16) & 0xFF);
+            esc[esc_len++] = (uint8_t)((p >> 24) & 0xFF);
+            continue;
+        }
+        int64_t d = i - last[b];
+        if (d == 1 && i > 1) {
+            if (++pending[b] == 32) {
+                scratch[pos[b]++] = (uint8_t)0xDF;  // 0xC0 | 31
+                pending[b] = 0;
+            }
+        } else {
+            if (pending[b]) {
+                scratch[pos[b]++] = (uint8_t)((pending[b] - 1) | 0xC0);
+                pending[b] = 0;
+            }
+            int64_t v = d - 1;
+            if (d <= 128) {
+                scratch[pos[b]++] = (uint8_t)v;
+            } else if (d <= (1 << 14)) {
+                scratch[pos[b]++] = (uint8_t)((v >> 8) | 0x80);
+                scratch[pos[b]++] = (uint8_t)(v & 0xFF);
+            } else {
+                scratch[pos[b]++] = (uint8_t)((v >> 24) | 0xE0);
+                scratch[pos[b]++] = (uint8_t)((v >> 16) & 0xFF);
+                scratch[pos[b]++] = (uint8_t)((v >> 8) & 0xFF);
+                scratch[pos[b]++] = (uint8_t)(v & 0xFF);
+            }
+        }
+        last[b] = i;
+    }
+    for (int32_t b = 0; b < nbins; b++) {
+        if (pending[b]) scratch[pos[b]++] = (uint8_t)((pending[b] - 1) | 0xC0);
+    }
+
+    // compact: u32le length table, streams, escapes
+    int64_t w = 4LL * nbins;
+    for (int32_t b = 0; b < nbins; b++) {
+        int64_t len = pos[b] - seg_off[b];
+        out[4 * b + 0] = (uint8_t)(len & 0xFF);
+        out[4 * b + 1] = (uint8_t)((len >> 8) & 0xFF);
+        out[4 * b + 2] = (uint8_t)((len >> 16) & 0xFF);
+        out[4 * b + 3] = (uint8_t)((len >> 24) & 0xFF);
+        memcpy(out + w, scratch + seg_off[b], (size_t)len);
+        w += len;
+    }
+    memcpy(out + w, esc, (size_t)esc_len);
+    return w + esc_len;
+}
+
 // Full by-column quality decode incl. escapes into a major-prefilled array.
 void qualcol_decode(const uint8_t* buf, int64_t buf_len, const uint8_t* bins,
                     int32_t nbins, uint8_t* qual, int64_t n) {

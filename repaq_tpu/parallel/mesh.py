@@ -1,0 +1,133 @@
+"""Data-parallel device encode over a jax.sharding.Mesh.
+
+The .rfq format makes chunks independent once the header (quality palette,
+name template) is fixed (reference: header read once repaq.cpp:270-277,
+chunks self-delimiting rfqchunk.cpp:161-171), so the natural multi-chip
+layout is one mesh axis `data`, read blocks sharded across it, and the
+small palette arrays replicated. Each device encodes its blocks; per-device
+stream lengths are all-gathered over ICI so every device (and the writer
+host) knows the container offsets for ordered assembly. TP/PP/SP/EP have no
+analog here — there is no model to shard (SURVEY.md §2.2).
+
+Blocks are fixed-shape (reads_per_block, read_len) u8 arrays — the padded
+fast path for uniform-length Illumina data; ragged inputs take the host
+path.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.device_streams import (
+    coords_encode_device,
+    encode_positions_from_mask,
+    pack_2bit_device,
+    qualcol_encode_device,
+)
+
+
+def make_mesh(devices=None, axis: str = "data") -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.array(devices), (axis,))
+
+
+def device_encode_block(seqs, quals, xs, ys, bins, major, in_table):
+    """Encode one fixed-shape block on one device.
+
+    seqs/quals: (B, L) uint8 (read-major, matching the chunk concat order);
+    xs/ys: (B,) int32; bins: (nbins,) uint8; major: scalar; in_table: (256,)
+    bool. Returns a dict of padded streams + true lengths.
+    """
+    b, l = seqs.shape
+    n = b * l
+    flat_seq = seqs.reshape(-1)
+    flat_qual = quals.reshape(-1)
+    pad = (-n) % 4
+    if pad:
+        flat_seq_p = jnp.concatenate(
+            [flat_seq, jnp.zeros(pad, dtype=jnp.uint8)]
+        )
+    else:
+        flat_seq_p = flat_seq
+    packed = pack_2bit_device(flat_seq_p)
+    qual_out, qual_len = qualcol_encode_device(flat_qual, bins, major, in_table)
+    npos_out, npos_len = encode_positions_from_mask(
+        flat_seq == ord("N"), n // 2 + 8
+    )
+    x_out, x_len = coords_encode_device(xs, 3 * b + 8)
+    y_out, y_len = coords_encode_device(ys, 3 * b + 8)
+    return {
+        "packed": packed,
+        "qual": qual_out,
+        "qual_len": qual_len,
+        "npos": npos_out,
+        "npos_len": npos_len,
+        "x": x_out,
+        "x_len": x_len,
+        "y": y_out,
+        "y_len": y_len,
+    }
+
+
+def make_sharded_encode_step(mesh: Mesh, axis: str = "data"):
+    """jit-compiled SPMD encode step: blocks sharded over the mesh's data
+    axis, palette replicated, per-device stream lengths all-gathered (ICI)
+    so every participant knows the global container offsets."""
+
+    def step(seqs, quals, xs, ys, bins, major, in_table):
+        out = device_encode_block(
+            seqs, quals, xs, ys, bins, major[0], in_table
+        )
+        # shard_map concatenates along a leading axis: lift scalars to (1,)
+        out = {
+            k: (v.reshape(1) if v.ndim == 0 else v) for k, v in out.items()
+        }
+        lens = jnp.stack(
+            [out["qual_len"][0], out["npos_len"][0], out["x_len"][0],
+             out["y_len"][0]]
+        )
+        # every device learns all stream lengths over ICI -> container
+        # offsets without a host round-trip
+        all_lens = jax.lax.all_gather(lens, axis)  # (n_dev, 4)
+        qual_off = jnp.cumsum(all_lens[:, 0]) - all_lens[:, 0]
+        return out, all_lens[None], qual_off[None]
+
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    sharded = shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P(), P(), P()),
+        out_specs=(
+            {
+                "packed": P(axis),
+                "qual": P(axis),
+                "qual_len": P(axis),
+                "npos": P(axis),
+                "npos_len": P(axis),
+                "x": P(axis),
+                "x_len": P(axis),
+                "y": P(axis),
+                "y_len": P(axis),
+            },
+            P(axis),
+            P(axis),
+        ),
+    )
+    return jax.jit(sharded)
+
+
+def shard_blocks(mesh: Mesh, arr: np.ndarray, axis: str = "data"):
+    return jax.device_put(arr, NamedSharding(mesh, P(axis)))
+
+
+def replicate(mesh: Mesh, arr: np.ndarray):
+    return jax.device_put(arr, NamedSharding(mesh, P()))

@@ -4,14 +4,22 @@ import shutil
 import sys
 from pathlib import Path
 
-# Force a deterministic 8-device CPU mesh for all JAX-touching tests; must be
-# set before jax is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force a deterministic 8-device CPU mesh for all JAX-touching tests. The
+# environment may have imported jax already (an axon sitecustomize registers
+# the tunneled-TPU plugin at interpreter start), so the env vars alone are
+# too late — use jax.config as well, before any backend initializes.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+try:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+except ImportError:
+    pass
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 

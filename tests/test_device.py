@@ -1,0 +1,137 @@
+"""Device (JAX) kernels vs host kernels: byte-exact equivalence on the CPU
+backend (conftest forces JAX_PLATFORMS=cpu with 8 virtual devices)."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from repaq_tpu.codec import kernels_np as K  # noqa: E402
+from repaq_tpu.format.header import RfqHeader  # noqa: E402
+from repaq_tpu.ops import device_streams as D  # noqa: E402
+
+
+# fixed shapes so jit caches across trials (False-padding a mask does not
+# change its byte stream)
+_N = 1 << 15
+
+
+@jax.jit
+def _enc_mask(m):
+    return D.encode_positions_from_mask(m, _N // 2 + 8)
+
+
+def _run_mask(mask: np.ndarray) -> bytes:
+    padded = np.zeros(_N, dtype=bool)
+    padded[: mask.shape[0]] = mask
+    out, ln = _enc_mask(jnp.asarray(padded))
+    return bytes(np.asarray(out)[: int(ln)])
+
+
+@pytest.mark.parametrize("density", [0.0, 0.02, 0.3, 0.95, 1.0])
+def test_positions_stream_device(density):
+    rng = np.random.default_rng(int(density * 100) + 1)
+    for n in (1, 7, 100, 5000):
+        mask = rng.random(n) < density
+        want = K.encode_positions(np.flatnonzero(mask))
+        assert _run_mask(mask) == want.tobytes(), (n, density)
+
+
+def test_positions_long_gaps_device():
+    for gap in (127, 128, 129, 16384, 16385, 30000):
+        mask = np.zeros(gap + 40, dtype=bool)
+        mask[gap] = True
+        mask[gap + 1] = True
+        mask[gap + 5 : gap + 40] = True
+        want = K.encode_positions(np.flatnonzero(mask))
+        assert _run_mask(mask) == want.tobytes(), gap
+
+
+def test_qualcol_device():
+    rng = np.random.default_rng(5)
+    for trial in range(4):
+        n = 4000  # fixed shape; padding with the major qual is a no-op
+        table = rng.choice(
+            np.arange(33, 90, dtype=np.uint8), size=int(rng.integers(2, 7)),
+            replace=False,
+        )
+        qual = rng.choice(table, size=n)
+        if trial % 2:
+            qual[rng.integers(0, n, size=3)] = 100  # escapes
+        h = RfqHeader()
+        seq = rng.choice(np.frombuffer(b"GATC", dtype=np.uint8), size=n)
+        h.make_quality_table(seq, np.sort(table.repeat(2)))
+        bins = h.normal_qual_buf()
+        want = K.encode_qual_by_col(qual, bins, h.major_qual())
+        in_table = np.zeros(256, dtype=bool)
+        in_table[bins] = True
+        in_table[h.major_qual()] = True
+        out, ln = jax.jit(D.qualcol_encode_device)(
+            jnp.asarray(qual), jnp.asarray(bins), jnp.uint8(h.major_qual()),
+            jnp.asarray(in_table),
+        )
+        got = np.asarray(out)[: int(ln)]
+        assert bytes(got) == want.tobytes(), trial
+
+
+@jax.jit
+def _enc_coords(v):
+    return D.coords_encode_device(v, 3 * v.shape[0] + 8)
+
+
+def test_coords_device():
+    rng = np.random.default_rng(9)
+    for trial in range(4):
+        n = 800
+        vals = []
+        last = 1000
+        for _ in range(n):
+            r = rng.random()
+            if r < 0.35:
+                vals.append(last)
+            elif r < 0.65:
+                last = last + int(rng.integers(1, 65))
+                vals.append(last)
+            else:
+                last = int(rng.integers(0, 1 << 21))
+                vals.append(last)
+        vals = np.array(vals, dtype=np.int64)
+        want = K.encode_coords(vals)
+        out, ln = _enc_coords(jnp.asarray(vals.astype(np.int32)))
+        assert bytes(np.asarray(out)[: int(ln)]) == want.tobytes(), trial
+    # long repeats incl. 32-groups
+    vals = np.array([1000] * 100 + [5] * 33 + [6, 6, 6] + list(range(7, 100)),
+                    dtype=np.int64)
+    want = K.encode_coords(vals)
+    out, ln = D.coords_encode_device(jnp.asarray(vals.astype(np.int32)),
+                                     3 * vals.shape[0] + 8)
+    assert bytes(np.asarray(out)[: int(ln)]) == want.tobytes()
+
+
+def test_pack_unpack_device():
+    rng = np.random.default_rng(3)
+    seq = rng.choice(np.frombuffer(b"GATCN", dtype=np.uint8), size=4096)
+    want = K.pack_2bit(seq)
+    got = np.asarray(D.pack_2bit_device(jnp.asarray(seq)))
+    assert bytes(got) == want.tobytes()
+    back = np.asarray(D.unpack_2bit_device(jnp.asarray(got)))
+    assert bytes(back) == K.unpack_2bit(want, 4096).tobytes()
+
+
+def test_revcomp_device():
+    rng = np.random.default_rng(4)
+    seqs = rng.choice(np.frombuffer(b"GATCN", dtype=np.uint8), size=(16, 100))
+    got = np.asarray(D.revcomp_device(jnp.asarray(seqs)))
+    from repaq_tpu.codec.oracle import reverse_complement
+
+    for i in range(16):
+        assert bytes(got[i]) == reverse_complement(seqs[i].tobytes())
+
+
+def test_histogram_device():
+    rng = np.random.default_rng(6)
+    qual = rng.integers(33, 90, size=10000).astype(np.uint8)
+    got = np.asarray(D.qual_histogram_device(jnp.asarray(qual)))
+    want = np.bincount(qual, minlength=128)[:128]
+    assert np.array_equal(got, want)
