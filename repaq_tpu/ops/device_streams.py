@@ -3,17 +3,19 @@
 Everything here is jit-compatible, static-shape, and byte-exact with the
 host kernels in repaq_tpu.codec.kernels_np (cross-checked in
 tests/test_device.py). The sequential reference coders are reformulated as
-data-parallel passes — cummax/cummin scans for run segmentation, prefix
-sums for output offsets, and masked scatters for byte emission — which is
-the shape that maps onto the TPU VPU; all scans are along the last axis.
+data-parallel passes:
 
-Design notes for TPU:
-- masks/byte-planes are uint8/int32, VPU-friendly; no MXU work exists in a
-  codec, so throughput is HBM-bandwidth-bound.
-- output buffers are padded to static shapes; true lengths are returned as
-  scalars and the compact prefix is fetched with bucketed slices
-  (repaq_tpu.ops.transfer) to keep device->host traffic proportional to the
-  compressed size.
+- run segmentation via cummax / suffix-cummin scans,
+- per-element token byte counts + prefix sums for output offsets,
+- byte emission as a GATHER over the output index space (for output slot k,
+  binary-search the emitting element and byte lane). TPU scatters serialize
+  per element; gathers vectorize on the VPU, so compaction is expressed as
+  out[k] = planes[element(k), lane(k)] instead of out.at[off].set(...).
+
+Output buffers are padded to static shapes; true lengths are returned as
+scalars and compact prefixes are fetched with the int32-bitcast helper in
+repaq_tpu.ops.transfer so device->host traffic stays proportional to the
+compressed size.
 """
 
 from __future__ import annotations
@@ -25,7 +27,7 @@ import numpy as np
 
 def _exclusive_cumsum(x):
     c = jnp.cumsum(x)
-    return c - x, c[-1] if x.shape[0] else jnp.int32(0)
+    return c, (c[-1] if x.shape[0] else jnp.int32(0))  # inclusive, total
 
 
 def _cummax(x):
@@ -36,19 +38,54 @@ def _suffix_min(x):
     return jnp.flip(jax.lax.cummin(jnp.flip(x)))
 
 
-def encode_positions_from_mask(mask: jnp.ndarray, out_size: int):
-    """Gap/run stream (reference rfqcodec.cpp:625-710) for the positions
-    where mask is True.
+def _emit_sort(planes: jnp.ndarray, counts: jnp.ndarray, out_size: int,
+               offsets: jnp.ndarray | None = None):
+    """Sort-based stream compaction — the TPU-native shape for
+    variable-width token emission. Scatters and binary-search gathers
+    serialize on the VPU (~0.1 Gelem/s measured) while bitonic sort runs at
+    ~0.4 Gelem/s, so each candidate byte is packed as (dest_offset << 8 |
+    byte) with invalid lanes pushed to +inf, one jnp.sort lays the stream
+    out, and the low bytes of the prefix are the stream.
 
-    mask: (n,) bool. Returns (out: (out_size,) uint8 zero-padded, length).
-    out_size must be >= n/2 + 8 (worst case ~n/2 bytes: alternating
-    single-byte gap tokens).
+    planes: (n, W) uint8 candidate bytes; counts: (n,) int32 emitted bytes
+    per element (0..W); offsets: optional precomputed per-element dest
+    offsets (exclusive prefix sum of counts when None). dest offsets must
+    stay < 2^23 (out_size caps well below).
+    Returns (out: (out_size,) uint8 zero-padded, total_len).
     """
+    n, w = planes.shape
+    if offsets is None:
+        cum, total = _exclusive_cumsum(counts)
+        offsets = cum - counts
+    else:
+        total = (
+            offsets[-1] + counts[-1] if n else jnp.int32(0)
+        )
+    lanes = jnp.arange(w, dtype=jnp.int32)[None, :]
+    valid = lanes < counts[:, None]
+    keys = jnp.where(
+        valid,
+        ((offsets[:, None] + lanes) << 8) | planes.astype(jnp.int32),
+        jnp.int32(2**31 - 1),
+    ).reshape(-1)
+    srt = jnp.sort(keys)
+    take = min(out_size, srt.shape[0])
+    out = jnp.zeros(out_size, dtype=jnp.uint8)
+    out = out.at[:take].set((srt[:take] & 0xFF).astype(jnp.uint8))
+    k = jnp.arange(out_size, dtype=jnp.int32)
+    return jnp.where(k < total, out, 0).astype(jnp.uint8), total
+
+
+_emit_gather = _emit_sort  # compaction strategy alias
+
+
+def _positions_planes(mask: jnp.ndarray):
+    """Token classification for the gap/run position coder (reference
+    rfqcodec.cpp:625-710). Returns (planes (n,4) u8, counts (n,) i32)."""
     n = mask.shape[0]
     i = jnp.arange(n, dtype=jnp.int32)
     m = mask
 
-    # previous match strictly before i
     pm_incl = _cummax(jnp.where(m, i, -1))
     pm_excl = jnp.concatenate([jnp.array([-1], dtype=jnp.int32), pm_incl[:-1]])
     delta = i - pm_excl
@@ -58,12 +95,8 @@ def encode_positions_from_mask(mask: jnp.ndarray, out_size: int):
     run_start = adj & ~adj_prev
     rs_idx = _cummax(jnp.where(run_start, i, -1))
     off_in_run = jnp.where(adj, i - rs_idx, 0)
-    # end of each adj-run: first non-adj index at or after i
     nonadj_pos = jnp.where(~adj, i, n)
     end_idx = _suffix_min(nonadj_pos)
-    # for adj positions, the run's end is the first non-adj AFTER the run
-    # start; suffix-min at an adj position already gives it (its own
-    # nonadj_pos is n)
     run_len = jnp.where(adj, end_idx - rs_idx, 0)
 
     emits_run = adj & (off_in_run % 32 == 0)
@@ -80,8 +113,6 @@ def encode_positions_from_mask(mask: jnp.ndarray, out_size: int):
         + 4 * g4.astype(jnp.int32)
         + emits_run.astype(jnp.int32)
     )
-    off, total = _exclusive_cumsum(counts)
-
     v = (delta - 1).astype(jnp.uint32)
     b0 = jnp.where(
         g1,
@@ -95,104 +126,150 @@ def encode_positions_from_mask(mask: jnp.ndarray, out_size: int):
                 jnp.where(emits_run, (covered - 1).astype(jnp.uint32) | 0xC0, 0),
             ),
         ),
-    ).astype(jnp.uint8)
-    b1 = jnp.where(g2, v & 0xFF, jnp.where(g4, (v >> 16) & 0xFF, 0)).astype(jnp.uint8)
-    b2 = jnp.where(g4, (v >> 8) & 0xFF, 0).astype(jnp.uint8)
-    b3 = jnp.where(g4, v & 0xFF, 0).astype(jnp.uint8)
+    )
+    b1 = jnp.where(g2, v & 0xFF, jnp.where(g4, (v >> 16) & 0xFF, 0))
+    b2 = jnp.where(g4, (v >> 8) & 0xFF, 0)
+    b3 = jnp.where(g4, v & 0xFF, 0)
+    planes = jnp.stack([b0, b1, b2, b3], axis=1).astype(jnp.uint8)
+    return planes, counts
 
-    dump = out_size  # one-past-end dump slot
-    out = jnp.zeros(out_size + 1, dtype=jnp.uint8)
-    out = out.at[jnp.where(counts >= 1, off, dump)].set(b0, mode="drop")
-    out = out.at[jnp.where(counts >= 2, off + 1, dump)].set(b1, mode="drop")
-    out = out.at[jnp.where(counts >= 4, off + 2, dump)].set(b2, mode="drop")
-    out = out.at[jnp.where(counts >= 4, off + 3, dump)].set(b3, mode="drop")
-    return out[:out_size], total
+
+def encode_positions_from_mask(mask: jnp.ndarray, out_size: int):
+    """Gap/run stream for the True positions of mask; (out, length)."""
+    planes, counts = _positions_planes(mask)
+    return _emit_gather(planes, counts, out_size)
 
 
 def qualcol_encode_device(qual: jnp.ndarray, bins: jnp.ndarray, major: jnp.ndarray,
                           in_table: jnp.ndarray):
-    """Full by-column quality encode (reference rfqcodec.cpp:712-765).
+    """Full by-column quality encode (reference rfqcodec.cpp:712-765):
+    u32le per-bin lengths, concatenated per-bin streams, 5-byte escape
+    records — compacted on device in one gather pass.
 
-    qual: (n,) uint8; bins: (B,) uint8 (the normal-qual palette, static B);
-    major: scalar uint8; in_table: (256,) bool (bins + major membership).
-
-    Returns (out: (4B + n + 8,) uint8, total_len): u32le per-bin lengths,
-    concatenated per-bin streams, then 5-byte escape records, already
-    compacted on device.
+    qual: (n,) uint8; bins: (B,) uint8 (static B); in_table: (256,) bool.
+    Returns (out: (4B + n + 8,) uint8, total_len).
     """
     n = qual.shape[0]
     nbins = bins.shape[0]
-    stream_pad = n // 2 + 8
+    i = jnp.arange(n, dtype=jnp.int32)
 
-    def one_bin(q):
-        return encode_positions_from_mask(qual == q, stream_pad)
+    # LUT: qual byte -> bin ordinal; escapes get pseudo-bin B (they follow
+    # the streams in wire order), the major qual gets B+1 (dropped)
+    bin_idx = jnp.where(
+        in_table, jnp.int32(nbins + 1), jnp.int32(nbins)
+    )
+    bin_idx = bin_idx.at[bins].set(jnp.arange(nbins, dtype=jnp.int32))
+    bid = bin_idx[qual]  # (n,): 0..B-1 stream, B escape, B+1 major (drop)
 
-    streams, lens = jax.vmap(one_bin)(bins)  # (B, pad), (B,)
+    # ONE counting sort groups positions by bin (stable: key = bid*n + i);
+    # major-qual positions sort to the tail and are masked off.
+    keys0 = bid * n + i
+    grouped = jnp.sort(keys0)
+    g_bid = grouped // n
+    g_pos = grouped - g_bid * n
+    is_stream = g_bid < nbins
+    is_esc = g_bid == nbins
 
-    # escape records: positions not covered by any bin and not major
-    esc_mask = ~in_table[qual]
-    esc_cnt = jnp.sum(esc_mask.astype(jnp.int32))
-    eoff, _ = _exclusive_cumsum(esc_mask.astype(jnp.int32))
+    # segmented token classification on the grouped positions
+    prev_pos = jnp.concatenate([jnp.array([-1], dtype=jnp.int32), g_pos[:-1]])
+    seg_start = jnp.concatenate(
+        [jnp.array([True]), g_bid[1:] != g_bid[:-1]]
+    )
+    delta = jnp.where(seg_start, g_pos + 1, g_pos - prev_pos)
+    adj = is_stream & (delta == 1) & (g_pos > 1)
+    adj_prev = jnp.concatenate([jnp.array([False]), adj[:-1]])
+    run_start = adj & ~adj_prev
+    rs_idx = _cummax(jnp.where(run_start, i, -1))
+    off_in_run = jnp.where(adj, i - rs_idx, 0)
+    nonadj_pos = jnp.where(~adj, i, n)
+    end_idx = _suffix_min(nonadj_pos)
+    run_len = jnp.where(adj, end_idx - rs_idx, 0)
+    emits_run = adj & (off_in_run % 32 == 0)
+    covered = jnp.minimum(32, run_len - off_in_run)
 
-    lens_total = jnp.sum(lens)
-    out_size = 4 * nbins + n + 8
-    out = jnp.zeros(out_size + 1, dtype=jnp.uint8)
+    gap = is_stream & ~adj
+    g1 = gap & (delta <= 128)
+    g2 = gap & (delta > 128) & (delta <= (1 << 14))
+    g4 = gap & (delta > (1 << 14))
 
-    # u32le length table
+    counts = (
+        g1.astype(jnp.int32)
+        + 2 * g2.astype(jnp.int32)
+        + 4 * g4.astype(jnp.int32)
+        + emits_run.astype(jnp.int32)
+        + 5 * is_esc.astype(jnp.int32)
+    )
+    v = (delta - 1).astype(jnp.uint32)
+    pq = g_pos.astype(jnp.uint32)
+    esc_qual = qual[jnp.clip(g_pos, 0, n - 1)].astype(jnp.uint32)
+    b0 = jnp.where(
+        g1,
+        v,
+        jnp.where(
+            g2,
+            (v >> 8) | 0x80,
+            jnp.where(
+                g4,
+                (v >> 24) | 0xE0,
+                jnp.where(
+                    emits_run,
+                    (covered - 1).astype(jnp.uint32) | 0xC0,
+                    jnp.where(is_esc, esc_qual, 0),
+                ),
+            ),
+        ),
+    )
+    b1 = jnp.where(
+        g2, v & 0xFF,
+        jnp.where(g4, (v >> 16) & 0xFF, jnp.where(is_esc, pq & 0xFF, 0)),
+    )
+    b2 = jnp.where(
+        g4, (v >> 8) & 0xFF, jnp.where(is_esc, (pq >> 8) & 0xFF, 0)
+    )
+    b3 = jnp.where(g4, v & 0xFF, jnp.where(is_esc, (pq >> 16) & 0xFF, 0))
+    b4 = jnp.where(is_esc, (pq >> 24) & 0xFF, 0)
+    planes = jnp.stack([b0, b1, b2, b3, b4], axis=1).astype(jnp.uint8)
+
+    # destinations: bins (then escapes) are grouped contiguously in wire
+    # order, so the global exclusive prefix sum of counts IS the stream
+    # offset after the 4B length table
+    cum = jnp.cumsum(counts)
+    dest = 4 * nbins + (cum - counts)
+    total = 4 * nbins + (cum[-1] if n else 0)
+
+    # per-bin lengths for the u32le table
+    lens = jax.ops.segment_sum(
+        jnp.where(is_stream, counts, 0), jnp.clip(g_bid, 0, nbins),
+        num_segments=nbins + 1,
+    )[:nbins]
     lens_u32 = lens.astype(jnp.uint32)
     hdr = jnp.stack(
-        [
-            lens_u32 & 0xFF,
-            (lens_u32 >> 8) & 0xFF,
-            (lens_u32 >> 16) & 0xFF,
-            (lens_u32 >> 24) & 0xFF,
-        ],
+        [lens_u32 & 0xFF, (lens_u32 >> 8) & 0xFF,
+         (lens_u32 >> 16) & 0xFF, (lens_u32 >> 24) & 0xFF],
         axis=1,
-    ).astype(jnp.uint8).reshape(-1)
-    out = out.at[: 4 * nbins].set(hdr)
+    ).astype(jnp.int32).reshape(-1)
+    hdr_keys = (jnp.arange(4 * nbins, dtype=jnp.int32) << 8) | hdr
 
-    # concatenated streams via one gather: output slot k in [0, lens_total)
-    # belongs to bin b = searchsorted(cum_lens, k, right), local offset
-    # k - cum_lens_excl[b]
-    cum = jnp.cumsum(lens)
-    cum_excl = cum - lens
-    k = jnp.arange(n + 8, dtype=jnp.int32)
-    b_of = jnp.searchsorted(cum, k, side="right").astype(jnp.int32)
-    b_clamped = jnp.minimum(b_of, nbins - 1)
-    local = k - cum_excl[b_clamped]
-    vals = streams[b_clamped, jnp.clip(local, 0, stream_pad - 1)]
-    valid = k < lens_total
-    out = out.at[jnp.where(valid, 4 * nbins + k, out_size)].set(
-        jnp.where(valid, vals, 0), mode="drop"
-    )
+    lanes = jnp.arange(5, dtype=jnp.int32)[None, :]
+    valid = lanes < counts[:, None]
+    tok_keys = jnp.where(
+        valid,
+        ((dest[:, None] + lanes) << 8) | planes.astype(jnp.int32),
+        jnp.int32(2**31 - 1),
+    ).reshape(-1)
 
-    # escapes after the streams
-    esc_base = 4 * nbins + lens_total
-    pos = jnp.arange(n, dtype=jnp.uint32)
-    targets = jnp.where(esc_mask, esc_base + 5 * eoff, out_size)
-    out = out.at[targets].set(qual, mode="drop")
-    out = out.at[jnp.where(esc_mask, targets + 1, out_size)].set(
-        (pos & 0xFF).astype(jnp.uint8), mode="drop"
-    )
-    out = out.at[jnp.where(esc_mask, targets + 2, out_size)].set(
-        ((pos >> 8) & 0xFF).astype(jnp.uint8), mode="drop"
-    )
-    out = out.at[jnp.where(esc_mask, targets + 3, out_size)].set(
-        ((pos >> 16) & 0xFF).astype(jnp.uint8), mode="drop"
-    )
-    out = out.at[jnp.where(esc_mask, targets + 4, out_size)].set(
-        ((pos >> 24) & 0xFF).astype(jnp.uint8), mode="drop"
-    )
-    total = 4 * nbins + lens_total + 5 * esc_cnt
-    return out[:out_size], total
+    out_size = 4 * nbins + n + 8
+    srt = jnp.sort(jnp.concatenate([hdr_keys, tok_keys]))
+    take = min(out_size, srt.shape[0])
+    out = jnp.zeros(out_size, dtype=jnp.uint8)
+    out = out.at[:take].set((srt[:take] & 0xFF).astype(jnp.uint8))
+    k = jnp.arange(out_size, dtype=jnp.int32)
+    return jnp.where(k < total, out, 0).astype(jnp.uint8), total
 
 
 def coords_encode_device(values: jnp.ndarray, out_size: int):
     """Coordinate coder (reference rfqcodec.cpp:1262-1330) on device.
-
-    values: (n,) int32. Returns (out (out_size,) u8, length). out_size must
-    be >= 3n + 8.
-    """
+    values: (n,) int32; out_size >= 3n + 8. Returns (out, length)."""
     n = values.shape[0]
     v = values.astype(jnp.int32)
     i = jnp.arange(n, dtype=jnp.int32)
@@ -211,9 +288,9 @@ def coords_encode_device(values: jnp.ndarray, out_size: int):
     end_idx = _suffix_min(nonrep_pos)
     rep_len = jnp.where(is_rep, end_idx - rs_idx, 0)
 
-    k = off_in_rep + 1
-    full32 = is_rep & (k % 32 == 0)
-    is_last = is_rep & (k == rep_len) & (rep_len % 32 != 0)
+    kk = off_in_rep + 1
+    full32 = is_rep & (kk % 32 == 0)
+    is_last = is_rep & (kk == rep_len) & (rep_len % 32 != 0)
 
     counts = (
         is_delta.astype(jnp.int32)
@@ -222,11 +299,8 @@ def coords_encode_device(values: jnp.ndarray, out_size: int):
         + full32.astype(jnp.int32)
         + is_last.astype(jnp.int32)
     )
-    off, total = _exclusive_cumsum(counts)
-
     rem = rep_len % 32
     vu = v.astype(jnp.uint32)
-    # first byte at off: full32 run byte OR the token byte
     first_b = jnp.where(
         full32,
         jnp.uint32(0xC0 | 31),
@@ -239,18 +313,11 @@ def coords_encode_device(values: jnp.ndarray, out_size: int):
                 jnp.where(is_abs2, vu >> 8, jnp.where(is_abs3, (vu >> 16) | 0xE0, 0)),
             ),
         ),
-    ).astype(jnp.uint8)
-    second_b = jnp.where(
-        is_abs2, vu & 0xFF, jnp.where(is_abs3, (vu >> 8) & 0xFF, 0)
-    ).astype(jnp.uint8)
-    third_b = jnp.where(is_abs3, vu & 0xFF, 0).astype(jnp.uint8)
-
-    dump = out_size
-    out = jnp.zeros(out_size + 1, dtype=jnp.uint8)
-    out = out.at[jnp.where(counts >= 1, off, dump)].set(first_b, mode="drop")
-    out = out.at[jnp.where(counts >= 2, off + 1, dump)].set(second_b, mode="drop")
-    out = out.at[jnp.where(counts >= 3, off + 2, dump)].set(third_b, mode="drop")
-    return out[:out_size], total
+    )
+    second_b = jnp.where(is_abs2, vu & 0xFF, jnp.where(is_abs3, (vu >> 8) & 0xFF, 0))
+    third_b = jnp.where(is_abs3, vu & 0xFF, 0)
+    planes = jnp.stack([first_b, second_b, third_b], axis=1).astype(jnp.uint8)
+    return _emit_gather(planes, counts, out_size)
 
 
 def pack_2bit_device(seq: jnp.ndarray) -> jnp.ndarray:

@@ -157,6 +157,50 @@ def batch_big():
     _write("se_fewn.fq.gz", "".join(out))
 
 
+
+
+
+def batch_nov():
+    """PE pairs with N bases inside overlap regions (seed 99)."""
+    random.seed(99)
+    bases = "ACGT"
+    quals = "FF:,:F"
+    comp = {"A": "T", "T": "A", "C": "G", "G": "C", "N": "N"}
+    out1, out2 = [], []
+    for i in range(400):
+        x = random.randint(1000, 30000)
+        y = 1000 + i * 3
+        L = 110
+        s1 = [random.choice(bases) for _ in range(L)]
+        q1 = [random.choice(quals) for _ in range(L)]
+        if random.random() < 0.15:
+            p = random.randint(L - 40, L - 1)
+            s1[p] = "N"
+            q1[p] = random.choice(quals)
+        if random.random() < 0.4:
+            o = random.randint(15, 100)
+            rc = [comp[c] for c in reversed(s1[-o:])]
+            s2r = rc + [random.choice(bases) for _ in range(L - o)]
+            s2 = [comp[c] for c in reversed(s2r)]
+        else:
+            s2 = [random.choice(bases) for _ in range(L)]
+            if random.random() < 0.1:
+                p = random.randint(0, L - 1)
+                s2[p] = "N"
+        q2 = [random.choice(quals) for _ in range(L)]
+        out1.append(
+            "@A00251:28:H3YV7DSXX:4:1101:%d:%d 1:N:0:TAAGTGGC\n%s\n+\n%s\n"
+            % (x, y, "".join(s1), "".join(q1))
+        )
+        out2.append(
+            "@A00251:28:H3YV7DSXX:4:1101:%d:%d 2:N:0:TAAGTGGC\n%s\n+\n%s\n"
+            % (x, y, "".join(s2), "".join(q2))
+        )
+    _write("pe_nov_R1.fq.gz", "".join(out1))
+    _write("pe_nov_R2.fq.gz", "".join(out2))
+
+
 if __name__ == "__main__":
     batch_small()
     batch_big()
+    batch_nov()

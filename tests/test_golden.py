@@ -18,6 +18,9 @@ SE_CASES = [
 PE_CASES = [
     ("pe_R1.fq", "pe_R2.fq", "pe.ref.rfq", 1000),
     ("pe_big_R1.fq", "pe_big_R2.fq", "pe_big.ref.k100.rfq", 100),
+    # N bases inside overlap regions with <100 Ns total: the N-position
+    # stream is recorded against the truncated (overlap-elided) sequence
+    ("pe_nov_R1.fq", "pe_nov_R2.fq", "pe_nov.ref.rfq", 1000),
 ]
 
 ENGINES = ["oracle", "vectorized"]
