@@ -59,6 +59,10 @@ def build_parser() -> argparse.ArgumentParser:
         "--engine", default="auto", choices=["auto", "oracle", "vectorized"],
         help="codec engine (default: vectorized when available)",
     )
+    p.add_argument(
+        "--profile", action="store_true",
+        help="print per-stage wall-clock/throughput counters to stderr",
+    )
     p.add_argument("--version", action="version",
                    version="repaq-tpu %s" % VERSION_NUM.decode())
     return p
@@ -86,7 +90,49 @@ def _xz_compress_args(compression: int, threads: int) -> list[str]:
     return args
 
 
+def self_test() -> int:
+    """Built-in self test (`repaq-tpu test`, reference main.cpp:20-24 /
+    unittest.cpp). Runs the name-parser check the reference runs, plus
+    coder roundtrips."""
+    import numpy as np
+
+    from .codec import kernels_np as K
+    from .codec import oracle
+    from .meta import parse_name
+
+    m = parse_name(b"@A00251:28:H3YV7DSXX:40:1101:2356:1000 1:N:0:TAAGTGGC")
+    assert m.name_part1 == b"@A00251:28:H3YV7DSXX"
+    assert (m.lane, m.tile, m.x, m.y) == (40, 1101, 2356, 1000)
+    assert m.name_part2 == b" 1:N:0:TAAGTGGC"
+    print("FastqMeta test: PASSED")
+
+    seq = b"ACGTNACGTACGTGGCCATTA"
+    assert bytes(oracle.unpack_bases_2bit(oracle.pack_bases_2bit(seq), len(seq))) == (
+        seq.replace(b"N", b"G")
+    )
+    print("2-bit pack test: PASSED")
+
+    assert oracle.reverse_complement(b"ACGTN") == b"NACGT"
+    print("reverse complement test: PASSED")
+
+    qual = np.frombuffer(b"FF::F,FFF::F", dtype=np.uint8)
+    enc = K.encode_positions(np.flatnonzero(qual == ord(":")))
+    assert np.array_equal(
+        K.decode_positions(enc), np.flatnonzero(qual == ord(":"))
+    )
+    print("position coder test: PASSED")
+
+    vals = np.array([1000, 1000, 1032, 15000, 15000, 2000000], dtype=np.int64)
+    assert np.array_equal(K.decode_coords(K.encode_coords(vals), 6), vals)
+    print("coordinate coder test: PASSED")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
+    if argv is None:
+        argv = sys.argv[1:]
+    if len(argv) == 1 and argv[0] == "test":
+        return self_test()
     args = build_parser().parse_args(argv)
 
     mode_count = sum([args.compress, args.decompress, args.compare])
@@ -234,6 +280,7 @@ def _run_compress(args, in1, out1, chunk_size, engine, out_stream):
             fast_verify=args.fast_verify,
             engine=engine,
             out_stream=out_stream,
+            profile=args.profile,
         )
     else:
         pipeline.compress_se(
@@ -244,6 +291,7 @@ def _run_compress(args, in1, out1, chunk_size, engine, out_stream):
             fast_verify=args.fast_verify,
             engine=engine,
             out_stream=out_stream,
+            profile=args.profile,
         )
 
 

@@ -205,6 +205,14 @@ class RfqHeader:
             raise RfqFormatError("bad quality string, is this a valid FASTQ file?")
         if qual_bins >= 64:
             # raw-copy fallback (reference rfqheader.cpp:207-212)
+            import sys
+
+            print(
+                "WARNING: this FASTQ file's quality bins are too complicated, "
+                "which may affect the compression ratio.\n"
+                "Please confirm this is a valid FASTQ file.",
+                file=sys.stderr,
+            )
             self.flags |= BIT_DONT_ENCODE_QUAL
 
         major = int(np.argmax(counts))  # lowest index wins ties

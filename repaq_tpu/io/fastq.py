@@ -45,8 +45,15 @@ _CR = ord("\r")
 
 
 class FastqReader:
-    def __init__(self, filename: str):
+    def __init__(self, filename: str, has_quality: bool = True, phred64: bool = False):
+        """has_quality=False reads 3-line records and synthesizes 'K' quals;
+        phred64 converts quality to phred33 via max(33, q-31) (reference
+        fastqreader.h ctor options + read.cpp:39-43; dormant in the
+        reference CLI but part of its reader capability)."""
         self.filename = filename
+        self.has_quality = has_quality
+        self.phred64 = phred64
+        self._lpr = 4 if has_quality else 3  # lines per record
         self.zipped = filename.endswith(".gz")
         if self.zipped:
             self._file = gzip.open(filename, "rb")
@@ -143,11 +150,12 @@ class FastqReader:
         record_end[i] = buffer offset one past record i's terminating
         newline. Includes an unterminated final record at EOF."""
         nl = self._nl
+        lpr = self._lpr
         n_lines = nl.shape[0]
-        count = n_lines // 4
+        count = n_lines // lpr
         tail_start = int(nl[-1]) + 1 if n_lines else self._buf_used
         has_tail = self._eof and tail_start < len(self._buf)
-        if has_tail and n_lines % 4 == 3:
+        if has_tail and n_lines % lpr == lpr - 1:
             # final record with unterminated quality line
             count_extra = 1
         else:
@@ -155,13 +163,13 @@ class FastqReader:
         total = count + count_extra
         if total == 0:
             return 0, None, None
-        seq_start = nl[0 : 4 * count : 4] + 1
-        seq_end = nl[1 : 4 * count + 1 : 4]
+        seq_start = nl[0 : lpr * count : lpr] + 1
+        seq_end = nl[1 : lpr * count + 1 : lpr]
         seq_lens = seq_end - seq_start
-        rec_end = nl[3 : 4 * count + 3 : 4] + 1
+        rec_end = nl[lpr - 1 : lpr * count + lpr - 1 : lpr] + 1
         if count_extra:
             seq_lens = np.concatenate(
-                [seq_lens, [int(nl[4 * count + 1]) - int(nl[4 * count]) - 1]]
+                [seq_lens, [int(nl[lpr * count + 1]) - int(nl[lpr * count]) - 1]]
             )
             rec_end = np.concatenate([rec_end, [len(self._buf)]])
         return total, seq_lens, rec_end
@@ -170,36 +178,47 @@ class FastqReader:
         """Build a ReadBlock from the first k available records and consume
         them. Returns (block, global e after the k-th record)."""
         nl = self._nl
-        count_term = min(k, nl.shape[0] // 4)
+        lpr = self._lpr
+        count_term = min(k, nl.shape[0] // lpr)
         used = self._buf_used
         flat = np.frombuffer(self._buf, dtype=np.uint8)
 
-        line_starts = np.empty(4 * count_term, dtype=np.int64)
+        line_starts = np.empty(lpr * count_term, dtype=np.int64)
         line_starts[0] = used
-        line_starts[1:] = nl[: 4 * count_term - 1] + 1
-        line_ends = nl[: 4 * count_term].copy()
+        line_starts[1:] = nl[: lpr * count_term - 1] + 1
+        line_ends = nl[: lpr * count_term].copy()
         if k > count_term:
-            # unterminated final record (3 newlines + tail)
-            extra_starts = np.empty(4, dtype=np.int64)
-            extra_starts[0] = nl[4 * count_term - 1] + 1 if count_term else used
-            base = 4 * count_term
-            extra_starts[1:] = nl[base : base + 3] + 1
-            extra_ends = np.concatenate([nl[base : base + 3], [len(self._buf)]])
+            # unterminated final record (lpr-1 newlines + tail)
+            extra_starts = np.empty(lpr, dtype=np.int64)
+            extra_starts[0] = nl[lpr * count_term - 1] + 1 if count_term else used
+            base = lpr * count_term
+            extra_starts[1:] = nl[base : base + lpr - 1] + 1
+            extra_ends = np.concatenate(
+                [nl[base : base + lpr - 1], [len(self._buf)]]
+            )
             line_starts = np.concatenate([line_starts, extra_starts])
             line_ends = np.concatenate([line_ends, extra_ends])
             new_used = len(self._buf) + 1  # mirrors the reference's end+1
         else:
-            new_used = int(nl[4 * count_term - 1]) + 1
+            new_used = int(nl[lpr * count_term - 1]) + 1
 
         def part(j):
-            starts = line_starts[j::4]
-            lens = line_ends[j::4] - starts
+            starts = line_starts[j::lpr]
+            lens = line_ends[j::lpr] - starts
             return gather_slices(flat, starts, lens), lens_to_offsets(lens)
 
         name_flat, name_off = part(0)
         seq_flat, seq_off = part(1)
         strand_flat, strand_off = part(2)
-        qual_flat, qual_off = part(3)
+        if self.has_quality:
+            qual_flat, qual_off = part(3)
+            if self.phred64:
+                qual_flat = np.maximum(qual_flat.astype(np.int16) - 31, 33).astype(
+                    np.uint8
+                )
+        else:
+            qual_off = seq_off.copy()
+            qual_flat = np.full(int(qual_off[-1]), ord("K"), dtype=np.uint8)
         block = ReadBlock(
             k, name_flat, name_off, seq_flat, seq_off,
             strand_flat, strand_off, qual_flat, qual_off,
@@ -345,10 +364,14 @@ class FastqReader:
         if not name or not seq or not strand:
             self._dead = True
             return None
+        if not self.has_quality:
+            return FastqRead(name, seq, strand, b"K" * len(seq))
         qual = self._get_line()
         if not qual:
             self._dead = True
             return None
+        if self.phred64:
+            qual = bytes(max(33, q - 31) for q in qual)
         return FastqRead(name, seq, strand, qual)
 
 

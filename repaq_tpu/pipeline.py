@@ -32,6 +32,7 @@ from .constants import (
 from .format.chunk import RfqChunk
 from .format.header import RfqFormatError, RfqHeader
 from .io.fastq import FastqReader, FastqReaderPair, Writer
+from .profiling import NULL_TIMER, StageTimer
 
 
 @dataclass
@@ -135,12 +136,13 @@ def _open_out(out1: str, out_stream):
 
 
 class _Compressor:
-    def __init__(self, out, engine, verify, fast_verify, is_pe):
+    def __init__(self, out, engine, verify, fast_verify, is_pe, timer=NULL_TIMER):
         self.out = out
         self.engine = engine
         self.verify = verify
         self.fast_verify = fast_verify
         self.is_pe = is_pe
+        self.timer = timer
         self.header: Optional[RfqHeader] = None
         self.header_bytes = b""
         self.passnum = 0
@@ -165,17 +167,23 @@ class _Compressor:
                 raise RfqFormatError(
                     "encoding error in header, the output will be wrong, quit now!"
                 )
-        chunk = self.engine.encode_chunk(self.header, block, self.is_pe)
+        with self.timer.stage("encode", block.total_bases):
+            chunk = self.engine.encode_chunk(self.header, block, self.is_pe)
         if chunk is None:
             return
         if flag_r1:
             chunk.flags |= BIT_HAS_NO_LINE_BREAK_AT_END
         if self.is_pe and flag_r2:
             chunk.flags |= BIT_HAS_NO_LINE_BREAK_AT_END_R2
-        data = chunk.to_bytes()
-        self.out.write(data)
+        with self.timer.stage("serialize"):
+            data = chunk.to_bytes()
+        with self.timer.stage("write", len(data)):
+            self.out.write(data)
         if self.verify or (self.fast_verify and self.passnum % 10 == 0):
-            _verify_chunk(self.header, data, block, self.engine, self.header_bytes)
+            with self.timer.stage("verify"):
+                _verify_chunk(
+                    self.header, data, block, self.engine, self.header_bytes
+                )
         self.passnum += 1
 
 
@@ -187,17 +195,22 @@ def compress_se(
     fast_verify: bool = False,
     engine: Optional[EngineConfig] = None,
     out_stream=None,
+    profile: bool = False,
 ) -> None:
     engine = engine or get_engine()
+    timer = StageTimer(profile)
     reader = FastqReader(in1)
     out, own = _open_out(out1, out_stream)
-    comp = _Compressor(out, engine, verify, fast_verify, is_pe=False)
+    comp = _Compressor(out, engine, verify, fast_verify, is_pe=False, timer=timer)
     while True:
-        block, flag = reader.read_block(budget_bases=chunk_size)
+        with timer.stage("read"):
+            block, flag = reader.read_block(budget_bases=chunk_size)
         if block is None or block.n == 0:
             break
+        timer.bytes["read"] += block.total_bases
         comp.flush(block, flag, False)
     reader.close()
+    timer.report("compress")
     if own:
         out.close()
     elif out is sys.stdout.buffer:
@@ -214,17 +227,22 @@ def compress_pe(
     fast_verify: bool = False,
     engine: Optional[EngineConfig] = None,
     out_stream=None,
+    profile: bool = False,
 ) -> None:
     engine = engine or get_engine()
+    timer = StageTimer(profile)
     reader = FastqReaderPair(in1, in2, interleaved)
     out, own = _open_out(out1, out_stream)
-    comp = _Compressor(out, engine, verify, fast_verify, is_pe=True)
+    comp = _Compressor(out, engine, verify, fast_verify, is_pe=True, timer=timer)
     while True:
-        block, flag1, flag2 = reader.read_pair_block(chunk_size)
+        with timer.stage("read"):
+            block, flag1, flag2 = reader.read_pair_block(chunk_size)
         if block is None or block.n == 0:
             break
+        timer.bytes["read"] += block.total_bases
         comp.flush(block, flag1, flag2)
     reader.close()
+    timer.report("compress")
     if own:
         out.close()
     elif out is sys.stdout.buffer:
