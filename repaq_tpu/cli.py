@@ -60,6 +60,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="codec engine (default: vectorized when available)",
     )
     p.add_argument(
+        "--workers", "-w", type=int, default=1,
+        help="encoder worker threads (chunks are data-parallel; output is "
+        "identical for any worker count). Extension over the reference.",
+    )
+    p.add_argument(
         "--profile", action="store_true",
         help="print per-stage wall-clock/throughput counters to stderr",
     )
@@ -281,6 +286,7 @@ def _run_compress(args, in1, out1, chunk_size, engine, out_stream):
             engine=engine,
             out_stream=out_stream,
             profile=args.profile,
+            workers=args.workers,
         )
     else:
         pipeline.compress_se(
@@ -292,6 +298,7 @@ def _run_compress(args, in1, out1, chunk_size, engine, out_stream):
             engine=engine,
             out_stream=out_stream,
             profile=args.profile,
+            workers=args.workers,
         )
 
 

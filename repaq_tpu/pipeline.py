@@ -136,7 +136,16 @@ def _open_out(out1: str, out_stream):
 
 
 class _Compressor:
-    def __init__(self, out, engine, verify, fast_verify, is_pe, timer=NULL_TIMER):
+    """Chunk encoder with optional worker-thread data parallelism.
+
+    Chunks are independent once the header is fixed (reference
+    repaq.cpp:553-566), so with workers > 1 encode jobs run on a thread
+    pool (the native kernels and numpy release the GIL) while writes stay
+    ordered. Output bytes are identical for any worker count.
+    """
+
+    def __init__(self, out, engine, verify, fast_verify, is_pe,
+                 timer=NULL_TIMER, workers: int = 1):
         self.out = out
         self.engine = engine
         self.verify = verify
@@ -146,37 +155,49 @@ class _Compressor:
         self.header: Optional[RfqHeader] = None
         self.header_bytes = b""
         self.passnum = 0
+        self.workers = max(1, workers)
+        self._pool = None
+        self._pending = None
+        if self.workers > 1:
+            from collections import deque
+            from concurrent.futures import ThreadPoolExecutor
 
-    def flush(self, block: ReadBlock, flag_r1: bool, flag_r2: bool) -> None:
-        if self.header is None:
-            mk = (
-                self.engine.make_header_pe
-                if self.is_pe
-                else self.engine.make_header_se
-            )
-            self.header = mk(block)
-            if self.header is None:
-                raise RfqFormatError(
-                    "failed to encode, please confirm the input FASTQ file is "
-                    "valid and not empty"
-                )
-            self.header_bytes = self.header.to_bytes()
-            self.out.write(self.header_bytes)
-            check = RfqHeader.read(_io.BytesIO(self.header_bytes))
-            if not self.header.identical_with(check):
-                raise RfqFormatError(
-                    "encoding error in header, the output will be wrong, quit now!"
-                )
-        with self.timer.stage("encode", block.total_bases):
-            chunk = self.engine.encode_chunk(self.header, block, self.is_pe)
-        if chunk is None:
+            self._pool = ThreadPoolExecutor(max_workers=self.workers)
+            self._pending = deque()
+
+    def _ensure_header(self, block: ReadBlock) -> None:
+        if self.header is not None:
             return
+        mk = (
+            self.engine.make_header_pe if self.is_pe else self.engine.make_header_se
+        )
+        self.header = mk(block)
+        if self.header is None:
+            raise RfqFormatError(
+                "failed to encode, please confirm the input FASTQ file is "
+                "valid and not empty"
+            )
+        self.header_bytes = self.header.to_bytes()
+        self.out.write(self.header_bytes)
+        check = RfqHeader.read(_io.BytesIO(self.header_bytes))
+        if not self.header.identical_with(check):
+            raise RfqFormatError(
+                "encoding error in header, the output will be wrong, quit now!"
+            )
+
+    def _encode(self, block: ReadBlock, flag_r1: bool, flag_r2: bool):
+        chunk = self.engine.encode_chunk(self.header, block, self.is_pe)
+        if chunk is None:
+            return None
         if flag_r1:
             chunk.flags |= BIT_HAS_NO_LINE_BREAK_AT_END
         if self.is_pe and flag_r2:
             chunk.flags |= BIT_HAS_NO_LINE_BREAK_AT_END_R2
-        with self.timer.stage("serialize"):
-            data = chunk.to_bytes()
+        return chunk.to_bytes()
+
+    def _emit(self, data: Optional[bytes], block: ReadBlock) -> None:
+        if data is None:
+            return
         with self.timer.stage("write", len(data)):
             self.out.write(data)
         if self.verify or (self.fast_verify and self.passnum % 10 == 0):
@@ -185,6 +206,28 @@ class _Compressor:
                     self.header, data, block, self.engine, self.header_bytes
                 )
         self.passnum += 1
+
+    def flush(self, block: ReadBlock, flag_r1: bool, flag_r2: bool) -> None:
+        self._ensure_header(block)
+        if self._pool is None:
+            with self.timer.stage("encode", block.total_bases):
+                data = self._encode(block, flag_r1, flag_r2)
+            self._emit(data, block)
+            return
+        self._pending.append(
+            (self._pool.submit(self._encode, block, flag_r1, flag_r2), block)
+        )
+        while len(self._pending) > self.workers + 2:
+            fut, blk = self._pending.popleft()
+            self._emit(fut.result(), blk)
+
+    def finish(self) -> None:
+        if self._pending:
+            while self._pending:
+                fut, blk = self._pending.popleft()
+                self._emit(fut.result(), blk)
+        if self._pool is not None:
+            self._pool.shutdown()
 
 
 def compress_se(
@@ -196,12 +239,14 @@ def compress_se(
     engine: Optional[EngineConfig] = None,
     out_stream=None,
     profile: bool = False,
+    workers: int = 1,
 ) -> None:
     engine = engine or get_engine()
     timer = StageTimer(profile)
     reader = FastqReader(in1)
     out, own = _open_out(out1, out_stream)
-    comp = _Compressor(out, engine, verify, fast_verify, is_pe=False, timer=timer)
+    comp = _Compressor(out, engine, verify, fast_verify, is_pe=False,
+                       timer=timer, workers=workers)
     while True:
         with timer.stage("read"):
             block, flag = reader.read_block(budget_bases=chunk_size)
@@ -209,6 +254,7 @@ def compress_se(
             break
         timer.bytes["read"] += block.total_bases
         comp.flush(block, flag, False)
+    comp.finish()
     reader.close()
     timer.report("compress")
     if own:
@@ -228,12 +274,14 @@ def compress_pe(
     engine: Optional[EngineConfig] = None,
     out_stream=None,
     profile: bool = False,
+    workers: int = 1,
 ) -> None:
     engine = engine or get_engine()
     timer = StageTimer(profile)
     reader = FastqReaderPair(in1, in2, interleaved)
     out, own = _open_out(out1, out_stream)
-    comp = _Compressor(out, engine, verify, fast_verify, is_pe=True, timer=timer)
+    comp = _Compressor(out, engine, verify, fast_verify, is_pe=True,
+                       timer=timer, workers=workers)
     while True:
         with timer.stage("read"):
             block, flag1, flag2 = reader.read_pair_block(chunk_size)
@@ -241,6 +289,7 @@ def compress_pe(
             break
         timer.bytes["read"] += block.total_bases
         comp.flush(block, flag1, flag2)
+    comp.finish()
     reader.close()
     timer.report("compress")
     if own:

@@ -204,3 +204,23 @@ if __name__ == "__main__":
     batch_small()
     batch_big()
     batch_nov()
+    batch_crlf()
+
+
+def batch_crlf():
+    """CRLF-terminated SE file (seed 5) exercising the scalar reader."""
+    random.seed(5)
+    bases = "ACGT"
+    quals = "FF:,:F"
+    lines = []
+    for i in range(150):
+        seq = "".join(random.choice(bases) for _ in range(90))
+        q = "".join(random.choice(quals) for _ in range(90))
+        lines.append(
+            "@A00251:28:H3YV7DSXX:4:1101:%d:%d 1:N:0:TAAGTGGC"
+            % (random.randint(1000, 30000), 1000 + i)
+        )
+        lines.append(seq)
+        lines.append("+")
+        lines.append(q)
+    _write("se_crlf.fq.gz", "\r\n".join(lines) + "\r\n")

@@ -75,6 +75,23 @@ def test_pe_decode_restores_original(fixtures_dir, tmp_path, r1, r2, golden, kb,
     assert out2.read_bytes() == (fixtures_dir / r2).read_bytes()
 
 
+def test_crlf_input_matches(fixtures_dir, tmp_path):
+    """CRLF line endings route through the quirk-exact scalar reader and
+    must still match the reference byte-for-byte."""
+    out = tmp_path / "crlf.rfq"
+    pipeline.compress_se(str(fixtures_dir / "se_crlf.fq"), str(out))
+    assert out.read_bytes() == (fixtures_dir / "se_crlf.ref.rfq").read_bytes()
+
+
+def test_workers_output_identical(fixtures_dir, tmp_path):
+    """Thread-pool chunk encoding must be byte-identical to serial."""
+    out = tmp_path / "w.rfq"
+    pipeline.compress_se(
+        str(fixtures_dir / "se_big.fq"), str(out), chunk_size=100_000, workers=4
+    )
+    assert out.read_bytes() == (fixtures_dir / "se_big.ref.k100.rfq").read_bytes()
+
+
 def test_gz_input_matches(fixtures_dir, tmp_path):
     out = tmp_path / "out.rfq"
     pipeline.compress_se(
