@@ -320,6 +320,204 @@ def coords_encode_device(values: jnp.ndarray, out_size: int):
     return _emit_gather(planes, counts, out_size)
 
 
+# ---------------------------------------------------------------------------
+# decode side
+# ---------------------------------------------------------------------------
+
+
+def token_start_mask(lens: jnp.ndarray, force_start: jnp.ndarray | None = None):
+    """Token boundary detection as a parallel FSM scan.
+
+    The stream grammar (tokens of 1/2/4 or 1/2/3 bytes, width determined by
+    the first byte) is a 4-state machine: state = bytes remaining of the
+    current token. Each byte contributes the map m(s) = lens[i]-1 if s==0
+    else s-1; prefix-composing the maps with lax.associative_scan
+    parallelizes the walk. force_start marks positions where a new token
+    must begin regardless of state (per-bin stream boundaries).
+
+    lens: (n,) int32 token length IF a token started at that byte.
+    Returns bool (n,) start mask.
+    """
+    n = lens.shape[0]
+    s = jnp.arange(4, dtype=jnp.int32)[None, :]
+    maps = jnp.where(s == 0, lens[:, None] - 1, s - 1).astype(jnp.int32)
+    maps = jnp.clip(maps, 0, 3)
+    if force_start is not None:
+        forced = jnp.clip(lens[:, None] - 1, 0, 3) * jnp.ones_like(s)
+        maps = jnp.where(force_start[:, None], forced, maps)
+
+    def compose(a, b):
+        # apply a (earlier) then b (later)
+        return jnp.take_along_axis(b, a, axis=-1)
+
+    prefix = jax.lax.associative_scan(compose, maps)
+    state_after = prefix[:, 0]  # state after byte i, starting from state 0
+    state_before = jnp.concatenate(
+        [jnp.zeros(1, dtype=jnp.int32), state_after[:-1]]
+    )
+    starts = state_before == 0
+    if force_start is not None:
+        starts = starts | force_start
+    return starts
+
+
+def _stream_lens_device(buf: jnp.ndarray) -> jnp.ndarray:
+    """Per-byte token length for the gap/run stream grammar (valid only at
+    token starts): 0xxxxxxx=1, 10xxxxxx=2, 110xxxxx=1, 111xxxxx=4."""
+    b = buf.astype(jnp.int32)
+    return jnp.where(
+        b < 0x80, 1, jnp.where(b < 0xC0, 2, jnp.where(b < 0xE0, 1, 4))
+    )
+
+
+def decode_positions_device(buf: jnp.ndarray, valid_len: jnp.ndarray,
+                            max_positions: int, force_start=None,
+                            valid_begin=0):
+    """Decode a gap/run stream (reference rfqcodec.cpp:957-1007) on device.
+
+    buf: (m,) uint8 stream padded with >=4 zero bytes beyond valid_len;
+    tokens live in [valid_begin, valid_len). Returns (positions:
+    (max_positions,) int32 padded with -1, count). Restart semantics:
+    positions/state reset wherever force_start is True (used to decode all
+    per-bin streams in one pass; each segment's `last` restarts at -1).
+    """
+    m = buf.shape[0]
+    idx = jnp.arange(m, dtype=jnp.int32)
+    in_range = (idx >= valid_begin) & (idx < valid_len)
+    lens = jnp.where(in_range, _stream_lens_device(buf), 1)
+    starts = token_start_mask(lens, force_start) & in_range
+
+    b0 = buf.astype(jnp.int32)
+    nxt1 = jnp.roll(buf, -1).astype(jnp.int32)
+    nxt2 = jnp.roll(buf, -2).astype(jnp.int32)
+    nxt3 = jnp.roll(buf, -3).astype(jnp.int32)
+    is_gap1 = b0 < 0x80
+    is_gap2 = (b0 >= 0x80) & (b0 < 0xC0)
+    is_run = (b0 >= 0xC0) & (b0 < 0xE0)
+    is_gap4 = b0 >= 0xE0
+    dist = jnp.where(
+        is_gap1,
+        b0 + 1,
+        jnp.where(
+            is_gap2,
+            (((b0 & 0x3F) << 8) | nxt1) + 1,
+            jnp.where(
+                is_gap4,
+                (((b0 & 0x1F) << 24) | (nxt1 << 16) | (nxt2 << 8) | nxt3) + 1,
+                1,  # run tokens advance by 1 per covered position
+            ),
+        ),
+    )
+    npos_tok = jnp.where(starts, jnp.where(is_run, (b0 & 0x1F) + 1, 1), 0)
+
+    # expand tokens to per-position deltas: delta=dist at each token's first
+    # position, 1 within runs; positions = segmented cumsum of deltas - 1
+    cum_pos = jnp.cumsum(npos_tok)
+    count = cum_pos[-1] if m else jnp.int32(0)
+    first_slot = cum_pos - npos_tok  # output slot of each token's 1st pos
+    deltas = jnp.ones(max_positions + 1, dtype=jnp.int32)
+    slot = jnp.where(starts, jnp.minimum(first_slot, max_positions), max_positions)
+    deltas = deltas.at[slot].set(jnp.where(starts, dist, 1), mode="drop")
+    # segment resets: if force_start begins a new bin segment, the running
+    # position restarts at -1 -> make that slot's delta absolute
+    if force_start is not None:
+        seg_first = starts & force_start
+        seg_slot = jnp.where(
+            seg_first, jnp.minimum(first_slot, max_positions), max_positions
+        )
+        # mark segment-first slots; positions are rebuilt per segment below
+        seg_mark = jnp.zeros(max_positions + 1, dtype=jnp.int32)
+        seg_mark = seg_mark.at[seg_slot].set(
+            jnp.where(seg_first, 1, 0), mode="drop"
+        )
+        # segmented cumsum: subtract the running total at each segment start
+        raw = jnp.cumsum(deltas[:max_positions])
+        seg_id = jnp.cumsum(seg_mark[:max_positions])
+        # value of raw just before each segment start
+        seg_base = jnp.where(seg_mark[:max_positions] == 1,
+                             raw - deltas[:max_positions], 0)
+        seg_base = jax.lax.cummax(seg_base)
+        positions = raw - seg_base - 1
+    else:
+        positions = jnp.cumsum(deltas[:max_positions]) - 1
+    k = jnp.arange(max_positions, dtype=jnp.int32)
+    positions = jnp.where(k < count, positions, -1)
+    return positions, count
+
+
+def qualcol_decode_device(buf: jnp.ndarray, nbins: int, bins: jnp.ndarray,
+                          major: jnp.ndarray, length: int,
+                          total_len: jnp.ndarray):
+    """By-column quality decode (reference rfqcodec.cpp:1009-1047) on
+    device: ONE FSM pass over all per-bin streams (boundaries force token
+    restarts), segmented position reconstruction, scatter of bin chars,
+    then escape records.
+
+    buf: (m,) uint8 (4*nbins length table + streams + escapes), padded with
+    >=5 zero bytes; total_len: scalar true qual_buf size (escape records
+    end there). Returns qual (length,) uint8.
+    """
+    m = buf.shape[0]
+    lens_table = (
+        buf[0 : 4 * nbins : 4].astype(jnp.int32)
+        | (buf[1 : 4 * nbins + 1 : 4].astype(jnp.int32) << 8)
+        | (buf[2 : 4 * nbins + 2 : 4].astype(jnp.int32) << 16)
+        | (buf[3 : 4 * nbins + 3 : 4].astype(jnp.int32) << 24)
+    )
+    cum_lens = jnp.cumsum(lens_table)
+    stream_begin = 4 * nbins + cum_lens - lens_table  # (B,)
+    stream_end = 4 * nbins + cum_lens[-1]
+
+    idx = jnp.arange(m, dtype=jnp.int32)
+    in_streams = (idx >= 4 * nbins) & (idx < stream_end)
+    force = jnp.zeros(m + 1, dtype=bool)
+    force = force.at[jnp.minimum(stream_begin, m)].set(True, mode="drop")
+    force = force[:m] & in_streams
+
+    positions, _cnt = decode_positions_device(
+        buf, stream_end, length, force_start=force, valid_begin=4 * nbins
+    )
+
+    # per-position bin id: count positions per bin, then bucket the output
+    # slots by the per-bin cumulative position counts
+    lens_dev = jnp.where(in_streams, _stream_lens_device(buf), 1)
+    starts = token_start_mask(lens_dev, force) & in_streams
+    b0 = buf.astype(jnp.int32)
+    is_run = (b0 >= 0xC0) & (b0 < 0xE0)
+    npos_tok = jnp.where(starts, jnp.where(is_run, (b0 & 0x1F) + 1, 1), 0)
+    tok_bin = jnp.searchsorted(stream_begin, idx, side="right") - 1
+    per_bin_npos = jax.ops.segment_sum(
+        npos_tok, jnp.clip(tok_bin, 0, nbins - 1), num_segments=nbins
+    )
+    cum_bin_pos = jnp.cumsum(per_bin_npos)
+    k = jnp.arange(length, dtype=jnp.int32)
+    pos_bin = jnp.minimum(
+        jnp.searchsorted(cum_bin_pos, k, side="right"), nbins - 1
+    )
+
+    qual = jnp.full(length, major, dtype=jnp.uint8)
+    tgt = jnp.where(positions >= 0, positions, length)  # OOB -> dropped
+    qual = qual.at[tgt].set(bins[pos_bin], mode="drop")
+
+    # escapes: 5-byte records in [stream_end, total_len)
+    esc_idx = jnp.arange(m // 5 + 1, dtype=jnp.int32)
+    rec = stream_end + 5 * esc_idx
+    rec_ok = (rec + 4) < total_len
+    recc = jnp.minimum(rec, m - 5)
+    ch = buf[recc]
+    pos = (
+        buf[recc + 1].astype(jnp.int32)
+        | (buf[recc + 2].astype(jnp.int32) << 8)
+        | (buf[recc + 3].astype(jnp.int32) << 16)
+        | (buf[recc + 4].astype(jnp.int32) << 24)
+    )
+    ok = rec_ok & (pos < length)
+    qual = qual.at[jnp.where(ok, pos, length)].set(
+        jnp.where(ok, ch, 0), mode="drop"
+    )
+    return qual
+
+
 def pack_2bit_device(seq: jnp.ndarray) -> jnp.ndarray:
     """(n,) uint8 bases -> (n/4,) packed (n must be a multiple of 4; pad
     with 'G' upstream). G=0 A=1 T=2 C=3, low bits first."""

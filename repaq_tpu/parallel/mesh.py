@@ -25,9 +25,12 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.device_streams import (
     coords_encode_device,
+    decode_positions_device,
     encode_positions_from_mask,
     pack_2bit_device,
+    qualcol_decode_device,
     qualcol_encode_device,
+    unpack_2bit_device,
 )
 
 
@@ -72,6 +75,24 @@ def device_encode_block(seqs, quals, xs, ys, bins, major, in_table):
         "y": y_out,
         "y_len": y_len,
     }
+
+
+def device_decode_block(packed, qual_buf, qual_len, npos_buf, npos_len,
+                        bins, major, reads, read_len):
+    """Decode one fixed-shape block on one device: 2-bit unpack, by-column
+    quality reconstruction, N restoration from the position stream
+    (reference rfqcodec.cpp:826-916 fixed-length path; overlap-elided PE
+    blocks take the host path)."""
+    n = reads * read_len
+    seq = unpack_2bit_device(packed)[:n]
+    npos, _cnt = decode_positions_device(npos_buf, npos_len, n)
+    tgt = jnp.where(npos >= 0, npos, n)
+    seq = jnp.concatenate([seq, jnp.zeros(1, dtype=jnp.uint8)])
+    seq = seq.at[tgt].set(ord("N"), mode="drop")[:n]
+    qual = qualcol_decode_device(
+        qual_buf, bins.shape[0], bins, major, n, qual_len
+    )
+    return seq.reshape(reads, read_len), qual.reshape(reads, read_len)
 
 
 def make_sharded_encode_step(mesh: Mesh, axis: str = "data"):

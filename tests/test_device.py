@@ -135,3 +135,49 @@ def test_histogram_device():
     got = np.asarray(D.qual_histogram_device(jnp.asarray(qual)))
     want = np.bincount(qual, minlength=128)[:128]
     assert np.array_equal(got, want)
+
+
+# ---------------------------------------------------------------------------
+# decode side
+# ---------------------------------------------------------------------------
+
+
+def test_decode_positions_device():
+    rng = np.random.default_rng(8)
+    for density in (0.02, 0.3, 0.95):
+        n = 6000
+        mask = rng.random(n) < density
+        enc = K.encode_positions(np.flatnonzero(mask))
+        buf = np.zeros(enc.shape[0] + 8, dtype=np.uint8)
+        buf[: enc.shape[0]] = enc
+        pos, cnt = D.decode_positions_device(
+            jnp.asarray(buf), jnp.int32(enc.shape[0]), n
+        )
+        want = np.flatnonzero(mask)
+        assert int(cnt) == want.shape[0]
+        assert np.array_equal(np.asarray(pos)[: want.shape[0]], want)
+
+
+def test_qualcol_decode_device():
+    rng = np.random.default_rng(15)
+    for trial in range(4):
+        n = 3000
+        table = rng.choice(
+            np.arange(33, 90, dtype=np.uint8), size=5, replace=False
+        )
+        qual = rng.choice(table, size=n)
+        if trial % 2:
+            qual[rng.integers(0, n, size=4)] = 100  # escapes
+        h = RfqHeader()
+        seq = rng.choice(np.frombuffer(b"GATC", dtype=np.uint8), size=n)
+        h.make_quality_table(seq, np.sort(table.repeat(2)))
+        bins = h.normal_qual_buf()
+        enc = K.encode_qual_by_col(qual, bins, h.major_qual())
+        buf = np.zeros(enc.shape[0] + 8, dtype=np.uint8)
+        buf[: enc.shape[0]] = enc
+        got = D.qualcol_decode_device(
+            jnp.asarray(buf), len(bins), jnp.asarray(bins),
+            jnp.uint8(h.major_qual()), n, jnp.int32(enc.shape[0]),
+        )
+        want = K.decode_qual_by_col(enc, bins, h.major_qual(), n)
+        assert np.asarray(got).tobytes() == want.tobytes(), trial

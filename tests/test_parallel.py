@@ -83,3 +83,39 @@ def test_graft_entry_dryrun():
     out = jax.jit(fn)(*args)
     jax.block_until_ready(out)
     g.dryrun_multichip(8)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs devices")
+def test_device_roundtrip_block():
+    """Full on-device encode -> decode roundtrip of one block."""
+    import jax.numpy as jnp
+
+    from repaq_tpu.parallel.mesh import device_decode_block, device_encode_block
+
+    reads, read_len = 64, 52
+    rng = np.random.default_rng(3)
+    seqs = rng.choice(
+        np.frombuffer(b"GATC", dtype=np.uint8), size=(reads, read_len)
+    )
+    # N bases with non-unique quals -> encode_n_pos style block
+    nmask = rng.random((reads, read_len)) < 0.05
+    seqs[nmask] = ord("N")
+    quals = rng.choice(np.frombuffer(b"FF:,#", dtype=np.uint8), size=(reads, read_len))
+    xs = rng.integers(0, 40000, size=reads).astype(np.int32)
+    ys = rng.integers(0, 40000, size=reads).astype(np.int32)
+    bins = np.frombuffer(b"#,:", dtype=np.uint8)
+    in_table = np.zeros(256, dtype=bool)
+    in_table[bins] = True
+    in_table[ord("F")] = True
+
+    enc = device_encode_block(
+        jnp.asarray(seqs), jnp.asarray(quals), jnp.asarray(xs), jnp.asarray(ys),
+        jnp.asarray(bins), jnp.uint8(ord("F")), jnp.asarray(in_table),
+    )
+    dseq, dqual = device_decode_block(
+        enc["packed"], enc["qual"], enc["qual_len"], enc["npos"],
+        enc["npos_len"], jnp.asarray(bins), jnp.uint8(ord("F")),
+        reads, read_len,
+    )
+    assert np.asarray(dseq).tobytes() == seqs.tobytes()
+    assert np.asarray(dqual).tobytes() == quals.tobytes()
