@@ -1,0 +1,219 @@
+"""Multi-host data-parallel compression.
+
+The .rfq format's chunks are independent once the header is fixed, and the
+header is a pure function of chunk 1 (reference repaq.cpp:553-566), so
+multi-host scaling needs no communication at all beyond ordered assembly:
+
+1. ``plan_chunks`` scans the input once (cheap newline/length pass, no
+   encoding) and emits every chunk's byte range plus its
+   no-trailing-newline flag — the flag timing is pure arithmetic over the
+   reference reader's 1MB lazy-fetch behavior (io/fastq._flag_visible).
+2. Every process derives the header independently from chunk 1 (bit
+   identical by construction — no broadcast needed).
+3. Each process encodes its contiguous chunk range to a part file;
+   process 0 concatenates header + parts in order. On a TPU pod the same
+   plan feeds per-host device meshes (parallel/mesh) and the parts travel
+   over jax.distributed collectives instead of files; the file transport
+   here keeps the mechanism testable with OS processes.
+
+Output bytes are identical to the serial pipeline for any process count
+(tests/test_distributed.py proves it against the golden fixtures).
+
+Plain (non-gz) inputs only — gzip streams cannot be seeked; gz inputs take
+the serial path. Single-end; the PE planner lands in a later round.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from ..format.header import RfqFormatError
+from ..io.fastq import FastqReader
+from ..pipeline import EngineConfig, _Compressor, get_engine
+
+
+@dataclass
+class ChunkSpec:
+    byte_start: int
+    byte_end: int  # one past the chunk's last consumed byte
+    n_reads: int
+    no_line_break_flag: bool
+
+
+def plan_chunks(path: str, chunk_size: int = 1_000_000) -> list[ChunkSpec]:
+    """One scanning pass: chunk boundaries + per-chunk flag state."""
+    reader = FastqReader(path)
+    plan: list[ChunkSpec] = []
+    offset = 0
+    while True:
+        block, flag = reader.read_block(budget_bases=chunk_size)
+        if block is None or block.n == 0:
+            break
+        end = reader._gbase + min(reader._buf_used, len(reader._buf))
+        plan.append(ChunkSpec(offset, end, block.n, flag))
+        offset = end
+    reader.close()
+    return plan
+
+
+def derive_header(path: str, chunk_size: int, engine: EngineConfig):
+    """Header as a pure function of chunk 1 — every rank computes it
+    locally and gets identical bytes (no broadcast needed)."""
+    reader = FastqReader(path)
+    block, _ = reader.read_block(budget_bases=chunk_size)
+    reader.close()
+    if block is None or block.n == 0:
+        raise RfqFormatError(
+            "failed to encode, please confirm the input FASTQ file is valid "
+            "and not empty"
+        )
+    header = engine.make_header_se(block)
+    return header
+
+
+class _RangeReader(FastqReader):
+    """FastqReader over a byte range of a plain file. The global offset
+    base is preserved so the no-newline flag arithmetic stays exact."""
+
+    def __init__(self, path: str, start: int, end: int, file_size: int,
+                 last_byte: int):
+        self._range_end = end
+        self._file_size = file_size
+        self._forced_last_byte = last_byte
+        self._range_pos = start
+        self._fh = open(path, "rb")
+        self._fh.seek(start)
+        # replicate FastqReader.__init__ manually (custom fetch + offsets)
+        self.filename = path
+        self.has_quality = True
+        self.phred64 = False
+        self._lpr = 4
+        self.zipped = False
+        self._file = self._fh
+        self._buf = b""
+        self._buf_used = 0
+        self._gbase = start
+        self._eof = False
+        self._total_size = start
+        self._last_byte = 10
+        self._scalar_mode = False
+        self._dead = False
+        import numpy as np
+
+        self._nl = np.empty(0, dtype=np.int64)
+        self._scanned = 0
+        self._fetch_block()
+
+    def _fetch_block(self) -> None:
+        want = min(1 << 20, self._range_end - self._range_pos)
+        data = self._fh.read(want) if want > 0 else b""
+        while 0 < len(data) < want:
+            more = self._fh.read(want - len(data))
+            if not more:
+                break
+            data += more
+        self._range_pos += len(data)
+        self._total_size += len(data)
+        if len(data) < (1 << 20):
+            self._eof = True
+        self._buf += data
+
+    def _flag_visible(self, e: int) -> bool:
+        # flags come precomputed from the plan; range readers never decide
+        return False
+
+
+def encode_chunk_range(
+    path: str,
+    plan: list[ChunkSpec],
+    lo: int,
+    hi: int,
+    header,
+    header_bytes: bytes,
+    out,
+    engine: EngineConfig,
+    chunk_size: int,
+    workers: int = 1,
+) -> None:
+    """Encode chunks plan[lo:hi] (already byte-delimited) to ``out``."""
+    if lo >= hi:
+        return
+    file_size = os.path.getsize(path)
+    with open(path, "rb") as f:
+        f.seek(max(0, file_size - 1))
+        last = f.read(1)
+    reader = _RangeReader(
+        path, plan[lo].byte_start, plan[hi - 1].byte_end, file_size,
+        last[0] if last else 10,
+    )
+    comp = _Compressor(out, engine, False, False, is_pe=False, workers=workers)
+    comp.header = header
+    comp.header_bytes = header_bytes
+    for spec in plan[lo:hi]:
+        block, _ = reader.read_block(max_records=spec.n_reads)
+        assert block is not None and block.n == spec.n_reads, (
+            "chunk plan mismatch at bytes %d..%d" % (spec.byte_start, spec.byte_end)
+        )
+        comp.flush(block, spec.no_line_break_flag, False)
+    comp.finish()
+    reader.close()
+
+
+def partition(n_chunks: int, n_processes: int) -> list[tuple[int, int]]:
+    """Contiguous chunk ranges, remainder spread over the first ranks."""
+    base = n_chunks // n_processes
+    rem = n_chunks % n_processes
+    ranges = []
+    lo = 0
+    for rank in range(n_processes):
+        size = base + (1 if rank < rem else 0)
+        ranges.append((lo, lo + size))
+        lo += size
+    return ranges
+
+
+def compress_se_distributed(
+    in1: str,
+    out1: str,
+    chunk_size: int = 1_000_000,
+    num_processes: int = 1,
+    process_id: int = 0,
+    engine: EngineConfig | None = None,
+    workers: int = 1,
+    assemble: bool = True,
+) -> str:
+    """Encode this process's chunk range to ``out1.part{pid}``; rank 0
+    (with assemble=True, after all parts exist) concatenates header +
+    parts into out1. Returns the part path written."""
+    engine = engine or get_engine()
+    plan = plan_chunks(in1, chunk_size)
+    header = derive_header(in1, chunk_size, engine)
+    header_bytes = header.to_bytes()
+    ranges = partition(len(plan), num_processes)
+    lo, hi = ranges[process_id]
+    part = "%s.part%d" % (out1, process_id)
+    with open(part, "wb") as f:
+        encode_chunk_range(
+            in1, plan, lo, hi, header, header_bytes, f, engine, chunk_size,
+            workers,
+        )
+    if assemble and process_id == 0:
+        assemble_parts(out1, header_bytes, num_processes)
+    return part
+
+
+def assemble_parts(out1: str, header_bytes: bytes, num_processes: int) -> None:
+    """Ordered concatenation: header, then each rank's part (rank order ==
+    chunk order). Parts are removed after assembly."""
+    with open(out1, "wb") as out:
+        out.write(header_bytes)
+        for pid in range(num_processes):
+            part = "%s.part%d" % (out1, pid)
+            with open(part, "rb") as f:
+                while True:
+                    buf = f.read(1 << 20)
+                    if not buf:
+                        break
+                    out.write(buf)
+            os.remove(part)

@@ -1,0 +1,95 @@
+"""Multi-process data-parallel compression: part-per-rank outputs must
+assemble into the exact serial (and reference) bytes."""
+
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+from repaq_tpu.parallel import distributed as dist
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def test_partition():
+    assert dist.partition(10, 3) == [(0, 4), (4, 7), (7, 10)]
+    assert dist.partition(2, 4) == [(0, 1), (1, 2), (2, 2), (2, 2)]
+
+
+def test_plan_matches_serial_chunking(fixtures_dir):
+    plan = dist.plan_chunks(str(fixtures_dir / "se_big.fq"), 100_000)
+    assert len(plan) == 3
+    assert plan[0].byte_start == 0
+    assert plan[-1].byte_end == os.path.getsize(fixtures_dir / "se_big.fq")
+    assert sum(p.n_reads for p in plan) == 3000
+    # contiguity
+    for a, b in zip(plan, plan[1:]):
+        assert a.byte_end == b.byte_start
+
+
+@pytest.mark.parametrize("nproc", [1, 2, 3])
+def test_distributed_matches_golden(fixtures_dir, tmp_path, nproc):
+    out = tmp_path / "dist.rfq"
+    for pid in range(nproc):
+        dist.compress_se_distributed(
+            str(fixtures_dir / "se_big.fq"), str(out), chunk_size=100_000,
+            num_processes=nproc, process_id=pid, assemble=False,
+        )
+    from repaq_tpu import pipeline
+
+    header = dist.derive_header(
+        str(fixtures_dir / "se_big.fq"), 100_000, pipeline.get_engine()
+    )
+    dist.assemble_parts(str(out), header.to_bytes(), nproc)
+    assert out.read_bytes() == (fixtures_dir / "se_big.ref.k100.rfq").read_bytes()
+
+
+def test_distributed_no_trailing_newline(fixtures_dir, tmp_path):
+    """Per-chunk flags come from the plan; a rank encoding only middle
+    chunks must still set them exactly like the serial reader would."""
+    out = tmp_path / "nl.rfq"
+    for pid in range(2):
+        dist.compress_se_distributed(
+            str(fixtures_dir / "se_nonl.fq"), str(out), chunk_size=10_000,
+            num_processes=2, process_id=pid, assemble=False,
+        )
+    header = dist.derive_header(
+        str(fixtures_dir / "se_nonl.fq"), 10_000,
+        __import__("repaq_tpu.pipeline", fromlist=["get_engine"]).get_engine(),
+    )
+    dist.assemble_parts(str(out), header.to_bytes(), 2)
+    # serial output with the same (clamped) chunk size for comparison
+    from repaq_tpu import pipeline
+
+    serial = tmp_path / "serial.rfq"
+    pipeline.compress_se(
+        str(fixtures_dir / "se_nonl.fq"), str(serial), chunk_size=10_000
+    )
+    assert out.read_bytes() == serial.read_bytes()
+
+
+def test_distributed_separate_processes(fixtures_dir, tmp_path):
+    """Real OS processes, like separate hosts sharing a filesystem."""
+    out = tmp_path / "proc.rfq"
+    script = (
+        "import sys; sys.path.insert(0, %r); "
+        "from repaq_tpu.parallel import distributed as d; "
+        "d.compress_se_distributed(%r, %r, chunk_size=100_000, "
+        "num_processes=2, process_id=int(sys.argv[1]), assemble=False)"
+        % (str(REPO), str(fixtures_dir / "se_big.fq"), str(out))
+    )
+    procs = [
+        subprocess.Popen([sys.executable, "-c", script, str(pid)])
+        for pid in range(2)
+    ]
+    for p in procs:
+        assert p.wait() == 0
+    from repaq_tpu import pipeline
+
+    header = dist.derive_header(
+        str(fixtures_dir / "se_big.fq"), 100_000, pipeline.get_engine()
+    )
+    dist.assemble_parts(str(out), header.to_bytes(), 2)
+    assert out.read_bytes() == (fixtures_dir / "se_big.ref.k100.rfq").read_bytes()
