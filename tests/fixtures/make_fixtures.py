@@ -105,7 +105,9 @@ def batch_big():
             "@A00251:28:H3YV7DSXX:4:1101:%d:%d 1:N:0:TAAGTGGC\n%s\n+\n%s\n"
             % (random.randint(1000, 30000), 1000 + i * 3, "".join(seq), "".join(q))
         )
-    _write("se_big.fq.gz", "".join(out))
+    se_big = "".join(out)
+    _write("se_big.fq.gz", se_big)
+    _write("se_big_nonl.fq.gz", se_big[:-1])
 
     out1, out2 = [], []
     for i in range(1500):
@@ -129,8 +131,11 @@ def batch_big():
             "@A00251:28:H3YV7DSXX:4:1101:%d:%d 2:N:0:TAAGTGGC\n%s\n+\n%s\n"
             % (x, y, s2, q2)
         )
-    _write("pe_big_R1.fq.gz", "".join(out1))
-    _write("pe_big_R2.fq.gz", "".join(out2))
+    pe1, pe2 = "".join(out1), "".join(out2)
+    _write("pe_big_R1.fq.gz", pe1)
+    _write("pe_big_R2.fq.gz", pe2)
+    _write("pe_nl1.fq.gz", pe1[:-1])
+    _write("pe_nl2.fq.gz", pe2)
 
     out = []
     for i in range(500):

@@ -134,3 +134,38 @@ def test_compare_detects_mismatch(fixtures_dir, tmp_path):
         str(bad), str(fixtures_dir / "se_illumina.ref.rfq"), quiet=True
     )
     assert res["result"] == "failed"
+
+
+def test_multichunk_no_newline_flag_carry(fixtures_dir, tmp_path):
+    """A file smaller than the reader's 1MB block sets the no-newline flag
+    from the first fetch, so EVERY chunk carries it; decode must use the
+    one-chunk lookahead to trim only the final chunk."""
+    out = tmp_path / "nl.rfq"
+    pipeline.compress_se(
+        str(fixtures_dir / "se_big_nonl.fq"), str(out), chunk_size=100_000
+    )
+    assert out.read_bytes() == (
+        fixtures_dir / "se_big_nonl.ref.k100.rfq"
+    ).read_bytes()
+    dec = tmp_path / "nl.fq"
+    pipeline.decompress(str(out), str(dec))
+    assert dec.read_bytes() == (fixtures_dir / "se_big_nonl.fq").read_bytes()
+
+
+def test_pe_no_newline_decode_fixes_reference_data_loss(fixtures_dir, tmp_path):
+    """PE multi-chunk with R1 missing its trailing newline: encode is
+    byte-identical to the reference, but the reference's PE decompress
+    drops the lookahead chunks (repaq.cpp:379-411 — verified to lose 44%
+    of this fixture's reads); we restore the input exactly (documented
+    divergence, ARCHITECTURE.md)."""
+    out = tmp_path / "penl.rfq"
+    pipeline.compress_pe(
+        str(fixtures_dir / "pe_nl1.fq"), str(fixtures_dir / "pe_nl2.fq"),
+        str(out), chunk_size=100_000,
+    )
+    assert out.read_bytes() == (fixtures_dir / "pe_nl.ref.rfq").read_bytes()
+    d1 = tmp_path / "d1.fq"
+    d2 = tmp_path / "d2.fq"
+    pipeline.decompress_pe(str(out), str(d1), str(d2))
+    assert d1.read_bytes() == (fixtures_dir / "pe_nl1.fq").read_bytes()
+    assert d2.read_bytes() == (fixtures_dir / "pe_nl2.fq").read_bytes()
