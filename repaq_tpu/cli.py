@@ -18,10 +18,6 @@ from .constants import VERSION_NUM
 from .format.header import RfqFormatError
 
 
-def _ends_with(s: str, suffix: str) -> bool:
-    return s.endswith(suffix)
-
-
 def is_fastq_file(name: str) -> bool:
     return name.endswith((".fq", ".fastq", ".fq.gz", ".fastq.gz"))
 

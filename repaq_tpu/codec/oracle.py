@@ -14,9 +14,7 @@ from dataclasses import dataclass
 import numpy as np
 
 from ..constants import (
-    BIT_DONT_ENCODE_QUAL,
     BIT_ENCODE_PE_BY_OVERLAP,
-    BIT_ENCODE_QUAL_BY_COL,
     BIT_HAS_LANE,
     BIT_HAS_NAME2,
     BIT_HAS_TILE,

@@ -32,7 +32,7 @@ from ..constants import (
     MIN_OVERLAP,
 )
 from ..format.chunk import RfqChunk
-from ..format.header import RfqFormatError, RfqHeader
+from ..format.header import RfqHeader
 from . import kernels_np as K
 from . import oracle
 from .blocks import ReadBlock, gather_slices, lens_to_offsets

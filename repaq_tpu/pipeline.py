@@ -27,7 +27,6 @@ from .codec.blocks import ReadBlock
 from .constants import (
     BIT_HAS_NO_LINE_BREAK_AT_END,
     BIT_HAS_NO_LINE_BREAK_AT_END_R2,
-    BIT_PAIRED_END,
 )
 from .format.chunk import RfqChunk
 from .format.header import RfqFormatError, RfqHeader
