@@ -39,7 +39,10 @@ def _suffix_min(x):
 
 
 def _emit_sort(planes: jnp.ndarray, counts: jnp.ndarray, out_size: int,
-               offsets: jnp.ndarray | None = None):
+               offsets: jnp.ndarray | None = None,
+               total: jnp.ndarray | None = None,
+               multi_cap: int | None = None,
+               extra_keys: jnp.ndarray | None = None):
     """Sort-based stream compaction — the TPU-native shape for
     variable-width token emission. Scatters and binary-search gathers
     serialize on the VPU (~0.1 Gelem/s measured) while bitonic sort runs at
@@ -47,27 +50,61 @@ def _emit_sort(planes: jnp.ndarray, counts: jnp.ndarray, out_size: int,
     byte) with invalid lanes pushed to +inf, one jnp.sort lays the stream
     out, and the low bytes of the prefix are the stream.
 
+    The sort is the dominant cost, so its key count is kept near n instead
+    of n*W: every element contributes at most its FIRST byte as a dense
+    key; elements emitting >=2 bytes are compacted (jnp.nonzero with a
+    static bound) and contribute their remaining W-1 lanes from the small
+    compacted set. multi_cap must be a TRUE upper bound on the number of
+    multi-byte elements — for the gap coders it is structural: a 2-byte gap
+    token consumes >128 positions of span, so there are < n/128 of them
+    per stream (see callers).
+
     planes: (n, W) uint8 candidate bytes; counts: (n,) int32 emitted bytes
     per element (0..W); offsets: optional precomputed per-element dest
     offsets (exclusive prefix sum of counts when None). dest offsets must
-    stay < 2^23 (out_size caps well below).
+    stay < 2^23 (out_size caps well below). extra_keys: optional extra
+    pre-built (offset<<8|byte) keys to interleave (e.g. a length table).
     Returns (out: (out_size,) uint8 zero-padded, total_len).
     """
     n, w = planes.shape
+    explicit_total = total is not None
     if offsets is None:
-        cum, total = _exclusive_cumsum(counts)
+        cum, derived = _exclusive_cumsum(counts)
         offsets = cum - counts
+        if not explicit_total:
+            total = derived
+    elif not explicit_total:
+        total = offsets[-1] + counts[-1] if n else jnp.int32(0)
+    inf = jnp.int32(2**31 - 1)
+    keys0 = jnp.where(
+        counts >= 1,
+        (offsets << 8) | planes[:, 0].astype(jnp.int32),
+        inf,
+    )
+    if multi_cap is None:
+        multi_cap = n
+    multi_cap = min(multi_cap, n)
+    if w > 1 and multi_cap > 0:
+        (midx,) = jnp.nonzero(counts >= 2, size=multi_cap, fill_value=n)
+        mcounts = jnp.concatenate([counts, jnp.zeros(1, jnp.int32)])[midx]
+        moff = jnp.concatenate([offsets, jnp.zeros(1, offsets.dtype)])[midx]
+        mplanes = jnp.concatenate(
+            [planes, jnp.zeros((1, w), planes.dtype)]
+        )[midx]
+        lanes = jnp.arange(1, w, dtype=jnp.int32)[None, :]
+        mvalid = lanes < mcounts[:, None]
+        mkeys = jnp.where(
+            mvalid,
+            ((moff[:, None] + lanes) << 8) | mplanes[:, 1:].astype(jnp.int32),
+            inf,
+        ).reshape(-1)
+        keys = jnp.concatenate([keys0, mkeys])
     else:
-        total = (
-            offsets[-1] + counts[-1] if n else jnp.int32(0)
-        )
-    lanes = jnp.arange(w, dtype=jnp.int32)[None, :]
-    valid = lanes < counts[:, None]
-    keys = jnp.where(
-        valid,
-        ((offsets[:, None] + lanes) << 8) | planes.astype(jnp.int32),
-        jnp.int32(2**31 - 1),
-    ).reshape(-1)
+        keys = keys0
+    if extra_keys is not None:
+        keys = jnp.concatenate([extra_keys, keys])
+        if not explicit_total:
+            total = total + extra_keys.shape[0]
     srt = jnp.sort(keys)
     take = min(out_size, srt.shape[0])
     out = jnp.zeros(out_size, dtype=jnp.uint8)
@@ -135,22 +172,34 @@ def _positions_planes(mask: jnp.ndarray):
 
 
 def encode_positions_from_mask(mask: jnp.ndarray, out_size: int):
-    """Gap/run stream for the True positions of mask; (out, length)."""
+    """Gap/run stream for the True positions of mask; (out, length).
+
+    multi_cap is structural: every 2-byte token has gap delta >= 129 and
+    every 4-byte token delta >= 16385, and the deltas of one stream sum to
+    at most n, so there are < n/64 multi-byte tokens."""
+    n = mask.shape[0]
     planes, counts = _positions_planes(mask)
-    return _emit_gather(planes, counts, out_size)
+    return _emit_gather(planes, counts, out_size, multi_cap=n // 64 + 4)
 
 
 def qualcol_encode_device(qual: jnp.ndarray, bins: jnp.ndarray, major: jnp.ndarray,
-                          in_table: jnp.ndarray):
+                          in_table: jnp.ndarray, esc_cap: int | None = None):
     """Full by-column quality encode (reference rfqcodec.cpp:712-765):
     u32le per-bin lengths, concatenated per-bin streams, 5-byte escape
     records — compacted on device in one gather pass.
 
     qual: (n,) uint8; bins: (B,) uint8 (static B); in_table: (256,) bool.
+    esc_cap: static upper bound on the number of escape records (quality
+    chars outside the header table). Defaults to n (always safe); callers
+    that know the exact count (host computes it from in_table in one
+    vectorized pass) should pass a tight bucketed bound — escapes are the
+    only 5-byte tokens, so the emission sort shrinks ~5x.
     Returns (out: (4B + n + 8,) uint8, total_len).
     """
     n = qual.shape[0]
     nbins = bins.shape[0]
+    if esc_cap is None:
+        esc_cap = n
     i = jnp.arange(n, dtype=jnp.int32)
 
     # LUT: qual byte -> bin ordinal; escapes get pseudo-bin B (they follow
@@ -250,21 +299,17 @@ def qualcol_encode_device(qual: jnp.ndarray, bins: jnp.ndarray, major: jnp.ndarr
     ).astype(jnp.int32).reshape(-1)
     hdr_keys = (jnp.arange(4 * nbins, dtype=jnp.int32) << 8) | hdr
 
-    lanes = jnp.arange(5, dtype=jnp.int32)[None, :]
-    valid = lanes < counts[:, None]
-    tok_keys = jnp.where(
-        valid,
-        ((dest[:, None] + lanes) << 8) | planes.astype(jnp.int32),
-        jnp.int32(2**31 - 1),
-    ).reshape(-1)
-
+    # structural bound on multi-byte elements: per bin the gap deltas sum
+    # to <= n, so 2-byte gaps (< n/128 per bin) and 4-byte gaps are rare;
+    # escapes (5-byte) are bounded by esc_cap (exact count known host-side;
+    # defaults to n = fully general)
+    multi_cap = nbins * (n // 64 + 4) + esc_cap
     out_size = 4 * nbins + n + 8
-    srt = jnp.sort(jnp.concatenate([hdr_keys, tok_keys]))
-    take = min(out_size, srt.shape[0])
-    out = jnp.zeros(out_size, dtype=jnp.uint8)
-    out = out.at[:take].set((srt[:take] & 0xFF).astype(jnp.uint8))
-    k = jnp.arange(out_size, dtype=jnp.int32)
-    return jnp.where(k < total, out, 0).astype(jnp.uint8), total
+    out, _ = _emit_sort(
+        planes, counts, out_size, offsets=dest, total=total,
+        multi_cap=multi_cap, extra_keys=hdr_keys,
+    )
+    return out, total
 
 
 def coords_encode_device(values: jnp.ndarray, out_size: int):

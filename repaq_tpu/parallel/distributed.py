@@ -20,7 +20,9 @@ Output bytes are identical to the serial pipeline for any process count
 (tests/test_distributed.py proves it against the golden fixtures).
 
 Plain (non-gz) inputs only — gzip streams cannot be seeked; gz inputs take
-the serial path. Single-end; the PE planner lands in a later round.
+the serial path. Paired-end uses the same mechanism with a two-file plan
+(one byte range per file per chunk, reference repaq.cpp:656-663 pair
+accumulation).
 """
 
 from __future__ import annotations
@@ -29,7 +31,7 @@ import os
 from dataclasses import dataclass
 
 from ..format.header import RfqFormatError
-from ..io.fastq import FastqReader
+from ..io.fastq import FastqReader, FastqReaderPair
 from ..pipeline import EngineConfig, _Compressor, get_engine
 
 
@@ -158,6 +160,130 @@ def encode_chunk_range(
         comp.flush(block, spec.no_line_break_flag, False)
     comp.finish()
     reader.close()
+
+
+@dataclass
+class PairChunkSpec:
+    byte_start1: int
+    byte_end1: int
+    byte_start2: int
+    byte_end2: int
+    n_pairs: int
+    no_line_break_flag1: bool
+    no_line_break_flag2: bool
+
+
+def plan_pair_chunks(
+    path1: str, path2: str, chunk_size: int = 1_000_000
+) -> list[PairChunkSpec]:
+    """One scanning pass over both mates: per-chunk byte ranges in each
+    file plus the two trailing-newline flags (reference repaq.cpp:656-692
+    pair accumulation; flags repaq.cpp:683-692)."""
+    pair = FastqReaderPair(path1, path2)
+    plan: list[PairChunkSpec] = []
+    off1 = off2 = 0
+    while True:
+        block, f1, f2 = pair.read_pair_block(chunk_size)
+        if block is None or block.n == 0:
+            break
+        r1, r2 = pair.left, pair.right
+        end1 = r1._gbase + min(r1._buf_used, len(r1._buf))
+        end2 = r2._gbase + min(r2._buf_used, len(r2._buf))
+        plan.append(PairChunkSpec(off1, end1, off2, end2, block.n // 2, f1, f2))
+        off1, off2 = end1, end2
+    pair.close()
+    return plan
+
+
+def derive_header_pe(path1: str, path2: str, chunk_size: int,
+                     engine: EngineConfig):
+    pair = FastqReaderPair(path1, path2)
+    block, _f1, _f2 = pair.read_pair_block(chunk_size)
+    pair.close()
+    if block is None or block.n == 0:
+        raise RfqFormatError(
+            "failed to encode, please confirm the input FASTQ file is valid "
+            "and not empty"
+        )
+    return engine.make_header_pe(block)
+
+
+def encode_pair_chunk_range(
+    path1: str,
+    path2: str,
+    plan: list[PairChunkSpec],
+    lo: int,
+    hi: int,
+    header,
+    header_bytes: bytes,
+    out,
+    engine: EngineConfig,
+    workers: int = 1,
+) -> None:
+    """Encode pair chunks plan[lo:hi] to ``out``."""
+    if lo >= hi:
+        return
+    readers = []
+    for path, start, end in (
+        (path1, plan[lo].byte_start1, plan[hi - 1].byte_end1),
+        (path2, plan[lo].byte_start2, plan[hi - 1].byte_end2),
+    ):
+        file_size = os.path.getsize(path)
+        with open(path, "rb") as f:
+            f.seek(max(0, file_size - 1))
+            last = f.read(1)
+        readers.append(
+            _RangeReader(path, start, end, file_size, last[0] if last else 10)
+        )
+    r1, r2 = readers
+    comp = _Compressor(out, engine, False, False, is_pe=True, workers=workers)
+    comp.header = header
+    comp.header_bytes = header_bytes
+    for spec in plan[lo:hi]:
+        b1, _ = r1.read_block(max_records=spec.n_pairs)
+        b2, _ = r2.read_block(max_records=spec.n_pairs)
+        assert (
+            b1 is not None and b2 is not None
+            and b1.n == spec.n_pairs and b2.n == spec.n_pairs
+        ), "pair chunk plan mismatch at %d..%d / %d..%d" % (
+            spec.byte_start1, spec.byte_end1, spec.byte_start2, spec.byte_end2
+        )
+        comp.flush(
+            b1.interleave(b2), spec.no_line_break_flag1,
+            spec.no_line_break_flag2,
+        )
+    comp.finish()
+    r1.close()
+    r2.close()
+
+
+def compress_pe_distributed(
+    in1: str,
+    in2: str,
+    out1: str,
+    chunk_size: int = 1_000_000,
+    num_processes: int = 1,
+    process_id: int = 0,
+    engine: EngineConfig | None = None,
+    workers: int = 1,
+    assemble: bool = True,
+) -> str:
+    """PE twin of compress_se_distributed: this rank encodes its chunk
+    range to ``out1.part{pid}``; rank 0 assembles in order."""
+    engine = engine or get_engine()
+    plan = plan_pair_chunks(in1, in2, chunk_size)
+    header = derive_header_pe(in1, in2, chunk_size, engine)
+    header_bytes = header.to_bytes()
+    ranges = partition(len(plan), num_processes)
+    lo, hi = ranges[process_id]
+    part = "%s.part%d" % (out1, process_id)
+    with open(part, "wb") as f:
+        encode_pair_chunk_range(
+            in1, in2, plan, lo, hi, header, header_bytes, f, engine, workers
+        )
+    if assemble and process_id == 0:
+        assemble_parts(out1, header_bytes, num_processes)
+    return part
 
 
 def partition(n_chunks: int, n_processes: int) -> list[tuple[int, int]]:

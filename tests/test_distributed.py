@@ -93,3 +93,63 @@ def test_distributed_separate_processes(fixtures_dir, tmp_path):
     )
     dist.assemble_parts(str(out), header.to_bytes(), 2)
     assert out.read_bytes() == (fixtures_dir / "se_big.ref.k100.rfq").read_bytes()
+
+
+def test_pair_plan_contiguity(fixtures_dir):
+    plan = dist.plan_pair_chunks(
+        str(fixtures_dir / "pe_big_R1.fq"), str(fixtures_dir / "pe_big_R2.fq"),
+        100_000,
+    )
+    assert len(plan) > 1
+    assert plan[0].byte_start1 == 0 and plan[0].byte_start2 == 0
+    assert plan[-1].byte_end1 == os.path.getsize(fixtures_dir / "pe_big_R1.fq")
+    assert plan[-1].byte_end2 == os.path.getsize(fixtures_dir / "pe_big_R2.fq")
+    for a, b in zip(plan, plan[1:]):
+        assert a.byte_end1 == b.byte_start1
+        assert a.byte_end2 == b.byte_start2
+
+
+@pytest.mark.parametrize("nproc", [1, 2, 3])
+def test_pe_distributed_matches_golden(fixtures_dir, tmp_path, nproc):
+    out = tmp_path / "dist_pe.rfq"
+    for pid in range(nproc):
+        dist.compress_pe_distributed(
+            str(fixtures_dir / "pe_big_R1.fq"), str(fixtures_dir / "pe_big_R2.fq"),
+            str(out), chunk_size=100_000, num_processes=nproc, process_id=pid,
+            assemble=False,
+        )
+    from repaq_tpu import pipeline
+
+    header = dist.derive_header_pe(
+        str(fixtures_dir / "pe_big_R1.fq"), str(fixtures_dir / "pe_big_R2.fq"),
+        100_000, pipeline.get_engine(),
+    )
+    dist.assemble_parts(str(out), header.to_bytes(), nproc)
+    assert out.read_bytes() == (
+        fixtures_dir / "pe_big.ref.k100.rfq"
+    ).read_bytes()
+
+
+def test_pe_distributed_no_trailing_newline(fixtures_dir, tmp_path):
+    """The no-newline flags live in the plan; middle-chunk ranks must set
+    them exactly like the serial pair reader (which sees EOF timing)."""
+    out = tmp_path / "nl_pe.rfq"
+    for pid in range(2):
+        dist.compress_pe_distributed(
+            str(fixtures_dir / "pe_nl1.fq"), str(fixtures_dir / "pe_nl2.fq"),
+            str(out), chunk_size=10_000, num_processes=2, process_id=pid,
+            assemble=False,
+        )
+    from repaq_tpu import pipeline
+
+    header = dist.derive_header_pe(
+        str(fixtures_dir / "pe_nl1.fq"), str(fixtures_dir / "pe_nl2.fq"),
+        10_000, pipeline.get_engine(),
+    )
+    dist.assemble_parts(str(out), header.to_bytes(), 2)
+    serial = tmp_path / "serial_pe.rfq"
+    pipeline.compress_pe(
+        str(fixtures_dir / "pe_nl1.fq"), str(fixtures_dir / "pe_nl2.fq"),
+        str(serial), chunk_size=10_000,
+    )
+    assert out.read_bytes() == serial.read_bytes()

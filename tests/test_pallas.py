@@ -1,0 +1,83 @@
+"""Pallas kernels vs the XLA device kernels and host oracle (interpret
+mode on the CPU backend; the same kernels compile for TPU)."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+from repaq_tpu.codec import kernels_np as K
+from repaq_tpu.ops import device_streams as ds
+from repaq_tpu.ops import pallas_tpu as pk
+
+
+def _rand_seq(n, seed=0, n_frac=0.02):
+    rng = np.random.default_rng(seed)
+    seq = rng.choice(np.frombuffer(b"GATC", dtype=np.uint8), size=n)
+    seq[rng.random(n) < n_frac] = ord("N")
+    return seq
+
+
+def test_pack_matches_xla_and_host():
+    for n in (4, 512, 513, 4096, 100_000, 65536 * 4):
+        seq = _rand_seq(n, seed=n)
+        got = np.asarray(pk.pack_bases_pallas(seq))
+        want = np.asarray(ds.pack_2bit_device(
+            np.concatenate([seq, np.full((-n) % 4, ord("G"), np.uint8)])
+        ))
+        assert np.array_equal(got, want), n
+        assert np.array_equal(got, K.pack_2bit(seq)), n
+
+
+def test_unpack_roundtrip():
+    for n in (4, 2048, 100_000):
+        seq = _rand_seq(n, seed=n, n_frac=0.0)
+        packed = pk.pack_bases_pallas(seq)
+        got = np.asarray(pk.unpack_bases_pallas(packed))[:n]
+        assert np.array_equal(got, seq), n
+
+
+def test_unpack_matches_xla():
+    rng = np.random.default_rng(7)
+    packed = rng.integers(0, 256, size=10_001, dtype=np.uint8)
+    got = np.asarray(pk.unpack_bases_pallas(packed))
+    want = np.asarray(ds.unpack_2bit_device(packed))
+    assert np.array_equal(got, want)
+
+
+def test_frontend_fused():
+    n = 300_000
+    rng = np.random.default_rng(3)
+    seq = _rand_seq(n, seed=3)
+    qual = rng.choice(np.frombuffer(b"FFFF::,,#!", dtype=np.uint8), size=n)
+    bins = np.frombuffer(b"#,:", dtype=np.uint8)  # palette minus major 'F'
+    major = ord("F")
+
+    packed, nmask, bid = pk.encode_frontend_pallas(seq, qual, bins, major)
+    packed, nmask, bid = map(np.asarray, (packed, nmask, bid))
+
+    assert np.array_equal(packed, K.pack_2bit(seq))
+    assert np.array_equal(nmask, seq == ord("N"))
+
+    # bin ids must match the LUT construction in qualcol_encode_device
+    nbins = len(bins)
+    in_table = np.zeros(256, dtype=bool)
+    in_table[bins] = True
+    in_table[major] = True
+    lut = np.where(in_table, nbins + 1, nbins).astype(np.int32)
+    lut[bins] = np.arange(nbins)
+    lut[major] = nbins + 1
+    assert np.array_equal(bid, lut[qual])
+
+
+def test_frontend_nonmultiple_length():
+    n = 777
+    rng = np.random.default_rng(11)
+    seq = _rand_seq(n, seed=5)
+    qual = rng.choice(np.frombuffer(b"AB", dtype=np.uint8), size=n)
+    bins = np.frombuffer(b"B", dtype=np.uint8)
+    packed, nmask, bid = pk.encode_frontend_pallas(seq, qual, bins, ord("A"))
+    assert np.asarray(packed).shape[0] == (n + 3) // 4
+    assert np.array_equal(np.asarray(nmask), seq == ord("N"))
+    want = np.where(qual == ord("B"), 0, 2)  # major -> nbins+1
+    assert np.array_equal(np.asarray(bid), want)
