@@ -23,7 +23,10 @@ def is_fastq_file(name: str) -> bool:
 
 
 def is_rfq_file(name: str) -> bool:
-    return name.endswith((".rfq", ".rfq.xz"))
+    # .rfqz is this framework's native second entropy stage (interleaved
+    # rANS, format/rfqz.py) — the in-process replacement for the
+    # reference's external `xz` pipeline.
+    return name.endswith((".rfq", ".rfq.xz", ".rfqz"))
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -229,7 +232,13 @@ def main(argv: list[str] | None = None) -> int:
 
     try:
         if mode == "compress":
-            if out1.endswith(".xz"):
+            if out1.endswith(".rfqz"):
+                from .format.rfqz import RfqzWriter
+
+                w = RfqzWriter(out1)
+                _run_compress(args, in1, "", chunk_size, engine, w)
+                w.close()
+            elif out1.endswith(".xz"):
                 xz = subprocess.Popen(
                     _xz_compress_args(compression, threads),
                     stdin=subprocess.PIPE,
@@ -242,7 +251,11 @@ def main(argv: list[str] | None = None) -> int:
             else:
                 _run_compress(args, in1, out1, chunk_size, engine, None)
         elif mode == "decompress":
-            if in1.endswith(".xz"):
+            if in1.endswith(".rfqz"):
+                from .format.rfqz import RfqzReader
+
+                _run_decompress(args, "", out1, engine, RfqzReader(in1))
+            elif in1.endswith(".xz"):
                 xz = subprocess.Popen(
                     ["xz", "-d", "-c", in1], stdout=subprocess.PIPE
                 )
@@ -252,7 +265,11 @@ def main(argv: list[str] | None = None) -> int:
             else:
                 _run_decompress(args, in1, out1, engine, None)
         else:
-            if rfq_compare.endswith(".xz"):
+            if rfq_compare.endswith(".rfqz"):
+                from .format.rfqz import RfqzReader
+
+                result = _run_compare(args, in1, "", engine, RfqzReader(rfq_compare))
+            elif rfq_compare.endswith(".xz"):
                 xz = subprocess.Popen(
                     ["xz", "-d", "-c", rfq_compare], stdout=subprocess.PIPE
                 )

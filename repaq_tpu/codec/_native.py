@@ -30,6 +30,7 @@ _i64 = ctypes.c_int64
 _i32 = ctypes.c_int32
 _u8p = ctypes.POINTER(ctypes.c_uint8)
 _i64p = ctypes.POINTER(ctypes.c_int64)
+_i32p = ctypes.POINTER(ctypes.c_int32)
 
 
 def _ptr(a: np.ndarray, typ):
@@ -87,6 +88,12 @@ def _load():
     lib.pack_2bit.argtypes = [_u8p, _i64, _u8p]
     lib.unpack_2bit.restype = None
     lib.unpack_2bit.argtypes = [_u8p, _i64, _u8p, _i64]
+    lib.rans_encode.restype = _i64
+    lib.rans_encode.argtypes = [_u8p, _i64, _i64p, _i64, _i32p, _i32p,
+                                _i32, _u8p, _i64p]
+    lib.rans_decode.restype = None
+    lib.rans_decode.argtypes = [_u8p, _i64p, _i64, _i64p, _i32p, _i32p,
+                                _u8p, _i32, _u8p]
     _LIB = lib
     return _LIB
 
@@ -244,4 +251,34 @@ def unpack_2bit(buf: np.ndarray, length: int) -> np.ndarray:
     lib = _load()
     out = np.empty(length, dtype=np.uint8)
     lib.unpack_2bit(_ptr(buf, _u8p), buf.shape[0], _ptr(out, _u8p), length)
+    return out
+
+
+def rans_encode(data: np.ndarray, lane_off: np.ndarray, freq: np.ndarray,
+                cum: np.ndarray, order: int) -> tuple[np.ndarray, np.ndarray]:
+    """Interleaved-rANS encode (exact rans_np semantics). data u8, lane_off
+    i64 (lanes+1), freq/cum i32 flattened tables. Returns (payload, counts)."""
+    lib = _load()
+    lanes = lane_off.shape[0] - 1
+    out = np.empty(2 * data.shape[0] + 4 * lanes + 8, dtype=np.uint8)
+    counts = np.empty(lanes, dtype=np.int64)
+    total = lib.rans_encode(
+        _ptr(data, _u8p), data.shape[0], _ptr(lane_off, _i64p), lanes,
+        _ptr(freq, _i32p), _ptr(cum, _i32p), order, _ptr(out, _u8p),
+        _ptr(counts, _i64p),
+    )
+    return out[:total], counts
+
+
+def rans_decode(payload: np.ndarray, lane_counts: np.ndarray,
+                lane_off: np.ndarray, freq: np.ndarray, cum: np.ndarray,
+                sym_lut: np.ndarray, order: int) -> np.ndarray:
+    lib = _load()
+    lanes = lane_off.shape[0] - 1
+    out = np.empty(int(lane_off[-1]), dtype=np.uint8)
+    lib.rans_decode(
+        _ptr(payload, _u8p), _ptr(lane_counts, _i64p), lanes,
+        _ptr(lane_off, _i64p), _ptr(freq, _i32p), _ptr(cum, _i32p),
+        _ptr(sym_lut, _u8p), order, _ptr(out, _u8p),
+    )
     return out

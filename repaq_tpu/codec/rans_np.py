@@ -1,0 +1,374 @@
+"""Host (numpy) interleaved-rANS entropy coder — the exact oracle for the
+device kernels in ops/rans_device.py and the engine behind the `.rfqz`
+second-stage container (format/rfqz.py).
+
+This replaces the reference's external `xz` subprocess stage (reference
+main.cpp:134-177) with an in-framework coder whose encode AND decode are
+data-parallel: the payload is split into L interleaved lanes, each lane is
+an independent 32-bit rANS stream, and all lanes advance in lockstep —
+one vectorized step per symbol position. That lockstep shape is exactly
+what a TPU wants (the reference's xz is inherently sequential).
+
+Coder family: range-ANS, 32-bit state, 16-bit renormalization, 12-bit
+quantized frequencies (SCALE = 4096).
+
+- order-0: one 256-symbol model for the whole section
+- order-1: 256 models keyed on the previous byte (the previous byte of the
+  SAME lane's slice, so decode stays parallel)
+
+Freq tables are built per section from the actual data (two-pass, exact),
+quantized so every present symbol keeps freq >= 1, and serialized sparsely.
+
+Wire layout per section (all little-endian):
+  u8   order (0 or 1)
+  u32  n_bytes (raw length)
+  u16  n_lanes
+  [tables]   order-0: table; order-1: 256 tables, each preceded by u8
+             n_present (0 => context unused, no table bytes)
+  u32  payload_len, then per-lane u32 byte counts, then lane payloads
+       back-to-back (each lane's bytes in DECODE order)
+
+Table serialization: u8 n_present-1, then n_present * (u8 sym, u16 freq).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+SCALE_BITS = 12
+SCALE = 1 << SCALE_BITS
+RANS_L = 1 << 16  # lower bound of the normalized interval
+DEFAULT_LANES = 4096
+
+
+# ---------------------------------------------------------------------------
+# frequency tables
+# ---------------------------------------------------------------------------
+
+
+def quantize_freqs(counts: np.ndarray) -> np.ndarray:
+    """Exact-sum quantization of symbol counts to SCALE with every present
+    symbol >= 1 (largest-remainder style, deterministic)."""
+    counts = counts.astype(np.int64)
+    total = int(counts.sum())
+    if total == 0:
+        return np.zeros(256, dtype=np.int64)
+    present = counts > 0
+    npresent = int(present.sum())
+    if npresent == 1:
+        f = np.zeros(256, dtype=np.int64)
+        f[np.argmax(counts)] = SCALE
+        return f
+    scaled = counts * (SCALE - npresent) // total + np.where(present, 1, 0)
+    # distribute the remainder to the largest counts (stable by symbol)
+    diff = SCALE - int(scaled.sum())
+    if diff != 0:
+        order = np.lexsort((np.arange(256), -counts))
+        i = 0
+        step = 1 if diff > 0 else -1
+        while diff != 0:
+            s = order[i % npresent]
+            if step < 0 and scaled[s] <= 1:
+                i += 1
+                continue
+            scaled[s] += step
+            diff -= step
+            i += 1
+    return scaled
+
+
+def serialize_table(freqs: np.ndarray) -> bytes:
+    syms = np.flatnonzero(freqs)
+    out = bytearray([len(syms) - 1])
+    for s in syms:
+        out.append(int(s))
+        out += int(freqs[s]).to_bytes(2, "little")
+    return bytes(out)
+
+
+def parse_table(buf: memoryview, off: int) -> tuple[np.ndarray, int]:
+    npresent = buf[off] + 1
+    off += 1
+    freqs = np.zeros(256, dtype=np.int64)
+    for _ in range(npresent):
+        s = buf[off]
+        freqs[s] = int.from_bytes(buf[off + 1 : off + 3], "little")
+        off += 3
+    return freqs, off
+
+
+def _cum_from_freqs(freqs: np.ndarray) -> np.ndarray:
+    cum = np.zeros(257, dtype=np.int64)
+    np.cumsum(freqs, out=cum[1:])
+    return cum
+
+
+# ---------------------------------------------------------------------------
+# lane split
+# ---------------------------------------------------------------------------
+
+
+def lane_slices(n: int, lanes: int) -> np.ndarray:
+    """Start offsets (lanes+1,) of contiguous per-lane slices; lane i gets
+    ceil/floor split with remainders on the first lanes."""
+    base = n // lanes
+    rem = n % lanes
+    sizes = np.full(lanes, base, dtype=np.int64)
+    sizes[:rem] += 1
+    out = np.zeros(lanes + 1, dtype=np.int64)
+    np.cumsum(sizes, out=out[1:])
+    return out
+
+
+def _to_padded(data: np.ndarray, lanes: int) -> tuple[np.ndarray, np.ndarray, int]:
+    """(steps, lanes) column of each lane's slice, padded at the tail with
+    sym 0 (masked by per-lane lengths); plus per-lane lengths and steps."""
+    n = data.shape[0]
+    off = lane_slices(n, lanes)
+    lens = np.diff(off)
+    steps = int(lens.max()) if n else 0
+    grid = np.zeros((steps, lanes), dtype=np.uint8)
+    for i in range(lanes):
+        grid[: lens[i], i] = data[off[i] : off[i + 1]]
+    return grid, lens, steps
+
+
+def _prev_grid(grid: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Order-1 context: previous byte within the lane slice (0 for the
+    first element of each lane)."""
+    prev = np.zeros_like(grid)
+    prev[1:] = grid[:-1]
+    return prev
+
+
+# ---------------------------------------------------------------------------
+# encode
+# ---------------------------------------------------------------------------
+
+
+def encode_section(data: bytes | np.ndarray, order: int = 0,
+                   lanes: int = DEFAULT_LANES) -> bytes:
+    """Entropy-code one byte section. Returns the self-contained section
+    record (header + tables + interleaved payload)."""
+    data = np.frombuffer(data, dtype=np.uint8) if isinstance(
+        data, (bytes, bytearray, memoryview)
+    ) else np.asarray(data, dtype=np.uint8)
+    n = data.shape[0]
+    lanes = max(1, min(lanes, max(1, n)))
+    head = bytearray()
+    head.append(order)
+    head += int(n).to_bytes(4, "little")
+    head += int(lanes).to_bytes(2, "little")
+    if n == 0:
+        head += (0).to_bytes(4, "little")
+        return bytes(head)
+
+    grid, lens, steps = _to_padded(data, lanes)
+
+    if order == 0:
+        counts = np.bincount(data, minlength=256)
+        freqs = quantize_freqs(counts)
+        head += serialize_table(freqs)
+        cum = _cum_from_freqs(freqs)
+        freq_flat, cum_flat = freqs, cum[:256]
+    else:
+        prev = _prev_grid(grid, lens)
+        valid = np.arange(steps)[:, None] < lens[None, :]
+        ctx_counts = np.bincount(
+            (prev[valid].astype(np.int64) << 8) | grid[valid],
+            minlength=65536,
+        ).reshape(256, 256)
+        freqs_all = np.zeros((256, 256), dtype=np.int64)
+        for c in range(256):
+            if ctx_counts[c].any():
+                freqs_all[c] = quantize_freqs(ctx_counts[c])
+                head.append(1)
+                head += serialize_table(freqs_all[c])
+            else:
+                head.append(0)
+        cum_all = np.zeros((256, 257), dtype=np.int64)
+        np.cumsum(freqs_all, axis=1, out=cum_all[:, 1:])
+        freq_flat, cum_flat = freqs_all, cum_all[:, :256]
+
+    # native fast path: per-lane scalar loops at memory speed (exact same
+    # bytes; cross-checked in tests/test_rans.py)
+    from . import _native
+
+    if _native.available():
+        off = lane_slices(n, lanes)
+        payload_n, counts_n = _native.rans_encode(
+            data,
+            off,
+            np.ascontiguousarray(freq_flat.reshape(-1), dtype=np.int32),
+            np.ascontiguousarray(cum_flat.reshape(-1), dtype=np.int32),
+            order,
+        )
+        body = bytearray()
+        body += int(payload_n.shape[0]).to_bytes(4, "little")
+        body += counts_n.astype("<u4").tobytes()
+        body += payload_n.tobytes()
+        return bytes(head) + bytes(body)
+
+    if order == 0:
+        f_of = freqs[grid]  # (steps, lanes)
+        c_of = cum[grid]
+    else:
+        f_of = freqs_all[prev, grid]
+        c_of = cum_all[prev, grid]
+
+    # rANS encode: process symbols in REVERSE so decode runs forward.
+    # Each lane's output bytes are collected encoder-order then reversed,
+    # giving decode-order payloads.
+    state = np.full(lanes, RANS_L, dtype=np.uint64)
+    active_template = np.arange(lanes)
+    out_bytes: list[np.ndarray] = []
+    out_lane: list[np.ndarray] = []
+    x_max_mul = (RANS_L >> SCALE_BITS) << 16
+    for t in range(steps - 1, -1, -1):
+        act = active_template[lens > t]
+        f = f_of[t, act].astype(np.uint64)
+        c = c_of[t, act].astype(np.uint64)
+        s = state[act]
+        # renormalize: while state >= f * x_max_mul -> emit 2 bytes
+        x_max = f * x_max_mul
+        over = s >= x_max
+        while over.any():
+            idx = act[over]
+            out_bytes.append((state[idx] & 0xFFFF).astype(np.uint16))
+            out_lane.append(idx)
+            state[idx] >>= np.uint64(16)
+            s = state[act]
+            over = s >= x_max
+        state[act] = (s // f << np.uint64(SCALE_BITS)) + (s % f) + c
+
+    # flush 4 bytes of final state per lane (encoder-order: low to high)
+    lane_chunks: list[list[np.ndarray]] = [[] for _ in range(lanes)]
+    if out_bytes:
+        all_b = np.concatenate([b.astype(np.uint16) for b in out_bytes])
+        all_l = np.concatenate(out_lane)
+        ordr = np.argsort(all_l, kind="stable")
+        sb = all_b[ordr]
+        sl = all_l[ordr]
+        bounds = np.searchsorted(sl, np.arange(lanes + 1))
+        for i in range(lanes):
+            lane_chunks[i].append(sb[bounds[i] : bounds[i + 1]])
+
+    payloads = []
+    counts_out = np.zeros(lanes, dtype=np.int64)
+    for i in range(lanes):
+        parts = lane_chunks[i][0] if lane_chunks[i] else np.empty(0, np.uint16)
+        # encoder emitted u16 words; decode order = reverse
+        words = parts[::-1]
+        by = np.empty(words.shape[0] * 2, dtype=np.uint8)
+        by[0::2] = (words >> 8) & 0xFF  # decode reads high byte first
+        by[1::2] = words & 0xFF
+        final = int(state[i])
+        head4 = np.frombuffer(final.to_bytes(4, "little"), dtype=np.uint8)
+        lane_payload = np.concatenate([head4, by])
+        payloads.append(lane_payload)
+        counts_out[i] = lane_payload.shape[0]
+
+    payload = np.concatenate(payloads) if payloads else np.empty(0, np.uint8)
+    body = bytearray()
+    body += int(payload.shape[0]).to_bytes(4, "little")
+    body += counts_out.astype("<u4").tobytes()
+    body += payload.tobytes()
+    return bytes(head) + bytes(body)
+
+
+# ---------------------------------------------------------------------------
+# decode
+# ---------------------------------------------------------------------------
+
+
+def decode_section(buf: bytes | memoryview, off: int = 0) -> tuple[bytes, int]:
+    """Decode one section record starting at off; returns (raw, new_off)."""
+    buf = memoryview(buf)
+    order = buf[off]
+    n = int.from_bytes(buf[off + 1 : off + 5], "little")
+    lanes = int.from_bytes(buf[off + 5 : off + 7], "little")
+    off += 7
+    if n == 0:
+        return b"", off + 4
+
+    if order == 0:
+        freqs, off = parse_table(buf, off)
+        cum = _cum_from_freqs(freqs)
+        sym_of = np.repeat(np.arange(256, dtype=np.uint8), freqs)  # (SCALE,)
+        freq_lut = freqs[sym_of]
+        cum_lut = cum[sym_of]
+    else:
+        freqs_all = np.zeros((256, 256), dtype=np.int64)
+        for c in range(256):
+            flag = buf[off]
+            off += 1
+            if flag:
+                freqs_all[c], off = parse_table(buf, off)
+        cum_all = np.zeros((256, 257), dtype=np.int64)
+        np.cumsum(freqs_all, axis=1, out=cum_all[:, 1:])
+        sym_of = np.zeros((256, SCALE), dtype=np.uint8)
+        for c in range(256):
+            if freqs_all[c].any():
+                sym_of[c] = np.repeat(
+                    np.arange(256, dtype=np.uint8), freqs_all[c]
+                )
+
+    payload_len = int.from_bytes(buf[off : off + 4], "little")
+    off += 4
+    lane_counts = np.frombuffer(buf, dtype="<u4", count=lanes, offset=off).astype(
+        np.int64
+    )
+    off += 4 * lanes
+    payload = np.frombuffer(buf, dtype=np.uint8, count=payload_len, offset=off)
+    off += payload_len
+
+    lane_starts = np.zeros(lanes + 1, dtype=np.int64)
+    np.cumsum(lane_counts, out=lane_starts[1:])
+
+    # initial states: first 4 bytes of each lane payload (LE)
+    s0 = lane_starts[:-1]
+    state = (
+        payload[s0].astype(np.uint64)
+        | (payload[s0 + 1].astype(np.uint64) << np.uint64(8))
+        | (payload[s0 + 2].astype(np.uint64) << np.uint64(16))
+        | (payload[s0 + 3].astype(np.uint64) << np.uint64(24))
+    )
+    ptr = s0 + 4
+
+    offs = lane_slices(n, lanes)
+    lens = np.diff(offs)
+    steps = int(lens.max())
+    out = np.zeros((steps, lanes), dtype=np.uint8)
+    prev = np.zeros(lanes, dtype=np.uint8)
+    mask = np.uint64(SCALE - 1)
+    lane_end = lane_starts[1:]
+    for t in range(steps):
+        act = lens > t
+        slot = (state & mask).astype(np.int64)
+        if order == 0:
+            sym = sym_of[slot]
+            f = freq_lut[slot].astype(np.uint64)
+            c = cum_lut[slot].astype(np.uint64)
+        else:
+            sym = sym_of[prev, slot]
+            f = freqs_all[prev, sym].astype(np.uint64)
+            c = cum_all[prev, sym].astype(np.uint64)
+        new_state = f * (state >> np.uint64(SCALE_BITS)) + (state & mask) - c
+        state = np.where(act, new_state, state)
+        out[t] = np.where(act, sym, 0)
+        prev = np.where(act, sym, prev)
+        # renormalize: consume one u16 word while state < RANS_L
+        need = act & (state < RANS_L) & (ptr < lane_end)
+        while need.any():
+            p = np.where(need, ptr, 0)
+            hi = payload[p].astype(np.uint64)
+            lo = payload[np.minimum(p + 1, payload_len - 1)].astype(np.uint64)
+            word = (hi << np.uint64(8)) | lo
+            state = np.where(need, (state << np.uint64(16)) | word, state)
+            ptr = np.where(need, ptr + 2, ptr)
+            need = act & (state < RANS_L) & (ptr < lane_end)
+    # reassemble lanes
+    raw = np.zeros(n, dtype=np.uint8)
+    for i in range(lanes):
+        raw[offs[i] : offs[i + 1]] = out[: lens[i], i]
+    return raw.tobytes(), off

@@ -1,0 +1,206 @@
+"""`.rfqz` container: the framework-native second entropy stage.
+
+The reference reaches its best ratio by piping `.rfq` through the external
+`xz` binary (reference main.cpp:134-177) — an inherently sequential LZMA
+stage and a runtime dependency. `.rfqz` replaces that with the in-framework
+interleaved-rANS coder (codec/rans_np.py host oracle, ops/rans_device.py
+TPU kernels): the `.rfq` byte stream is cut into fixed-size blocks, each
+block is entropy-coded as one section with a per-section model choice, and
+both encode and decode are lane-parallel (TPU/SIMD-friendly) instead of
+bit-serial.
+
+Layout:
+  magic "RFQZ" | u8 container version (1)
+  sections until EOF, each one rans_np section record, but with a leading
+  u8 mode: 0 = rANS order-0, 1 = rANS order-1, 255 = stored raw
+  (mode 255: u8 255, u32 n, raw bytes)
+
+Mode choice per section: exact entropy accounting from the byte/context
+histograms (cheap) + serialized table cost, vs raw. The underlying stream
+is the ordinary `.rfq` container, so `.rfqz` works for SE/PE/all paths.
+
+RfqzWriter/RfqzReader are file-like (write/read/close) so the pipeline
+drivers use them as out_stream/in_stream directly — the same shape as the
+reference's xz pipe, minus the subprocess.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..codec import rans_np
+from .header import RfqFormatError
+
+MAGIC = b"RFQZ"
+VERSION = 1
+DEFAULT_BLOCK = 4 << 20
+MODE_ORDER0 = 0
+MODE_ORDER1 = 1
+MODE_STORED = 255
+
+
+class RfqzFormatError(RfqFormatError):
+    """Subclasses RfqFormatError so the CLI's error path covers it."""
+
+
+def _entropy_bits_order0(counts: np.ndarray) -> float:
+    total = counts.sum()
+    if total == 0:
+        return 0.0
+    p = counts[counts > 0] / total
+    return float(-(p * np.log2(p)).sum() * total)
+
+
+def _table_cost_bytes(counts: np.ndarray) -> int:
+    return 1 + 3 * int((counts > 0).sum())
+
+
+def choose_mode(data: np.ndarray) -> int:
+    """Cheap exact-entropy model selection for one section."""
+    n = data.shape[0]
+    if n < 4096:
+        counts = np.bincount(data, minlength=256)
+        est0 = _entropy_bits_order0(counts) / 8 + _table_cost_bytes(counts)
+        return MODE_ORDER0 if est0 < n * 0.98 else MODE_STORED
+    counts = np.bincount(data, minlength=256)
+    est0 = _entropy_bits_order0(counts) / 8 + _table_cost_bytes(counts)
+    ctx = np.bincount(
+        (data[:-1].astype(np.int64) << 8) | data[1:], minlength=65536
+    ).reshape(256, 256)
+    est1 = sum(
+        _entropy_bits_order0(ctx[c]) for c in range(256) if ctx[c].any()
+    ) / 8 + sum(
+        _table_cost_bytes(ctx[c]) + 1 for c in range(256)
+    )
+    best = min(est0, est1)
+    if best >= n * 0.98:
+        return MODE_STORED
+    return MODE_ORDER0 if est0 <= est1 else MODE_ORDER1
+
+
+def encode_block(data: bytes | np.ndarray, lanes: int = rans_np.DEFAULT_LANES,
+                 encode_section=None) -> bytes:
+    """One self-contained section record with mode selection.
+    encode_section: override for the device kernel path (same signature as
+    rans_np.encode_section)."""
+    arr = (
+        np.frombuffer(data, dtype=np.uint8)
+        if isinstance(data, (bytes, bytearray, memoryview))
+        else np.asarray(data, dtype=np.uint8)
+    )
+    mode = choose_mode(arr)
+    if mode == MODE_STORED:
+        return bytes([MODE_STORED]) + len(arr).to_bytes(4, "little") + arr.tobytes()
+    enc = (encode_section or rans_np.encode_section)(
+        arr, order=mode, lanes=lanes
+    )
+    if len(enc) >= arr.shape[0] + 5:  # entropy estimate was optimistic
+        return bytes([MODE_STORED]) + len(arr).to_bytes(4, "little") + arr.tobytes()
+    return enc  # section record already leads with the order byte == mode
+
+
+def decode_block(buf: memoryview, off: int, decode_section=None) -> tuple[bytes, int]:
+    mode = buf[off]
+    if mode == MODE_STORED:
+        n = int.from_bytes(buf[off + 1 : off + 5], "little")
+        return bytes(buf[off + 5 : off + 5 + n]), off + 5 + n
+    if mode not in (MODE_ORDER0, MODE_ORDER1):
+        raise RfqzFormatError("bad rfqz section mode %d" % mode)
+    return (decode_section or rans_np.decode_section)(buf, off)
+
+
+class RfqzWriter:
+    """File-like sink: buffers .rfq bytes, emits coded sections."""
+
+    def __init__(self, path_or_stream, block_size: int = DEFAULT_BLOCK,
+                 lanes: int = rans_np.DEFAULT_LANES, encode_section=None):
+        if hasattr(path_or_stream, "write"):
+            self._out = path_or_stream
+            self._own = False
+        else:
+            self._out = open(path_or_stream, "wb")
+            self._own = True
+        self._block = block_size
+        self._lanes = lanes
+        self._buf = bytearray()
+        self._enc = encode_section
+        self._out.write(MAGIC + bytes([VERSION]))
+        self.raw_bytes = 0
+        self.coded_bytes = 5
+
+    def write(self, data: bytes) -> int:
+        self._buf += data
+        self.raw_bytes += len(data)
+        while len(self._buf) >= self._block:
+            self._flush_one(self._block)
+        return len(data)
+
+    def _flush_one(self, size: int) -> None:
+        chunk = bytes(self._buf[:size])
+        del self._buf[:size]
+        rec = encode_block(chunk, lanes=self._lanes, encode_section=self._enc)
+        self.coded_bytes += len(rec)
+        self._out.write(rec)
+
+    def close(self) -> None:
+        if self._buf:
+            self._flush_one(len(self._buf))
+        if self._own:
+            self._out.close()
+        else:
+            self._out.flush()
+
+
+class RfqzReader:
+    """File-like source: decodes sections lazily; read(n) like a pipe."""
+
+    def __init__(self, path_or_stream, decode_section=None):
+        if hasattr(path_or_stream, "read"):
+            self._raw = path_or_stream.read()
+            self._own = False
+        else:
+            with open(path_or_stream, "rb") as f:
+                self._raw = f.read()
+            self._own = True
+        if self._raw[:4] != MAGIC:
+            raise RfqzFormatError(
+                "not an RFQZ file (bad magic); expected a .rfqz produced by "
+                "this tool"
+            )
+        if self._raw[4] != VERSION:
+            raise RfqzFormatError(
+                "unsupported RFQZ container version %d" % self._raw[4]
+            )
+        self._mv = memoryview(self._raw)
+        self._off = 5
+        self._dec = decode_section
+        self._buf = bytearray()
+        self._pos = 0
+
+    def _pull(self) -> bool:
+        if self._off >= len(self._raw):
+            return False
+        data, self._off = decode_block(self._mv, self._off, self._dec)
+        if self._pos:
+            del self._buf[: self._pos]
+            self._pos = 0
+        self._buf += data
+        return True
+
+    def read(self, n: int = -1) -> bytes:
+        if n < 0:
+            while self._pull():
+                pass
+            out = bytes(self._buf[self._pos :])
+            self._buf = bytearray()
+            self._pos = 0
+            return out
+        while len(self._buf) - self._pos < n and self._pull():
+            pass
+        out = bytes(self._buf[self._pos : self._pos + n])
+        self._pos += len(out)
+        return out
+
+    # RfqHeader.read / RfqChunk.read use stream.read(k) only
+    def close(self) -> None:
+        pass

@@ -400,4 +400,98 @@ void unpack_2bit(const uint8_t* buf, int64_t nbytes, uint8_t* out,
     for (int64_t i = avail; i < length; i++) out[i] = 'N';
 }
 
+// ---------------------------------------------------------------------------
+// Interleaved rANS (the .rfqz second entropy stage; exact semantics of
+// repaq_tpu/codec/rans_np.py: 32-bit state, 16-bit renorm, 12-bit scale).
+// Lanes are independent; the invariant state in [2^16, 2^32) gives at most
+// one renorm word per symbol in both directions.
+// ---------------------------------------------------------------------------
+
+// Encode all lanes. data: n bytes; lane_off: (lanes+1) slice bounds;
+// freq/cum: 256 (order 0) or 256*256 (order 1, row = prev byte context)
+// int32 tables; out: payload buffer (cap >= 2n + 4*lanes); counts: per-lane
+// payload byte counts. Returns total payload bytes.
+int64_t rans_encode(const uint8_t* data, int64_t n, const int64_t* lane_off,
+                    int64_t lanes, const int32_t* freq, const int32_t* cum,
+                    int32_t order, uint8_t* out, int64_t* counts) {
+    (void)n;
+    int64_t total = 0;
+    // scratch for one lane's words (encoder order)
+    for (int64_t li = 0; li < lanes; li++) {
+        int64_t lo = lane_off[li], hi = lane_off[li + 1];
+        int64_t max_words = hi - lo;
+        uint16_t* words = new uint16_t[(size_t)(max_words > 0 ? max_words : 1)];
+        int64_t nw = 0;
+        uint32_t state = 1u << 16;
+        for (int64_t p = hi - 1; p >= lo; p--) {
+            uint8_t sym = data[p];
+            uint32_t ctx = (order && p > lo) ? data[p - 1] : 0u;
+            const int32_t* f_row = order ? freq + (size_t)ctx * 256 : freq;
+            const int32_t* c_row = order ? cum + (size_t)ctx * 256 : cum;
+            uint32_t f = (uint32_t)f_row[sym];
+            uint32_t c = (uint32_t)c_row[sym];
+            if ((state >> 20) >= f) {
+                words[nw++] = (uint16_t)(state & 0xFFFF);
+                state >>= 16;
+            }
+            state = ((state / f) << 12) + (state % f) + c;
+        }
+        uint8_t* dst = out + total;
+        dst[0] = (uint8_t)(state & 0xFF);
+        dst[1] = (uint8_t)((state >> 8) & 0xFF);
+        dst[2] = (uint8_t)((state >> 16) & 0xFF);
+        dst[3] = (uint8_t)((state >> 24) & 0xFF);
+        int64_t b = 4;
+        for (int64_t k = nw - 1; k >= 0; k--) {  // decode order, hi byte first
+            dst[b++] = (uint8_t)(words[k] >> 8);
+            dst[b++] = (uint8_t)(words[k] & 0xFF);
+        }
+        counts[li] = b;
+        total += b;
+        delete[] words;
+    }
+    return total;
+}
+
+// Decode all lanes. payload: flat per-lane image; lane_counts: per-lane
+// payload bytes; sym_lut: 4096 (order 0) or 256*4096 (order 1) u8;
+// out: n bytes.
+void rans_decode(const uint8_t* payload, const int64_t* lane_counts,
+                 int64_t lanes, const int64_t* lane_off, const int32_t* freq,
+                 const int32_t* cum, const uint8_t* sym_lut, int32_t order,
+                 uint8_t* out) {
+    int64_t start = 0;
+    for (int64_t li = 0; li < lanes; li++) {
+        const uint8_t* src = payload + start;
+        int64_t avail = lane_counts[li];
+        uint32_t state = (uint32_t)src[0] | ((uint32_t)src[1] << 8) |
+                         ((uint32_t)src[2] << 16) | ((uint32_t)src[3] << 24);
+        int64_t ptr = 4;
+        uint32_t prev = 0;
+        for (int64_t p = lane_off[li]; p < lane_off[li + 1]; p++) {
+            uint32_t slot = state & 0xFFF;
+            uint8_t sym;
+            uint32_t f, c;
+            if (order) {
+                sym = sym_lut[(size_t)prev * 4096 + slot];
+                f = (uint32_t)freq[(size_t)prev * 256 + sym];
+                c = (uint32_t)cum[(size_t)prev * 256 + sym];
+            } else {
+                sym = sym_lut[slot];
+                f = (uint32_t)freq[sym];
+                c = (uint32_t)cum[sym];
+            }
+            state = f * (state >> 12) + slot - c;
+            if (state < (1u << 16) && ptr < avail) {
+                state = (state << 16) | ((uint32_t)src[ptr] << 8) |
+                        (uint32_t)src[ptr + 1];
+                ptr += 2;
+            }
+            out[p] = sym;
+            prev = sym;
+        }
+        start += avail;
+    }
+}
+
 }  // extern "C"

@@ -116,34 +116,39 @@ def _emit_sort(planes: jnp.ndarray, counts: jnp.ndarray, out_size: int,
 _emit_gather = _emit_sort  # compaction strategy alias
 
 
-def _positions_planes(mask: jnp.ndarray):
-    """Token classification for the gap/run position coder (reference
-    rfqcodec.cpp:625-710). Returns (planes (n,4) u8, counts (n,) i32)."""
-    n = mask.shape[0]
-    i = jnp.arange(n, dtype=jnp.int32)
-    m = mask
+def _classify_stream_positions(g_pos: jnp.ndarray, seg_start: jnp.ndarray,
+                               is_stream: jnp.ndarray):
+    """Gap/run token classification (reference rfqcodec.cpp:625-710) over
+    grouped match positions.
 
-    pm_incl = _cummax(jnp.where(m, i, -1))
-    pm_excl = jnp.concatenate([jnp.array([-1], dtype=jnp.int32), pm_incl[:-1]])
-    delta = i - pm_excl
-
-    adj = m & (delta == 1) & (i > 1)
+    g_pos: (m,) match positions, increasing within each segment; seg_start
+    marks each segment's first element (the coder state `last` restarts at
+    -1 there); is_stream masks real stream elements (False entries emit
+    nothing). Returns (delta, emits_run, covered, g1, g2, g4).
+    """
+    m = g_pos.shape[0]
+    i = jnp.arange(m, dtype=jnp.int32)
+    prev_pos = jnp.concatenate([jnp.array([-1], dtype=jnp.int32), g_pos[:-1]])
+    delta = jnp.where(seg_start, g_pos + 1, g_pos - prev_pos)
+    adj = is_stream & (delta == 1) & (g_pos > 1)
     adj_prev = jnp.concatenate([jnp.array([False]), adj[:-1]])
     run_start = adj & ~adj_prev
     rs_idx = _cummax(jnp.where(run_start, i, -1))
     off_in_run = jnp.where(adj, i - rs_idx, 0)
-    nonadj_pos = jnp.where(~adj, i, n)
+    nonadj_pos = jnp.where(~adj, i, m)
     end_idx = _suffix_min(nonadj_pos)
     run_len = jnp.where(adj, end_idx - rs_idx, 0)
-
     emits_run = adj & (off_in_run % 32 == 0)
     covered = jnp.minimum(32, run_len - off_in_run)
-
-    gap = m & ~adj
+    gap = is_stream & ~adj
     g1 = gap & (delta <= 128)
     g2 = gap & (delta > 128) & (delta <= (1 << 14))
     g4 = gap & (delta > (1 << 14))
+    return delta, emits_run, covered, g1, g2, g4
 
+
+def _stream_planes(delta, emits_run, covered, g1, g2, g4):
+    """(planes (m,4) u8, counts (m,) i32) for pure gap/run streams."""
     counts = (
         g1.astype(jnp.int32)
         + 2 * g2.astype(jnp.int32)
@@ -171,75 +176,94 @@ def _positions_planes(mask: jnp.ndarray):
     return planes, counts
 
 
-def encode_positions_from_mask(mask: jnp.ndarray, out_size: int):
+def encode_positions_from_mask(mask: jnp.ndarray, out_size: int,
+                               pos_cap: int | None = None):
     """Gap/run stream for the True positions of mask; (out, length).
 
-    multi_cap is structural: every 2-byte token has gap delta >= 129 and
-    every 4-byte token delta >= 16385, and the deltas of one stream sum to
-    at most n, so there are < n/64 multi-byte tokens."""
+    pos_cap: static upper bound on the number of True positions. Defaults
+    to n (always safe). The N-position stream is typically ~1% dense, so a
+    tight bound (exact count is known host-side) shrinks every downstream
+    pass from n to pos_cap. multi_cap is structural: a 2-byte token has gap
+    delta >= 129 and a 4-byte one >= 16385; deltas sum to <= n, so there
+    are < n/64 multi-byte tokens."""
     n = mask.shape[0]
-    planes, counts = _positions_planes(mask)
-    return _emit_gather(planes, counts, out_size, multi_cap=n // 64 + 4)
+    if pos_cap is None:
+        pos_cap = n
+    pos_cap = max(1, min(pos_cap, n))
+    i = jnp.arange(pos_cap, dtype=jnp.int32)
+    (g_pos,) = jnp.nonzero(mask, size=pos_cap, fill_value=n)
+    g_pos = g_pos.astype(jnp.int32)
+    is_stream = g_pos < n
+    seg_start = i == 0
+    cls = _classify_stream_positions(g_pos, seg_start, is_stream)
+    planes, counts = _stream_planes(*cls)
+    return _emit_gather(
+        planes, counts, out_size, multi_cap=min(pos_cap, n // 64 + 4)
+    )
 
 
 def qualcol_encode_device(qual: jnp.ndarray, bins: jnp.ndarray, major: jnp.ndarray,
-                          in_table: jnp.ndarray, esc_cap: int | None = None):
+                          in_table: jnp.ndarray, esc_cap: int | None = None,
+                          bid: jnp.ndarray | None = None,
+                          nonmajor_cap: int | None = None):
     """Full by-column quality encode (reference rfqcodec.cpp:712-765):
     u32le per-bin lengths, concatenated per-bin streams, 5-byte escape
     records — compacted on device in one gather pass.
 
     qual: (n,) uint8; bins: (B,) uint8 (static B); in_table: (256,) bool.
     esc_cap: static upper bound on the number of escape records (quality
-    chars outside the header table). Defaults to n (always safe); callers
-    that know the exact count (host computes it from in_table in one
-    vectorized pass) should pass a tight bucketed bound — escapes are the
-    only 5-byte tokens, so the emission sort shrinks ~5x.
+    chars outside the header table). nonmajor_cap: static upper bound on
+    positions whose qual is NOT the major qual (those are the only ones
+    that emit anything). Both default to n (always safe); callers that
+    know exact counts (the host computes both from the chunk histogram in
+    one pass) should pass tight bucketed bounds — the grouping sort,
+    classification scans, and emission sort all shrink from n to
+    nonmajor_cap (typically 20-50% of n for Illumina data).
     Returns (out: (4B + n + 8,) uint8, total_len).
     """
     n = qual.shape[0]
     nbins = bins.shape[0]
     if esc_cap is None:
         esc_cap = n
-    i = jnp.arange(n, dtype=jnp.int32)
+    if nonmajor_cap is None:
+        nonmajor_cap = n
+    nonmajor_cap = max(1, min(nonmajor_cap, n))
 
     # LUT: qual byte -> bin ordinal; escapes get pseudo-bin B (they follow
-    # the streams in wire order), the major qual gets B+1 (dropped)
-    bin_idx = jnp.where(
-        in_table, jnp.int32(nbins + 1), jnp.int32(nbins)
-    )
-    bin_idx = bin_idx.at[bins].set(jnp.arange(nbins, dtype=jnp.int32))
-    bid = bin_idx[qual]  # (n,): 0..B-1 stream, B escape, B+1 major (drop)
+    # the streams in wire order), the major qual gets B+1 (dropped).
+    # Callers may pass bid precomputed (the pallas fused front end emits it
+    # in the same id space).
+    if bid is None:
+        bin_idx = jnp.where(
+            in_table, jnp.int32(nbins + 1), jnp.int32(nbins)
+        )
+        bin_idx = bin_idx.at[bins].set(jnp.arange(nbins, dtype=jnp.int32))
+        bid = bin_idx[qual]  # (n,): 0..B-1 stream, B escape, B+1 major (drop)
 
-    # ONE counting sort groups positions by bin (stable: key = bid*n + i);
-    # major-qual positions sort to the tail and are masked off.
-    keys0 = bid * n + i
-    grouped = jnp.sort(keys0)
-    g_bid = grouped // n
-    g_pos = grouped - g_bid * n
+    # compact the emitting positions (bid <= B), then ONE counting sort
+    # groups them by bin (stable key = bid*(n+1) + pos); fill entries get
+    # pseudo-bin B+1 and sort to the tail.
+    (pos_c,) = jnp.nonzero(bid <= nbins, size=nonmajor_cap, fill_value=n)
+    pos_c = pos_c.astype(jnp.int32)
+    bid_ext = jnp.concatenate([bid, jnp.full(1, nbins + 1, bid.dtype)])
+    bid_c = bid_ext[pos_c].astype(jnp.int32)
+    m = nonmajor_cap
+    assert (nbins + 2) * (n + 1) < 2**31, (
+        "qualcol device path needs (B+2)*(n+1) < 2^31; split the block"
+    )
+    i = jnp.arange(m, dtype=jnp.int32)
+    grouped = jnp.sort(bid_c * (n + 1) + pos_c)
+    g_bid = grouped // (n + 1)
+    g_pos = grouped - g_bid * (n + 1)
     is_stream = g_bid < nbins
     is_esc = g_bid == nbins
 
-    # segmented token classification on the grouped positions
-    prev_pos = jnp.concatenate([jnp.array([-1], dtype=jnp.int32), g_pos[:-1]])
     seg_start = jnp.concatenate(
         [jnp.array([True]), g_bid[1:] != g_bid[:-1]]
     )
-    delta = jnp.where(seg_start, g_pos + 1, g_pos - prev_pos)
-    adj = is_stream & (delta == 1) & (g_pos > 1)
-    adj_prev = jnp.concatenate([jnp.array([False]), adj[:-1]])
-    run_start = adj & ~adj_prev
-    rs_idx = _cummax(jnp.where(run_start, i, -1))
-    off_in_run = jnp.where(adj, i - rs_idx, 0)
-    nonadj_pos = jnp.where(~adj, i, n)
-    end_idx = _suffix_min(nonadj_pos)
-    run_len = jnp.where(adj, end_idx - rs_idx, 0)
-    emits_run = adj & (off_in_run % 32 == 0)
-    covered = jnp.minimum(32, run_len - off_in_run)
-
-    gap = is_stream & ~adj
-    g1 = gap & (delta <= 128)
-    g2 = gap & (delta > 128) & (delta <= (1 << 14))
-    g4 = gap & (delta > (1 << 14))
+    delta, emits_run, covered, g1, g2, g4 = _classify_stream_positions(
+        g_pos, seg_start, is_stream
+    )
 
     counts = (
         g1.astype(jnp.int32)
@@ -284,7 +308,7 @@ def qualcol_encode_device(qual: jnp.ndarray, bins: jnp.ndarray, major: jnp.ndarr
     # offset after the 4B length table
     cum = jnp.cumsum(counts)
     dest = 4 * nbins + (cum - counts)
-    total = 4 * nbins + (cum[-1] if n else 0)
+    total = 4 * nbins + (cum[-1] if m else 0)
 
     # per-bin lengths for the u32le table
     lens = jax.ops.segment_sum(
@@ -303,7 +327,7 @@ def qualcol_encode_device(qual: jnp.ndarray, bins: jnp.ndarray, major: jnp.ndarr
     # to <= n, so 2-byte gaps (< n/128 per bin) and 4-byte gaps are rare;
     # escapes (5-byte) are bounded by esc_cap (exact count known host-side;
     # defaults to n = fully general)
-    multi_cap = nbins * (n // 64 + 4) + esc_cap
+    multi_cap = min(nonmajor_cap, nbins * (n // 64 + 4) + esc_cap)
     out_size = 4 * nbins + n + 8
     out, _ = _emit_sort(
         planes, counts, out_size, offsets=dest, total=total,

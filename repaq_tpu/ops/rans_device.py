@@ -1,0 +1,297 @@
+"""Device (JAX) interleaved-rANS kernels — the TPU path of the `.rfqz`
+second entropy stage. Byte-exact with the host oracle codec/rans_np.py
+(cross-checked in tests/test_rans.py).
+
+Shape of the computation: L independent rANS lanes advance in lockstep
+through a (steps, lanes) symbol grid via ONE lax.scan per direction. The
+coder constants (32-bit state, 16-bit renorm, 12-bit scale) give the key
+invariant that makes the lockstep kernel exact and fixed-shape:
+
+    state in [2^16, 2^32)  =>  at most ONE u16 renorm word per lane per
+    step, on both encode and decode.
+
+so the scan body is pure elementwise math plus one gather, with no
+data-dependent inner loops. Encode output words are compacted into the
+container's per-lane payload layout by the same sort-based emission used
+for the .rfq token streams.
+
+Requires n to be a multiple of lanes (the rfqz writer picks block sizes
+that are; ragged tails take the host oracle).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..codec import rans_np
+
+SCALE_BITS = rans_np.SCALE_BITS
+SCALE = rans_np.SCALE
+RANS_L = rans_np.RANS_L
+
+
+def _grid_of(data: jnp.ndarray, lanes: int) -> jnp.ndarray:
+    """(n,) -> (steps, lanes): lane i owns the contiguous slice
+    data[i*steps:(i+1)*steps] (n % lanes == 0), matching
+    rans_np.lane_slices for the equal-split case."""
+    n = data.shape[0]
+    assert n % lanes == 0, "device rANS needs n %% lanes == 0"
+    return data.reshape(lanes, n // lanes).T
+
+
+def rans_encode_device(data: jnp.ndarray, freq_lut: jnp.ndarray,
+                       cum_lut: jnp.ndarray, lanes: int, order: int):
+    """Encode (n,) u8 with per-symbol tables.
+
+    freq_lut/cum_lut: (256,) int32 for order-0, (256, 256) for order-1
+    (row = previous byte's context). Returns (words (steps, lanes) u16 in
+    ENCODER order (k ascending == symbols processed in reverse), emit mask
+    (steps, lanes) bool, final states (lanes,) u32).
+    """
+    grid = _grid_of(data, lanes)
+    steps = grid.shape[0]
+    gi = grid.astype(jnp.int32)
+    if order == 0:
+        f_of = freq_lut[gi]
+        c_of = cum_lut[gi]
+    else:
+        prev = jnp.concatenate(
+            [jnp.zeros((1, lanes), jnp.int32), gi[:-1]], axis=0
+        )
+        f_of = freq_lut[prev, gi]
+        c_of = cum_lut[prev, gi]
+
+    def step(state, fc):
+        f, c = fc
+        f = f.astype(jnp.uint32)
+        c = c.astype(jnp.uint32)
+        # renorm: state >= f << 20, computed shift-first to dodge overflow
+        emit = (state >> jnp.uint32(20)) >= f
+        word = (state & jnp.uint32(0xFFFF)).astype(jnp.uint16)
+        state = jnp.where(emit, state >> jnp.uint32(16), state)
+        state = (
+            (state // f) << jnp.uint32(SCALE_BITS)
+        ) + (state % f) + c
+        return state, (word, emit)
+
+    init = jnp.full(lanes, RANS_L, dtype=jnp.uint32)
+    final, (words, emits) = jax.lax.scan(
+        step, init, (f_of[::-1], c_of[::-1])
+    )
+    return words, emits, final
+
+
+def rans_encode_payload_device(data: jnp.ndarray, freq_lut, cum_lut,
+                               lanes: int, order: int, out_cap: int):
+    """Full device encode to the container's payload image: per-lane
+    [4B final state LE][u16 words in decode order], lanes back-to-back.
+    Returns (payload (out_cap,) u8 zero-padded, lane_counts (lanes,) i32
+    bytes per lane, total i32)."""
+    words, emits, final = rans_encode_device(
+        data, freq_lut, cum_lut, lanes, order
+    )
+    steps = words.shape[0]
+    wcount = jnp.sum(emits, axis=0).astype(jnp.int32)  # words per lane
+    lane_bytes = 4 + 2 * wcount
+    lane_start = jnp.cumsum(lane_bytes) - lane_bytes
+    total = jnp.sum(lane_bytes)
+
+    # word emitted at scan index k in lane i sits at decode position
+    # (wcount[i]-1-rank) where rank = #emits before k in that lane
+    rank = jnp.cumsum(emits.astype(jnp.int32), axis=0) - 1
+    dpos = wcount[None, :] - 1 - rank
+    dest = lane_start[None, :] + 4 + 2 * dpos  # byte offset of hi byte
+
+    inf = jnp.int32(2**31 - 1)
+    w32 = words.astype(jnp.int32)
+    hi_keys = jnp.where(emits, (dest << 8) | (w32 >> 8), inf).reshape(-1)
+    lo_keys = jnp.where(
+        emits, ((dest + 1) << 8) | (w32 & 0xFF), inf
+    ).reshape(-1)
+
+    st = final.astype(jnp.int32)
+    b = jnp.arange(4, dtype=jnp.int32)[None, :]
+    state_dest = lane_start[:, None] + b
+    state_byte = (st[:, None] >> (8 * b)) & 0xFF
+    state_keys = ((state_dest << 8) | state_byte).reshape(-1)
+
+    keys = jnp.concatenate([hi_keys, lo_keys, state_keys])
+    srt = jnp.sort(keys)
+    take = min(out_cap, srt.shape[0])
+    out = jnp.zeros(out_cap, dtype=jnp.uint8)
+    out = out.at[:take].set((srt[:take] & 0xFF).astype(jnp.uint8))
+    k = jnp.arange(out_cap, dtype=jnp.int32)
+    out = jnp.where(k < total, out, 0).astype(jnp.uint8)
+    return out, lane_bytes, total
+
+
+def rans_decode_device(payload: jnp.ndarray, lane_counts: jnp.ndarray,
+                       sym_lut: jnp.ndarray, freq_lut, cum_lut,
+                       lanes: int, steps: int, order: int):
+    """Decode to a (steps, lanes) symbol grid (= data.reshape(lanes,
+    steps).T). payload: flat per-lane image as produced above, padded with
+    >= 2 zero bytes; sym_lut: (SCALE,) u8 for order-0 / (256, SCALE) for
+    order-1."""
+    lane_start = jnp.cumsum(lane_counts) - lane_counts
+    s0 = lane_start
+    state = (
+        payload[s0].astype(jnp.uint32)
+        | (payload[s0 + 1].astype(jnp.uint32) << jnp.uint32(8))
+        | (payload[s0 + 2].astype(jnp.uint32) << jnp.uint32(16))
+        | (payload[s0 + 3].astype(jnp.uint32) << jnp.uint32(24))
+    )
+    ptr = (s0 + 4).astype(jnp.int32)
+    prev0 = jnp.zeros(lanes, dtype=jnp.int32)
+    mask = jnp.uint32(SCALE - 1)
+
+    def step(carry, _):
+        state, ptr, prev = carry
+        slot = (state & mask).astype(jnp.int32)
+        if order == 0:
+            sym = sym_lut[slot].astype(jnp.int32)
+            f = freq_lut[sym].astype(jnp.uint32)
+            c = cum_lut[sym].astype(jnp.uint32)
+        else:
+            sym = sym_lut[prev, slot].astype(jnp.int32)
+            f = freq_lut[prev, sym].astype(jnp.uint32)
+            c = cum_lut[prev, sym].astype(jnp.uint32)
+        state = f * (state >> jnp.uint32(SCALE_BITS)) + (state & mask) - c
+        need = state < jnp.uint32(RANS_L)
+        word = (
+            (payload[ptr].astype(jnp.uint32) << jnp.uint32(8))
+            | payload[ptr + 1].astype(jnp.uint32)
+        )
+        state = jnp.where(need, (state << jnp.uint32(16)) | word, state)
+        ptr = jnp.where(need, ptr + 2, ptr)
+        return (state, ptr, sym), sym.astype(jnp.uint8)
+
+    (_s, _p, _pr), grid = jax.lax.scan(
+        step, (state, ptr, prev0), None, length=steps
+    )
+    return grid  # (steps, lanes)
+
+
+# ---------------------------------------------------------------------------
+# section-level drivers, byte-compatible with rans_np.encode_section
+# ---------------------------------------------------------------------------
+
+
+def build_luts_grid(grid: np.ndarray, order: int):
+    """Tables from a (steps, lanes) grid (lane-aware order-1 contexts)."""
+    head = bytearray()
+    if order == 0:
+        counts = np.bincount(grid.reshape(-1), minlength=256)
+        freqs = rans_np.quantize_freqs(counts)
+        head += rans_np.serialize_table(freqs)
+        cum = np.zeros(256, dtype=np.int64)
+        cum[1:] = np.cumsum(freqs)[:-1]
+        sym = np.repeat(np.arange(256, dtype=np.uint8), freqs)
+        return bytes(head), freqs.astype(np.int32), cum.astype(np.int32), sym
+    prev = np.zeros_like(grid)
+    prev[1:] = grid[:-1]
+    ctx_counts = np.bincount(
+        (prev.reshape(-1).astype(np.int64) << 8) | grid.reshape(-1),
+        minlength=65536,
+    ).reshape(256, 256)
+    freqs = np.zeros((256, 256), dtype=np.int64)
+    sym = np.zeros((256, SCALE), dtype=np.uint8)
+    for c in range(256):
+        if ctx_counts[c].any():
+            freqs[c] = rans_np.quantize_freqs(ctx_counts[c])
+            head.append(1)
+            head += rans_np.serialize_table(freqs[c])
+            sym[c] = np.repeat(np.arange(256, dtype=np.uint8), freqs[c])
+        else:
+            head.append(0)
+    cum = np.zeros((256, 256), dtype=np.int64)
+    cum[:, 1:] = np.cumsum(freqs, axis=1)[:, :-1]
+    return bytes(head), freqs.astype(np.int32), cum.astype(np.int32), sym
+
+
+def encode_section_device(data, order: int = 0,
+                          lanes: int = rans_np.DEFAULT_LANES) -> bytes:
+    """Drop-in for rans_np.encode_section (same bytes) running the scan on
+    the accelerator. Falls back to the host oracle for ragged tails."""
+    arr = (
+        np.frombuffer(data, dtype=np.uint8)
+        if isinstance(data, (bytes, bytearray, memoryview))
+        else np.asarray(data, dtype=np.uint8)
+    )
+    n = arr.shape[0]
+    lanes = max(1, min(lanes, max(1, n)))
+    if n == 0 or n % lanes != 0:
+        return rans_np.encode_section(arr, order=order, lanes=lanes)
+    grid = arr.reshape(lanes, n // lanes).T
+    head = bytearray()
+    head.append(order)
+    head += int(n).to_bytes(4, "little")
+    head += int(lanes).to_bytes(2, "little")
+    tbl, freqs, cum, _sym = build_luts_grid(grid, order)
+    head += tbl
+    out_cap = 2 * n + 4 * lanes + 8  # true worst case: one word per symbol
+    payload, lane_bytes, total = jax.jit(
+        rans_encode_payload_device,
+        static_argnames=("lanes", "order", "out_cap"),
+    )(arr, jnp.asarray(freqs), jnp.asarray(cum), lanes=lanes, order=order,
+      out_cap=out_cap)
+    total = int(total)
+    counts = np.asarray(lane_bytes).astype("<u4")
+    body = bytearray()
+    body += int(total).to_bytes(4, "little")
+    body += counts.tobytes()
+    body += np.asarray(payload[:total]).tobytes()
+    return bytes(head) + bytes(body)
+
+
+def decode_section_device(buf, off: int = 0) -> tuple[bytes, int]:
+    """Drop-in for rans_np.decode_section with the scan on device."""
+    buf = memoryview(buf)
+    order = buf[off]
+    n = int.from_bytes(buf[off + 1 : off + 5], "little")
+    lanes = int.from_bytes(buf[off + 5 : off + 7], "little")
+    off += 7
+    if n == 0:
+        return b"", off + 4
+    if n % lanes != 0:
+        return rans_np.decode_section(buf, off - 7)
+
+    if order == 0:
+        freqs, off = rans_np.parse_table(buf, off)
+        cum = np.zeros(256, dtype=np.int64)
+        cum[1:] = np.cumsum(freqs)[:-1]
+        sym = np.repeat(np.arange(256, dtype=np.uint8), freqs)
+        freqs_d, cum_d, sym_d = freqs.astype(np.int32), cum.astype(np.int32), sym
+    else:
+        freqs = np.zeros((256, 256), dtype=np.int64)
+        sym = np.zeros((256, SCALE), dtype=np.uint8)
+        for c in range(256):
+            flag = buf[off]
+            off += 1
+            if flag:
+                freqs[c], off = rans_np.parse_table(buf, off)
+                sym[c] = np.repeat(np.arange(256, dtype=np.uint8), freqs[c])
+        cum = np.zeros((256, 256), dtype=np.int64)
+        cum[:, 1:] = np.cumsum(freqs, axis=1)[:, :-1]
+        freqs_d, cum_d, sym_d = freqs.astype(np.int32), cum.astype(np.int32), sym
+
+    payload_len = int.from_bytes(buf[off : off + 4], "little")
+    off += 4
+    lane_counts = np.frombuffer(buf, dtype="<u4", count=lanes, offset=off).astype(
+        np.int32
+    )
+    off += 4 * lanes
+    payload = np.frombuffer(buf, dtype=np.uint8, count=payload_len, offset=off)
+    off += payload_len
+    payload_pad = np.concatenate([payload, np.zeros(2, np.uint8)])
+    steps = n // lanes
+    grid = jax.jit(
+        rans_decode_device,
+        static_argnames=("lanes", "steps", "order"),
+    )(
+        jnp.asarray(payload_pad), jnp.asarray(lane_counts),
+        jnp.asarray(sym_d), jnp.asarray(freqs_d), jnp.asarray(cum_d),
+        lanes=lanes, steps=steps, order=order,
+    )
+    return np.asarray(grid).T.reshape(-1).tobytes(), off

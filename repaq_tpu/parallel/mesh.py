@@ -37,28 +37,54 @@ def make_mesh(devices=None, axis: str = "data") -> Mesh:
     return Mesh(np.array(devices), (axis,))
 
 
-def device_encode_block(seqs, quals, xs, ys, bins, major, in_table):
+def device_encode_block(seqs, quals, xs, ys, bins, major, in_table,
+                        esc_cap: int | None = None,
+                        use_pallas: bool | None = None,
+                        nonmajor_cap: int | None = None,
+                        npos_cap: int | None = None):
     """Encode one fixed-shape block on one device.
 
     seqs/quals: (B, L) uint8 (read-major, matching the chunk concat order);
     xs/ys: (B,) int32; bins: (nbins,) uint8; major: scalar; in_table: (256,)
-    bool. Returns a dict of padded streams + true lengths.
+    bool. esc_cap/nonmajor_cap: static bounds on out-of-table quality chars
+    and non-major-qual positions (see qualcol_encode_device); npos_cap:
+    static bound on 'N' bases. All default to n = fully general; the host
+    pipeline knows exact counts and passes tight buckets. use_pallas: run
+    the fused pallas front end (pack + N mask + bin classify in one HBM
+    pass); defaults to True on the TPU backend. Returns a dict of padded
+    streams + true lengths.
     """
     b, l = seqs.shape
     n = b * l
     flat_seq = seqs.reshape(-1)
     flat_qual = quals.reshape(-1)
-    pad = (-n) % 4
-    if pad:
-        flat_seq_p = jnp.concatenate(
-            [flat_seq, jnp.zeros(pad, dtype=jnp.uint8)]
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        from ..ops.pallas_tpu import encode_frontend_pallas
+
+        # pallas pads the tail with G (code 0) internally — same 2-bit
+        # layout as the reference's zero-padded final byte
+        packed, nmask, bid = encode_frontend_pallas(
+            flat_seq, flat_qual, bins, major
         )
     else:
-        flat_seq_p = flat_seq
-    packed = pack_2bit_device(flat_seq_p)
-    qual_out, qual_len = qualcol_encode_device(flat_qual, bins, major, in_table)
+        pad = (-n) % 4
+        if pad:
+            flat_seq_p = jnp.concatenate(
+                [flat_seq, jnp.zeros(pad, dtype=jnp.uint8)]
+            )
+        else:
+            flat_seq_p = flat_seq
+        packed = pack_2bit_device(flat_seq_p)
+        nmask = flat_seq == ord("N")
+        bid = None
+    qual_out, qual_len = qualcol_encode_device(
+        flat_qual, bins, major, in_table, esc_cap=esc_cap, bid=bid,
+        nonmajor_cap=nonmajor_cap,
+    )
     npos_out, npos_len = encode_positions_from_mask(
-        flat_seq == ord("N"), n // 2 + 8
+        nmask, n // 2 + 8, pos_cap=npos_cap
     )
     x_out, x_len = coords_encode_device(xs, 3 * b + 8)
     y_out, y_len = coords_encode_device(ys, 3 * b + 8)

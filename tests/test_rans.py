@@ -1,0 +1,140 @@
+"""Interleaved-rANS second stage: host oracle roundtrips, device kernels
+byte-exact with the oracle, rfqz container + CLI integration."""
+
+import numpy as np
+import pytest
+
+from repaq_tpu.codec import rans_np as R
+from repaq_tpu.format import rfqz
+
+
+def _skewed(n, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.choice(
+        np.frombuffer(b"\x00\x01\x01\x01\x02\x05\x80\xff\x41\x41", np.uint8),
+        size=n,
+    )
+
+
+@pytest.mark.parametrize("order", [0, 1])
+@pytest.mark.parametrize("n,lanes", [(0, 8), (1, 8), (7, 8), (257, 16),
+                                     (4096, 64), (100_000, 256)])
+def test_roundtrip_host(order, n, lanes):
+    data = _skewed(n).tobytes()
+    enc = R.encode_section(data, order=order, lanes=lanes)
+    dec, off = R.decode_section(enc)
+    assert dec == data
+    assert off == len(enc)
+
+
+def test_roundtrip_all_bytes():
+    rng = np.random.default_rng(5)
+    data = rng.integers(0, 256, size=50_000, dtype=np.uint8).tobytes()
+    for order in (0, 1):
+        enc = R.encode_section(data, order=order, lanes=128)
+        dec, _ = R.decode_section(enc)
+        assert dec == data
+
+
+def test_single_symbol():
+    data = b"\x42" * 10_000
+    enc = R.encode_section(data, order=0, lanes=32)
+    assert len(enc) < 600
+    dec, _ = R.decode_section(enc)
+    assert dec == data
+
+
+def test_quantize_exact_sum():
+    rng = np.random.default_rng(1)
+    for _ in range(20):
+        counts = rng.integers(0, 1000, size=256)
+        counts[rng.random(256) < 0.7] = 0
+        if counts.sum() == 0:
+            counts[3] = 5
+        f = R.quantize_freqs(counts)
+        assert f.sum() == R.SCALE
+        assert ((f > 0) == (counts > 0)).all()
+
+
+@pytest.mark.parametrize("order", [0, 1])
+def test_device_matches_host(order):
+    from repaq_tpu.ops import rans_device as D
+
+    n, lanes = 64 * 512, 64
+    data = _skewed(n, seed=3).tobytes()
+    enc_host = R.encode_section(data, order=order, lanes=lanes)
+    enc_dev = D.encode_section_device(data, order=order, lanes=lanes)
+    assert enc_dev == enc_host
+    dec, off = D.decode_section_device(enc_host)
+    assert dec == data and off == len(enc_host)
+
+
+def test_device_ragged_falls_back():
+    from repaq_tpu.ops import rans_device as D
+
+    data = _skewed(1003, seed=4).tobytes()
+    enc = D.encode_section_device(data, order=0, lanes=64)
+    assert enc == R.encode_section(data, order=0, lanes=64)
+    dec, _ = D.decode_section_device(enc)
+    assert dec == data
+
+
+def test_rfqz_container_roundtrip(tmp_path):
+    rng = np.random.default_rng(9)
+    blob = (
+        _skewed(300_000, seed=2).tobytes()
+        + rng.integers(0, 256, size=100_000, dtype=np.uint8).tobytes()
+    )
+    p = tmp_path / "x.rfqz"
+    w = rfqz.RfqzWriter(str(p), block_size=64 * 1024, lanes=128)
+    for i in range(0, len(blob), 37_777):
+        w.write(blob[i : i + 37_777])
+    w.close()
+    r = rfqz.RfqzReader(str(p))
+    got = bytearray()
+    while True:
+        b = r.read(10_000)
+        if not b:
+            break
+        got += b
+    assert bytes(got) == blob
+    assert w.coded_bytes < len(blob)  # skewed part must compress
+
+
+def test_rfqz_bad_magic(tmp_path):
+    p = tmp_path / "bad.rfqz"
+    p.write_bytes(b"NOPE1234")
+    with pytest.raises(rfqz.RfqzFormatError):
+        rfqz.RfqzReader(str(p))
+
+
+def test_cli_rfqz_roundtrip(fixtures_dir, tmp_path):
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    fq = fixtures_dir / "se_big.fq"
+    z = tmp_path / "o.rfqz"
+    back = tmp_path / "back.fq"
+    env = {"PYTHONPATH": str(repo), "PATH": "/usr/bin:/bin",
+           "JAX_PLATFORMS": "cpu"}
+    r = subprocess.run(
+        [sys.executable, "-m", "repaq_tpu.cli", "-c", "-i", str(fq),
+         "-o", str(z), "-k", "100"], env=env, capture_output=True,
+    )
+    assert r.returncode == 0, r.stderr
+    assert z.stat().st_size < fq.stat().st_size * 0.5
+    r = subprocess.run(
+        [sys.executable, "-m", "repaq_tpu.cli", "-d", "-i", str(z),
+         "-o", str(back)], env=env, capture_output=True,
+    )
+    assert r.returncode == 0, r.stderr
+    assert back.read_bytes() == fq.read_bytes()
+    # compare mode against .rfqz
+    r = subprocess.run(
+        [sys.executable, "-m", "repaq_tpu.cli", "-p", "-i", str(fq),
+         "-r", str(z)], env=env, capture_output=True,
+    )
+    assert r.returncode == 0, r.stderr
+    assert b'"result":"passed"' in r.stdout
