@@ -142,9 +142,22 @@ def bench_device_kernels() -> float | None:
             r.choice(np.frombuffer(b"FFF:FFF,F:#", dtype=np.uint8), size=(B, L)),
         )
 
+    # tight static caps, as the pipeline computes host-side per chunk:
+    # exact counts bucketed to the next power of two
+    def bucket(x, n):
+        c = 1024
+        while c < x:
+            c *= 2
+        return min(c, n)
+
+    s0_np, q0_np = mk(0)
+    n_elems = B * L
+    nm_cap = bucket(int((q0_np != ord("F")).sum()), n_elems)
+    np_cap = bucket(int((s0_np == ord("N")).sum()), n_elems)
     f = jax.jit(
         lambda s, q, x, y, b, t: device_encode_block(
-            s, q, x, y, b, jnp.uint8(ord("F")), t
+            s, q, x, y, b, jnp.uint8(ord("F")), t,
+            esc_cap=8, nonmajor_cap=nm_cap, npos_cap=np_cap,
         )
     )
     xd, yd, bd, td = map(jax.device_put, (xs, ys, bins, in_table))
@@ -210,6 +223,45 @@ def main() -> None:
     assert filecmp.cmp(f1, d1, shallow=False), "roundtrip mismatch R1"
     assert filecmp.cmp(f2, d2, shallow=False), "roundtrip mismatch R2"
     log("roundtrip: bit-exact")
+
+    # second entropy stage (.rfqz, in-framework interleaved rANS replacing
+    # the reference's external xz): size + throughput diagnostics
+    try:
+        from repaq_tpu.format.rfqz import RfqzReader, RfqzWriter
+
+        zpath = os.path.join(tmp, "bench.rfqz")
+        t0 = time.time()
+        w = RfqzWriter(zpath)
+        with open(rfq, "rb") as fsrc:
+            while True:
+                buf = fsrc.read(1 << 22)
+                if not buf:
+                    break
+                w.write(buf)
+        w.close()
+        z_s = time.time() - t0
+        z_bytes = os.path.getsize(zpath)
+        t0 = time.time()
+        r = RfqzReader(zpath)
+        back = bytearray()
+        while True:
+            piece = r.read(1 << 22)
+            if not piece:
+                break
+            back += piece
+        z_dec_s = time.time() - t0
+        with open(rfq, "rb") as fsrc:
+            assert bytes(back) == fsrc.read(), "rfqz roundtrip mismatch"
+        log(
+            "rfqz second stage: %.1f MB (%.1f%% of .rfq, %.2f%% of FASTQ) "
+            "enc %.0f MB/s dec %.0f MB/s, lossless"
+            % (z_bytes / 1e6, 100.0 * z_bytes / rfq_bytes,
+               100.0 * z_bytes / total_bytes, rfq_bytes / 1e6 / z_s,
+               rfq_bytes / 1e6 / z_dec_s)
+        )
+        os.unlink(zpath)
+    except Exception as e:
+        log("rfqz stage diagnostics unavailable: %r" % (e,))
 
     enc_mbps = total_bytes / 1e6 / enc_s
     log(

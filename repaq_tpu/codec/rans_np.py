@@ -163,8 +163,6 @@ def encode_section(data: bytes | np.ndarray, order: int = 0,
         head += (0).to_bytes(4, "little")
         return bytes(head)
 
-    grid, lens, steps = _to_padded(data, lanes)
-
     if order == 0:
         counts = np.bincount(data, minlength=256)
         freqs = quantize_freqs(counts)
@@ -172,12 +170,20 @@ def encode_section(data: bytes | np.ndarray, order: int = 0,
         cum = _cum_from_freqs(freqs)
         freq_flat, cum_flat = freqs, cum[:256]
     else:
-        prev = _prev_grid(grid, lens)
-        valid = np.arange(steps)[:, None] < lens[None, :]
-        ctx_counts = np.bincount(
-            (prev[valid].astype(np.int64) << 8) | grid[valid],
-            minlength=65536,
-        ).reshape(256, 256)
+        # contexts from overlapping byte pairs, then exact corrections at
+        # lane boundaries (each lane's first byte has context 0, and the
+        # pair that straddles a boundary doesn't exist)
+        off = lane_slices(n, lanes)
+        key = (data[:-1].astype(np.uint16) << 8) | data[1:]
+        ctx_counts = np.bincount(key, minlength=65536).astype(np.int64)
+        for i in range(lanes):
+            s = int(off[i])
+            if s >= n:
+                break
+            if i > 0:
+                ctx_counts[(int(data[s - 1]) << 8) | int(data[s])] -= 1
+            ctx_counts[int(data[s])] += 1
+        ctx_counts = ctx_counts.reshape(256, 256)
         freqs_all = np.zeros((256, 256), dtype=np.int64)
         for c in range(256):
             if ctx_counts[c].any():
@@ -209,10 +215,12 @@ def encode_section(data: bytes | np.ndarray, order: int = 0,
         body += payload_n.tobytes()
         return bytes(head) + bytes(body)
 
+    grid, lens, steps = _to_padded(data, lanes)
     if order == 0:
         f_of = freqs[grid]  # (steps, lanes)
         c_of = cum[grid]
     else:
+        prev = _prev_grid(grid, lens)
         f_of = freqs_all[prev, grid]
         c_of = cum_all[prev, grid]
 
@@ -321,6 +329,25 @@ def decode_section(buf: bytes | memoryview, off: int = 0) -> tuple[bytes, int]:
     off += 4 * lanes
     payload = np.frombuffer(buf, dtype=np.uint8, count=payload_len, offset=off)
     off += payload_len
+
+    from . import _native
+
+    if _native.available():
+        offs = lane_slices(n, lanes)
+        if order == 0:
+            freq_flat = freqs.astype(np.int32)
+            cum_flat = _cum_from_freqs(freqs)[:256].astype(np.int32)
+            sym_flat = np.repeat(np.arange(256, dtype=np.uint8), freqs)
+        else:
+            freq_flat = freqs_all.reshape(-1).astype(np.int32)
+            cum_flat = cum_all[:, :256].reshape(-1).astype(np.int32)
+            sym_flat = sym_of.reshape(-1)
+        out = _native.rans_decode(
+            np.ascontiguousarray(payload), lane_counts, offs,
+            np.ascontiguousarray(freq_flat), np.ascontiguousarray(cum_flat),
+            np.ascontiguousarray(sym_flat), order,
+        )
+        return out.tobytes(), off
 
     lane_starts = np.zeros(lanes + 1, dtype=np.int64)
     np.cumsum(lane_counts, out=lane_starts[1:])
