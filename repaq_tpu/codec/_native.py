@@ -37,6 +37,20 @@ def _ptr(a: np.ndarray, typ):
     return a.ctypes.data_as(typ)
 
 
+_TLS = __import__("threading").local()
+
+
+def _scratch(key: str, nbytes: int) -> np.ndarray:
+    """Grow-only per-thread scratch buffers: the encode kernels need
+    O(chunk) work space per call, and re-allocating tens of MB per chunk
+    costs more in page faults than the kernels themselves."""
+    buf = getattr(_TLS, key, None)
+    if buf is None or buf.shape[0] < nbytes:
+        buf = np.empty(max(nbytes, 1 << 20), dtype=np.uint8)
+        setattr(_TLS, key, buf)
+    return buf
+
+
 def _load():
     global _LIB, _TRIED
     if _TRIED:
@@ -94,6 +108,8 @@ def _load():
     lib.rans_decode.restype = None
     lib.rans_decode.argtypes = [_u8p, _i64p, _i64, _i64p, _i32p, _i32p,
                                 _u8p, _i32, _u8p]
+    lib.atoi_spans.restype = None
+    lib.atoi_spans.argtypes = [_u8p, _i64p, _i64p, _i64, _i64p]
     _LIB = lib
     return _LIB
 
@@ -105,11 +121,11 @@ def available() -> bool:
 def positions_encode(data: np.ndarray, q: int) -> np.ndarray:
     lib = _load()
     n = data.shape[0]
-    out = np.empty(n + 64, dtype=np.uint8)
+    out = _scratch("pe_out", n + 64)
     ln = lib.positions_encode(
         _ptr(data, _u8p), n, q, _ptr(out, _u8p), None
     )
-    return out[:ln]
+    return out[:ln].copy()
 
 
 def positions_decode(buf: np.ndarray) -> np.ndarray:
@@ -134,13 +150,13 @@ def qualcol_encode(
     bin_of[bins] = np.arange(nbins, dtype=np.uint8)
     if bin_of[major] == 0xFF:
         bin_of[major] = 0xFE
-    out = np.empty(9 * n + 4 * nbins + 1024, dtype=np.uint8)
-    scratch = np.empty(9 * n + 8 * nbins + 2048, dtype=np.uint8)
+    out = _scratch("qc_out", 5 * n + 4 * nbins + 1024)
+    scratch = _scratch("qc_scr", 9 * n + 8 * nbins + 2048)
     ln = lib.qualcol_encode_sp(
         _ptr(qual, _u8p), n, _ptr(bins, _u8p), nbins, _ptr(bin_of, _u8p),
         _ptr(out, _u8p), _ptr(scratch, _u8p),
     )
-    return out[:ln]
+    return out[:ln].copy()
 
 
 def qualcol_decode(
@@ -280,5 +296,19 @@ def rans_decode(payload: np.ndarray, lane_counts: np.ndarray,
         _ptr(payload, _u8p), _ptr(lane_counts, _i64p), lanes,
         _ptr(lane_off, _i64p), _ptr(freq, _i32p), _ptr(cum, _i32p),
         _ptr(sym_lut, _u8p), order, _ptr(out, _u8p),
+    )
+    return out
+
+
+def atoi_spans(flat: np.ndarray, starts: np.ndarray, ends: np.ndarray) -> np.ndarray:
+    """C atoi over spans (exact util.c_atoi semantics)."""
+    lib = _load()
+    n = starts.shape[0]
+    out = np.empty(n, dtype=np.int64)
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
+    ends = np.ascontiguousarray(ends, dtype=np.int64)
+    lib.atoi_spans(
+        _ptr(flat, _u8p), _ptr(starts, _i64p), _ptr(ends, _i64p), n,
+        _ptr(out, _i64p),
     )
     return out

@@ -36,6 +36,10 @@ def atoi_spans(flat: np.ndarray, starts: np.ndarray, ends: np.ndarray) -> np.nda
     starts = starts.astype(np.int64)
     ends = np.minimum(ends.astype(np.int64), flat.shape[0])
     ends = np.maximum(ends, starts)
+    from . import _native
+
+    if _native.available():
+        return _native.atoi_spans(np.ascontiguousarray(flat), starts, ends)
     maxlen = int((ends - starts).max(initial=0))
     acc = np.zeros(n, dtype=np.int64)
     sign = np.ones(n, dtype=np.int64)

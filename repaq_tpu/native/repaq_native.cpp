@@ -400,6 +400,47 @@ void unpack_2bit(const uint8_t* buf, int64_t nbytes, uint8_t* out,
     for (int64_t i = avail; i < length; i++) out[i] = 'N';
 }
 
+// C `atoi` over [starts, ends) spans with the exact semantics of
+// repaq_tpu.util.c_atoi (reference fastqmeta.cpp:40): skip leading
+// whitespace, optional sign, digits; POSITIVE values saturate at INT64_MAX
+// before the int32 truncation (glibc strtol behavior), negative values
+// wrap in full precision mod 2^32 (matching the python oracle exactly).
+void atoi_spans(const uint8_t* flat, const int64_t* starts,
+                const int64_t* ends, int64_t n, int64_t* out) {
+    const int64_t I64MAX = 0x7FFFFFFFFFFFFFFFLL;
+    for (int64_t k = 0; k < n; k++) {
+        int64_t i = starts[k], e = ends[k];
+        while (i < e) {
+            uint8_t c = flat[i];
+            if (c == ' ' || (c >= '\t' && c <= '\r')) i++;
+            else break;
+        }
+        int sign = 1;
+        if (i < e && (flat[i] == '+' || flat[i] == '-')) {
+            if (flat[i] == '-') sign = -1;
+            i++;
+        }
+        uint64_t acc = 0;          // wrapping accumulator (mod 2^64)
+        unsigned __int128 mag = 0; // clamped magnitude for saturation test
+        const unsigned __int128 CLAMP = ((unsigned __int128)1) << 70;
+        while (i < e && flat[i] >= '0' && flat[i] <= '9') {
+            uint32_t d = flat[i] - '0';
+            acc = acc * 10u + d;
+            if (mag < CLAMP) mag = mag * 10 + d;
+            i++;
+        }
+        uint32_t low;
+        if (sign > 0 && mag > (unsigned __int128)I64MAX) {
+            low = 0xFFFFFFFFu;  // INT64_MAX truncated to int32 = -1
+        } else if (sign > 0) {
+            low = (uint32_t)acc;
+        } else {
+            low = (uint32_t)(0u - (uint32_t)acc);
+        }
+        out[k] = (int64_t)(int32_t)low;
+    }
+}
+
 // ---------------------------------------------------------------------------
 // Interleaved rANS (the .rfqz second entropy stage; exact semantics of
 // repaq_tpu/codec/rans_np.py: 32-bit state, 16-bit renorm, 12-bit scale).

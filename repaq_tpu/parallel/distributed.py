@@ -174,21 +174,26 @@ class PairChunkSpec:
 
 
 def plan_pair_chunks(
-    path1: str, path2: str, chunk_size: int = 1_000_000
+    path1: str, path2: str = "", chunk_size: int = 1_000_000,
+    interleaved: bool = False,
 ) -> list[PairChunkSpec]:
-    """One scanning pass over both mates: per-chunk byte ranges in each
-    file plus the two trailing-newline flags (reference repaq.cpp:656-692
-    pair accumulation; flags repaq.cpp:683-692)."""
-    pair = FastqReaderPair(path1, path2)
+    """One scanning pass over both mates (or one interleaved stream):
+    per-chunk byte ranges in each file plus the two trailing-newline flags
+    (reference repaq.cpp:656-692 pair accumulation; flags :683-692)."""
+    pair = FastqReaderPair(path1, path2, interleaved)
     plan: list[PairChunkSpec] = []
     off1 = off2 = 0
     while True:
         block, f1, f2 = pair.read_pair_block(chunk_size)
         if block is None or block.n == 0:
             break
-        r1, r2 = pair.left, pair.right
+        r1 = pair.left
         end1 = r1._gbase + min(r1._buf_used, len(r1._buf))
-        end2 = r2._gbase + min(r2._buf_used, len(r2._buf))
+        if interleaved:
+            end2 = 0
+        else:
+            r2 = pair.right
+            end2 = r2._gbase + min(r2._buf_used, len(r2._buf))
         plan.append(PairChunkSpec(off1, end1, off2, end2, block.n // 2, f1, f2))
         off1, off2 = end1, end2
     pair.close()
@@ -196,8 +201,8 @@ def plan_pair_chunks(
 
 
 def derive_header_pe(path1: str, path2: str, chunk_size: int,
-                     engine: EngineConfig):
-    pair = FastqReaderPair(path1, path2)
+                     engine: EngineConfig, interleaved: bool = False):
+    pair = FastqReaderPair(path1, path2, interleaved)
     block, _f1, _f2 = pair.read_pair_block(chunk_size)
     pair.close()
     if block is None or block.n == 0:
@@ -206,6 +211,14 @@ def derive_header_pe(path1: str, path2: str, chunk_size: int,
             "and not empty"
         )
     return engine.make_header_pe(block)
+
+
+def _range_reader_for(path: str, start: int, end: int) -> _RangeReader:
+    file_size = os.path.getsize(path)
+    with open(path, "rb") as f:
+        f.seek(max(0, file_size - 1))
+        last = f.read(1)
+    return _RangeReader(path, start, end, file_size, last[0] if last else 10)
 
 
 def encode_pair_chunk_range(
@@ -219,42 +232,45 @@ def encode_pair_chunk_range(
     out,
     engine: EngineConfig,
     workers: int = 1,
+    interleaved: bool = False,
 ) -> None:
     """Encode pair chunks plan[lo:hi] to ``out``."""
     if lo >= hi:
         return
-    readers = []
-    for path, start, end in (
-        (path1, plan[lo].byte_start1, plan[hi - 1].byte_end1),
-        (path2, plan[lo].byte_start2, plan[hi - 1].byte_end2),
-    ):
-        file_size = os.path.getsize(path)
-        with open(path, "rb") as f:
-            f.seek(max(0, file_size - 1))
-            last = f.read(1)
-        readers.append(
-            _RangeReader(path, start, end, file_size, last[0] if last else 10)
+    r1 = _range_reader_for(path1, plan[lo].byte_start1, plan[hi - 1].byte_end1)
+    r2 = None
+    if not interleaved:
+        r2 = _range_reader_for(
+            path2, plan[lo].byte_start2, plan[hi - 1].byte_end2
         )
-    r1, r2 = readers
     comp = _Compressor(out, engine, False, False, is_pe=True, workers=workers)
     comp.header = header
     comp.header_bytes = header_bytes
     for spec in plan[lo:hi]:
-        b1, _ = r1.read_block(max_records=spec.n_pairs)
-        b2, _ = r2.read_block(max_records=spec.n_pairs)
-        assert (
-            b1 is not None and b2 is not None
-            and b1.n == spec.n_pairs and b2.n == spec.n_pairs
-        ), "pair chunk plan mismatch at %d..%d / %d..%d" % (
-            spec.byte_start1, spec.byte_end1, spec.byte_start2, spec.byte_end2
-        )
+        if interleaved:
+            block, _ = r1.read_block(max_records=2 * spec.n_pairs)
+            assert block is not None and block.n == 2 * spec.n_pairs, (
+                "interleaved chunk plan mismatch at %d..%d"
+                % (spec.byte_start1, spec.byte_end1)
+            )
+        else:
+            b1, _ = r1.read_block(max_records=spec.n_pairs)
+            b2, _ = r2.read_block(max_records=spec.n_pairs)
+            assert (
+                b1 is not None and b2 is not None
+                and b1.n == spec.n_pairs and b2.n == spec.n_pairs
+            ), "pair chunk plan mismatch at %d..%d / %d..%d" % (
+                spec.byte_start1, spec.byte_end1, spec.byte_start2,
+                spec.byte_end2,
+            )
+            block = b1.interleave(b2)
         comp.flush(
-            b1.interleave(b2), spec.no_line_break_flag1,
-            spec.no_line_break_flag2,
+            block, spec.no_line_break_flag1, spec.no_line_break_flag2
         )
     comp.finish()
     r1.close()
-    r2.close()
+    if r2 is not None:
+        r2.close()
 
 
 def compress_pe_distributed(
@@ -267,19 +283,23 @@ def compress_pe_distributed(
     engine: EngineConfig | None = None,
     workers: int = 1,
     assemble: bool = True,
+    interleaved: bool = False,
 ) -> str:
     """PE twin of compress_se_distributed: this rank encodes its chunk
-    range to ``out1.part{pid}``; rank 0 assembles in order."""
+    range to ``out1.part{pid}``; rank 0 assembles in order. With
+    interleaved=True, in1 is a single R1/R2-interleaved stream and in2 is
+    ignored."""
     engine = engine or get_engine()
-    plan = plan_pair_chunks(in1, in2, chunk_size)
-    header = derive_header_pe(in1, in2, chunk_size, engine)
+    plan = plan_pair_chunks(in1, in2, chunk_size, interleaved)
+    header = derive_header_pe(in1, in2, chunk_size, engine, interleaved)
     header_bytes = header.to_bytes()
     ranges = partition(len(plan), num_processes)
     lo, hi = ranges[process_id]
     part = "%s.part%d" % (out1, process_id)
     with open(part, "wb") as f:
         encode_pair_chunk_range(
-            in1, in2, plan, lo, hi, header, header_bytes, f, engine, workers
+            in1, in2, plan, lo, hi, header, header_bytes, f, engine, workers,
+            interleaved,
         )
     if assemble and process_id == 0:
         assemble_parts(out1, header_bytes, num_processes)

@@ -102,13 +102,21 @@ def device_encode_block(seqs, quals, xs, ys, bins, major, in_table,
 
 
 def device_decode_block(packed, qual_buf, qual_len, npos_buf, npos_len,
-                        bins, major, reads, read_len):
+                        bins, major, reads, read_len,
+                        use_pallas: bool | None = None):
     """Decode one fixed-shape block on one device: 2-bit unpack, by-column
     quality reconstruction, N restoration from the position stream
     (reference rfqcodec.cpp:826-916 fixed-length path; overlap-elided PE
     blocks take the host path)."""
     n = reads * read_len
-    seq = unpack_2bit_device(packed)[:n]
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        from ..ops.pallas_tpu import unpack_bases_pallas
+
+        seq = unpack_bases_pallas(packed)[:n]
+    else:
+        seq = unpack_2bit_device(packed)[:n]
     npos, _cnt = decode_positions_device(npos_buf, npos_len, n)
     tgt = jnp.where(npos >= 0, npos, n)
     seq = jnp.concatenate([seq, jnp.zeros(1, dtype=jnp.uint8)])

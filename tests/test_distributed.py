@@ -153,3 +153,31 @@ def test_pe_distributed_no_trailing_newline(fixtures_dir, tmp_path):
         str(serial), chunk_size=10_000,
     )
     assert out.read_bytes() == serial.read_bytes()
+
+
+@pytest.mark.parametrize("nproc", [1, 3])
+def test_interleaved_distributed_matches_golden(fixtures_dir, tmp_path, nproc):
+    # build an interleaved stream from the PE fixtures
+    r1 = (fixtures_dir / "pe_big_R1.fq").read_bytes().splitlines(keepends=True)
+    r2 = (fixtures_dir / "pe_big_R2.fq").read_bytes().splitlines(keepends=True)
+    inter = tmp_path / "inter.fq"
+    with open(inter, "wb") as f:
+        for i in range(0, len(r1), 4):
+            f.writelines(r1[i : i + 4])
+            f.writelines(r2[i : i + 4])
+    out = tmp_path / "dist_il.rfq"
+    for pid in range(nproc):
+        dist.compress_pe_distributed(
+            str(inter), "", str(out), chunk_size=100_000,
+            num_processes=nproc, process_id=pid, assemble=False,
+            interleaved=True,
+        )
+    from repaq_tpu import pipeline
+
+    header = dist.derive_header_pe(
+        str(inter), "", 100_000, pipeline.get_engine(), interleaved=True
+    )
+    dist.assemble_parts(str(out), header.to_bytes(), nproc)
+    assert out.read_bytes() == (
+        fixtures_dir / "pe_big.ref.k100.rfq"
+    ).read_bytes()
