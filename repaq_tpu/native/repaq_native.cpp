@@ -176,7 +176,34 @@ int64_t qualcol_encode_sp(const uint8_t* qual, int64_t n, const uint8_t* bins,
     }
     int64_t esc_len = 0;
 
+    // fast path: the major qual is usually the bulk of the chunk and emits
+    // nothing — skip runs of it 8 bytes at a time. Only valid when the
+    // major char maps to 0xFE (it can instead be a real bin when it
+    // doubles as the N-base qual, reference rfqheader.cpp:308-320).
+    int major_char = -1;
+    for (int c = 0; c < 256; c++) {
+        if (bin_of[c] == 0xFE) {
+            major_char = c;
+            break;
+        }
+    }
+    uint64_t major8 = 0;
+    if (major_char >= 0) {
+        major8 = 0x0101010101010101ULL * (uint64_t)major_char;
+    }
+
     for (int64_t i = 0; i < n; i++) {
+        if (major_char >= 0 && qual[i] == (uint8_t)major_char) {
+            i++;
+            while (i + 8 <= n) {
+                uint64_t w8;
+                memcpy(&w8, qual + i, 8);
+                if (w8 != major8) break;
+                i += 8;
+            }
+            while (i < n && qual[i] == (uint8_t)major_char) i++;
+            if (i >= n) break;
+        }
         uint8_t b = bin_of[qual[i]];
         if (b == 0xFE) continue;  // major qual: never encoded
         if (b == 0xFF) {          // escape record

@@ -119,6 +119,54 @@ def _emit_sort(planes: jnp.ndarray, counts: jnp.ndarray, out_size: int,
 _emit_gather = _emit_sort  # compaction strategy alias
 
 
+def _emit_sort_lazy(b0: jnp.ndarray, counts: jnp.ndarray, out_size: int,
+                    offsets: jnp.ndarray, total, multi_cap: int,
+                    tail_fn, w: int,
+                    extra_keys: jnp.ndarray | None = None,
+                    first_mask: jnp.ndarray | None = None):
+    """_emit_sort without ever materializing dense (n, W) byte planes.
+
+    The dense pass computes only each element's FIRST byte (b0) — one fused
+    elementwise chain. Elements emitting >= 2 bytes are compacted by
+    sort-slice to multi_cap entries and their remaining lanes come from
+    tail_fn(midx) -> (multi_cap, w-1) int32 planes computed from a handful
+    of small gathers. Cuts the HBM traffic of the emission stage from
+    ~W passes over n to ~2.
+    """
+    n = b0.shape[0]
+    inf = jnp.int32(2**31 - 1)
+    first = counts >= 1 if first_mask is None else first_mask
+    keys0 = jnp.where(first, (offsets << 8) | b0.astype(jnp.int32), inf)
+    multi_cap = max(1, min(multi_cap, n))
+    i_n = jnp.arange(n, dtype=jnp.int32)
+    midx = jnp.sort(jnp.where(counts >= 2, i_n, jnp.int32(n)))[:multi_cap]
+    mcounts = jnp.concatenate([counts, jnp.zeros(1, jnp.int32)])[midx]
+    moff = jnp.concatenate([offsets, jnp.zeros(1, offsets.dtype)])[midx]
+    tail = tail_fn(midx)  # (multi_cap, w-1) int32
+    lanes = jnp.arange(1, w, dtype=jnp.int32)[None, :]
+    mvalid = lanes < mcounts[:, None]
+    mkeys = jnp.where(
+        mvalid, ((moff[:, None] + lanes) << 8) | tail, inf
+    ).reshape(-1)
+    keys = jnp.concatenate(
+        ([extra_keys] if extra_keys is not None else []) + [keys0, mkeys]
+    )
+    srt = jnp.sort(keys)
+    if srt.shape[0] < out_size:
+        srt = jnp.concatenate(
+            [srt, jnp.full(out_size - srt.shape[0], inf, jnp.int32)]
+        )
+    k = jnp.arange(out_size, dtype=jnp.int32)
+    out = jnp.where(k < total, srt[:out_size] & 0xFF, 0).astype(jnp.uint8)
+    return out, total
+
+
+def _gather1(arr: jnp.ndarray, idx: jnp.ndarray, fill=0):
+    """Gather with one sentinel row appended (idx == len(arr) -> fill)."""
+    ext = jnp.concatenate([arr, jnp.full(1, fill, arr.dtype)])
+    return ext[idx]
+
+
 def _classify_stream_positions(g_pos: jnp.ndarray, seg_start: jnp.ndarray,
                                is_stream: jnp.ndarray):
     """Gap/run token classification (reference rfqcodec.cpp:625-710) over
@@ -150,15 +198,16 @@ def _classify_stream_positions(g_pos: jnp.ndarray, seg_start: jnp.ndarray,
     return delta, emits_run, covered, g1, g2, g4
 
 
-def _stream_planes(delta, emits_run, covered, g1, g2, g4):
-    """(planes (m,4) u8, counts (m,) i32) for pure gap/run streams."""
+def _stream_b0(delta, emits_run, covered, g1, g2, g4):
+    """(b0 (m,) i32 first token byte, counts (m,) i32, ttype (m,) i32) for
+    pure gap/run streams; ttype: 0 = 1-byte, 1 = 2-byte gap, 2 = 4-byte."""
     counts = (
         g1.astype(jnp.int32)
         + 2 * g2.astype(jnp.int32)
         + 4 * g4.astype(jnp.int32)
         + emits_run.astype(jnp.int32)
     )
-    v = (delta - 1).astype(jnp.uint32)
+    v = delta - 1
     b0 = jnp.where(
         g1,
         v,
@@ -168,15 +217,26 @@ def _stream_planes(delta, emits_run, covered, g1, g2, g4):
             jnp.where(
                 g4,
                 (v >> 24) | 0xE0,
-                jnp.where(emits_run, (covered - 1).astype(jnp.uint32) | 0xC0, 0),
+                jnp.where(emits_run, (covered - 1) | 0xC0, 0),
             ),
         ),
-    )
-    b1 = jnp.where(g2, v & 0xFF, jnp.where(g4, (v >> 16) & 0xFF, 0))
-    b2 = jnp.where(g4, (v >> 8) & 0xFF, 0)
-    b3 = jnp.where(g4, v & 0xFF, 0)
-    planes = jnp.stack([b0, b1, b2, b3], axis=1).astype(jnp.uint8)
-    return planes, counts
+    ).astype(jnp.int32)
+    ttype = jnp.where(g2, 1, jnp.where(g4, 2, 0)).astype(jnp.int32)
+    return b0, counts, ttype
+
+
+def _stream_tail_fn(delta, ttype):
+    """tail_fn for _emit_sort_lazy over pure gap/run streams (lanes 1-3)."""
+
+    def tail(midx):
+        t = _gather1(ttype, midx)
+        v = _gather1(delta, midx) - 1
+        b1 = jnp.where(t == 1, v & 0xFF, jnp.where(t == 2, (v >> 16) & 0xFF, 0))
+        b2 = jnp.where(t == 2, (v >> 8) & 0xFF, 0)
+        b3 = jnp.where(t == 2, v & 0xFF, 0)
+        return jnp.stack([b1, b2, b3], axis=1).astype(jnp.int32)
+
+    return tail
 
 
 def encode_positions_from_mask(mask: jnp.ndarray, out_size: int,
@@ -198,10 +258,14 @@ def encode_positions_from_mask(mask: jnp.ndarray, out_size: int,
     g_pos = jnp.sort(jnp.where(mask, i_n, jnp.int32(n)))[:pos_cap]
     is_stream = g_pos < n
     seg_start = i == 0
-    cls = _classify_stream_positions(g_pos, seg_start, is_stream)
-    planes, counts = _stream_planes(*cls)
-    return _emit_gather(
-        planes, counts, out_size, multi_cap=min(pos_cap, n // 64 + 4)
+    delta, emits_run, covered, g1, g2, g4 = _classify_stream_positions(
+        g_pos, seg_start, is_stream
+    )
+    b0, counts, ttype = _stream_b0(delta, emits_run, covered, g1, g2, g4)
+    cum, total = _exclusive_cumsum(counts)
+    return _emit_sort_lazy(
+        b0, counts, out_size, cum - counts, total,
+        min(pos_cap, n // 64 + 4), _stream_tail_fn(delta, ttype), w=4,
     )
 
 
@@ -269,43 +333,9 @@ def qualcol_encode_device(qual: jnp.ndarray, bins: jnp.ndarray, major: jnp.ndarr
         g_pos, seg_start, is_stream
     )
 
-    counts = (
-        g1.astype(jnp.int32)
-        + 2 * g2.astype(jnp.int32)
-        + 4 * g4.astype(jnp.int32)
-        + emits_run.astype(jnp.int32)
-        + 5 * is_esc.astype(jnp.int32)
-    )
-    v = (delta - 1).astype(jnp.uint32)
-    pq = g_pos.astype(jnp.uint32)
-    esc_qual = qual[jnp.clip(g_pos, 0, n - 1)].astype(jnp.uint32)
-    b0 = jnp.where(
-        g1,
-        v,
-        jnp.where(
-            g2,
-            (v >> 8) | 0x80,
-            jnp.where(
-                g4,
-                (v >> 24) | 0xE0,
-                jnp.where(
-                    emits_run,
-                    (covered - 1).astype(jnp.uint32) | 0xC0,
-                    jnp.where(is_esc, esc_qual, 0),
-                ),
-            ),
-        ),
-    )
-    b1 = jnp.where(
-        g2, v & 0xFF,
-        jnp.where(g4, (v >> 16) & 0xFF, jnp.where(is_esc, pq & 0xFF, 0)),
-    )
-    b2 = jnp.where(
-        g4, (v >> 8) & 0xFF, jnp.where(is_esc, (pq >> 8) & 0xFF, 0)
-    )
-    b3 = jnp.where(g4, v & 0xFF, jnp.where(is_esc, (pq >> 16) & 0xFF, 0))
-    b4 = jnp.where(is_esc, (pq >> 24) & 0xFF, 0)
-    planes = jnp.stack([b0, b1, b2, b3, b4], axis=1).astype(jnp.uint8)
+    b0, counts, ttype = _stream_b0(delta, emits_run, covered, g1, g2, g4)
+    counts = counts + 5 * is_esc.astype(jnp.int32)
+    ttype = jnp.where(is_esc, 3, ttype)
 
     # destinations: bins (then escapes) are grouped contiguously in wire
     # order, so the global exclusive prefix sum of counts IS the stream
@@ -313,6 +343,39 @@ def qualcol_encode_device(qual: jnp.ndarray, bins: jnp.ndarray, major: jnp.ndarr
     cum = jnp.cumsum(counts)
     dest = 4 * nbins + (cum - counts)
     total = 4 * nbins + (cum[-1] if m else 0)
+
+    # escape records start with the raw qual char — gather it only for the
+    # (rare) escapes rather than densely; their first-byte keys join the
+    # extras, their position bytes flow through the multi-byte tail path
+    i_m = jnp.arange(m, dtype=jnp.int32)
+    eidx = jnp.sort(jnp.where(is_esc, i_m, jnp.int32(m)))[
+        : max(1, min(esc_cap, m))
+    ]
+    e_pos = _gather1(g_pos, eidx, fill=0)
+    e_dest = _gather1(dest, eidx, fill=-1)
+    e_valid = _gather1(is_esc.astype(jnp.int32), eidx) == 1
+    e_qual = qual[jnp.clip(e_pos, 0, n - 1)].astype(jnp.int32)
+    esc_keys = jnp.where(
+        e_valid, (e_dest << 8) | e_qual, jnp.int32(2**31 - 1)
+    )
+
+    def tail(midx):
+        t = _gather1(ttype, midx)
+        v = _gather1(delta, midx) - 1
+        p = _gather1(g_pos, midx)
+        b1 = jnp.where(
+            t == 1, v & 0xFF,
+            jnp.where(t == 2, (v >> 16) & 0xFF,
+                      jnp.where(t == 3, p & 0xFF, 0)),
+        )
+        b2 = jnp.where(
+            t == 2, (v >> 8) & 0xFF, jnp.where(t == 3, (p >> 8) & 0xFF, 0)
+        )
+        b3 = jnp.where(
+            t == 2, v & 0xFF, jnp.where(t == 3, (p >> 16) & 0xFF, 0)
+        )
+        b4 = jnp.where(t == 3, (p >> 24) & 0xFF, 0)
+        return jnp.stack([b1, b2, b3, b4], axis=1).astype(jnp.int32)
 
     # per-bin lengths for the u32le table
     lens = jax.ops.segment_sum(
@@ -333,9 +396,10 @@ def qualcol_encode_device(qual: jnp.ndarray, bins: jnp.ndarray, major: jnp.ndarr
     # defaults to n = fully general)
     multi_cap = min(nonmajor_cap, nbins * (n // 64 + 4) + esc_cap)
     out_size = 4 * nbins + n + 8
-    out, _ = _emit_sort(
-        planes, counts, out_size, offsets=dest, total=total,
-        multi_cap=multi_cap, extra_keys=hdr_keys,
+    out, _ = _emit_sort_lazy(
+        b0, counts, out_size, dest, total, multi_cap, tail, w=5,
+        extra_keys=jnp.concatenate([hdr_keys, esc_keys]),
+        first_mask=(counts >= 1) & ~is_esc,
     )
     return out, total
 

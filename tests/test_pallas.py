@@ -81,3 +81,42 @@ def test_frontend_nonmultiple_length():
     assert np.array_equal(np.asarray(nmask), seq == ord("N"))
     want = np.where(qual == ord("B"), 0, 2)  # major -> nbins+1
     assert np.array_equal(np.asarray(bid), want)
+
+
+def test_device_blocks_pallas_path():
+    """device_encode_block/device_decode_block with use_pallas forced on
+    (interpret mode on CPU) must match the XLA path bit-for-bit."""
+    import jax.numpy as jnp
+
+    from repaq_tpu.parallel.mesh import device_decode_block, device_encode_block
+
+    rng = np.random.default_rng(0)
+    B, L = 64, 64
+    seq = rng.choice(np.frombuffer(b"GATCN", dtype=np.uint8), size=(B, L))
+    qual = rng.choice(np.frombuffer(b"FF:,#", dtype=np.uint8), size=(B, L))
+    xs = rng.integers(1000, 4000, size=B).astype(np.int32)
+    ys = rng.integers(1000, 4000, size=B).astype(np.int32)
+    bins = np.frombuffer(b"#,:", dtype=np.uint8)
+    in_table = np.zeros(256, dtype=bool)
+    in_table[bins] = True
+    in_table[ord("F")] = True
+
+    outs = {}
+    for pallas in (False, True):
+        o = device_encode_block(
+            seq, qual, xs, ys, bins, jnp.uint8(ord("F")), in_table,
+            use_pallas=pallas,
+        )
+        outs[pallas] = {k: np.asarray(v) for k, v in o.items()}
+    for k in outs[False]:
+        assert np.array_equal(outs[False][k], outs[True][k]), k
+
+    o = outs[True]
+    for pallas in (False, True):
+        s2, q2 = device_decode_block(
+            o["packed"], o["qual"], int(o["qual_len"]), o["npos"],
+            int(o["npos_len"]), bins, jnp.uint8(ord("F")), B, L,
+            use_pallas=pallas,
+        )
+        assert np.array_equal(np.asarray(s2), seq), pallas
+        assert np.array_equal(np.asarray(q2), qual), pallas
