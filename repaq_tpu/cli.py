@@ -67,6 +67,22 @@ def build_parser() -> argparse.ArgumentParser:
         "--profile", action="store_true",
         help="print per-stage wall-clock/throughput counters to stderr",
     )
+    p.add_argument(
+        "--num_shards", type=int, default=0,
+        help="multi-host data-parallel compress: total process count. Each "
+        "process encodes a contiguous chunk range to <out1>.part<shard>; "
+        "shard 0 assembles the parts in order once all exist. Extension "
+        "over the reference (plain non-gz inputs, .rfq output).",
+    )
+    p.add_argument(
+        "--shard", type=int, default=0,
+        help="this process's rank in [0, num_shards)",
+    )
+    p.add_argument(
+        "--no_assemble", action="store_true",
+        help="with --num_shards: leave part files on disk (rank 0 does not "
+        "concatenate); use when ranks run on different hosts",
+    )
     p.add_argument("--version", action="version",
                    version="repaq-tpu %s" % VERSION_NUM.decode())
     return p
@@ -229,6 +245,56 @@ def main(argv: list[str] | None = None) -> int:
         _die("STDOUT cannot be written when the output is a .xz file")
 
     engine = pipeline.get_engine(args.engine)
+
+    if args.num_shards > 0 and mode == "compress":
+        if not (0 <= args.shard < args.num_shards):
+            _die("--shard must be in [0, num_shards)")
+        if out1.endswith((".xz", ".rfqz")) or args.stdout or args.stdin:
+            _die("--num_shards requires a plain .rfq output file and file inputs")
+        if in1.endswith(".gz") or (args.in2 and args.in2.endswith(".gz")):
+            _die("--num_shards requires non-gz inputs (byte-range plan)")
+        from .parallel import distributed as dist
+
+        try:
+            pe = bool(args.in2 or args.interleaved_in)
+            if pe:
+                dist.compress_pe_distributed(
+                    in1, args.in2, out1, chunk_size=chunk_size,
+                    num_processes=args.num_shards, process_id=args.shard,
+                    engine=engine, workers=args.workers, assemble=False,
+                    interleaved=args.interleaved_in,
+                )
+            else:
+                dist.compress_se_distributed(
+                    in1, out1, chunk_size=chunk_size,
+                    num_processes=args.num_shards, process_id=args.shard,
+                    engine=engine, workers=args.workers, assemble=False,
+                )
+            if args.shard == 0 and not args.no_assemble:
+                # ranks may run concurrently (other processes/hosts on a
+                # shared filesystem): wait for every part before the
+                # ordered concat
+                import time as _time
+
+                deadline = _time.time() + 3600
+                parts = ["%s.part%d" % (out1, pid)
+                         for pid in range(args.num_shards)]
+                while not all(os.path.exists(p) for p in parts):
+                    if _time.time() > deadline:
+                        _die("timed out waiting for shard part files")
+                    _time.sleep(0.2)
+                if pe:
+                    header = dist.derive_header_pe(
+                        in1, args.in2, chunk_size, engine,
+                        args.interleaved_in,
+                    )
+                else:
+                    header = dist.derive_header(in1, chunk_size, engine)
+                dist.assemble_parts(out1, header.to_bytes(), args.num_shards)
+        except RfqFormatError as e:
+            print("ERROR: %s" % e, file=sys.stderr)
+            return -1
+        return 0
 
     try:
         if mode == "compress":

@@ -174,8 +174,8 @@ def encode_section(data: bytes | np.ndarray, order: int = 0,
         # lane boundaries (each lane's first byte has context 0, and the
         # pair that straddles a boundary doesn't exist)
         off = lane_slices(n, lanes)
-        key = (data[:-1].astype(np.uint16) << 8) | data[1:]
-        ctx_counts = np.bincount(key, minlength=65536).astype(np.int64)
+        key = ((data[:-1].astype(np.uint16) << 8) | data[1:]).astype(np.int64)
+        ctx_counts = np.bincount(key, minlength=65536)
         for i in range(lanes):
             s = int(off[i])
             if s >= n:

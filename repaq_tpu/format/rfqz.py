@@ -33,7 +33,9 @@ from .header import RfqFormatError
 
 MAGIC = b"RFQZ"
 VERSION = 1
-DEFAULT_BLOCK = 4 << 20
+# 16MB sections: ~4 ratio points better than 4MB (table amortization +
+# stabler order-1 statistics) while keeping per-section parallelism
+DEFAULT_BLOCK = 16 << 20
 MODE_ORDER0 = 0
 MODE_ORDER1 = 1
 MODE_STORED = 255
@@ -64,9 +66,10 @@ def choose_mode(data: np.ndarray) -> int:
         return MODE_ORDER0 if est0 < n * 0.98 else MODE_STORED
     counts = np.bincount(data, minlength=256)
     est0 = _entropy_bits_order0(counts) / 8 + _table_cost_bytes(counts)
-    ctx = np.bincount(
-        (data[:-1].astype(np.int64) << 8) | data[1:], minlength=65536
-    ).reshape(256, 256)
+    # u16 pair keys, then one widening astype: int64 elementwise shifts and
+    # u16 bincounts are both ~20x slower on this host
+    key = ((data[:-1].astype(np.uint16) << 8) | data[1:]).astype(np.int64)
+    ctx = np.bincount(key, minlength=65536).reshape(256, 256)
     est1 = sum(
         _entropy_bits_order0(ctx[c]) for c in range(256) if ctx[c].any()
     ) / 8 + sum(

@@ -296,11 +296,12 @@ def compress_pe_distributed(
     ranges = partition(len(plan), num_processes)
     lo, hi = ranges[process_id]
     part = "%s.part%d" % (out1, process_id)
-    with open(part, "wb") as f:
+    with open(part + ".tmp", "wb") as f:
         encode_pair_chunk_range(
             in1, in2, plan, lo, hi, header, header_bytes, f, engine, workers,
             interleaved,
         )
+    os.replace(part + ".tmp", part)  # completion is atomic for waiters
     if assemble and process_id == 0:
         assemble_parts(out1, header_bytes, num_processes)
     return part
@@ -339,11 +340,12 @@ def compress_se_distributed(
     ranges = partition(len(plan), num_processes)
     lo, hi = ranges[process_id]
     part = "%s.part%d" % (out1, process_id)
-    with open(part, "wb") as f:
+    with open(part + ".tmp", "wb") as f:
         encode_chunk_range(
             in1, plan, lo, hi, header, header_bytes, f, engine, chunk_size,
             workers,
         )
+    os.replace(part + ".tmp", part)  # completion is atomic for waiters
     if assemble and process_id == 0:
         assemble_parts(out1, header_bytes, num_processes)
     return part

@@ -1,0 +1,158 @@
+"""Deep interop fuzz against the REFERENCE BINARY, both directions.
+
+Not collected by pytest (no test_ prefix): needs the reference compiled at
+/tmp/refbuild/repaq (see .claude/skills/verify). Run manually:
+
+    python tests/interop_fuzz.py [n_trials]
+
+Per trial: random FASTQ corpus (SE/PE, Illumina/BGI names, N density,
+variable lengths, 1/7/70 quality bins, missing trailing newlines), then
+asserts
+  1. our .rfq == the reference's .rfq byte-for-byte,
+  2. the reference decodes OUR container back to the input,
+  3. we decode the REFERENCE's container back to the input.
+
+Known exception for (2): when a PE container carries a no-trailing-newline
+flag on a non-final chunk, the reference drops the lookahead chunk's reads
+on decode (repaq.cpp:379-411 leaks it) — ITS OWN output corrupts the same
+way. Those cases are verified to be exactly that bug (our decode matches,
+the truncation is a strict prefix) and counted as reference_bug, not
+failures.
+"""
+
+import filecmp
+import os
+import random
+import subprocess
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+REF = "/tmp/refbuild/repaq"
+PY = [sys.executable, "-m", "repaq_tpu.cli"]
+ENV = dict(os.environ, PYTHONPATH=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def gen_fastq(path, rng, n, illumina, n_frac, var_len, quals, pe_mate=0,
+              coords=None, no_final_nl=False):
+    out = []
+    cs = []
+    for i in range(n):
+        L = rng.randint(30, 180) if var_len else rng.choice([100, 151])
+        seq = "".join(
+            "N" if rng.random() < n_frac else rng.choice("ACGT")
+            for _ in range(L)
+        )
+        q = "".join(rng.choice(quals) for _ in range(L))
+        if illumina:
+            if coords is not None:
+                lane, tile, x, y = coords[i]
+            else:
+                lane, tile, x, y = (
+                    rng.randint(1, 8), rng.randint(1000, 2999),
+                    rng.randint(0, 40000), rng.randint(0, 40000),
+                )
+            cs.append((lane, tile, x, y))
+            mate = pe_mate or 1
+            name = "@A00251:28:H3YV7:%d:%d:%d:%d %d:N:0:ACGT" % (
+                lane, tile, x, y, mate
+            )
+        else:
+            name = "@v300%06d/%d" % (i, pe_mate or 1)
+        out.append("%s\n%s\n+\n%s\n" % (name, seq, q))
+    data = "".join(out).encode()
+    if no_final_nl:
+        data = data[:-1]
+    with open(path, "wb") as f:
+        f.write(data)
+    return cs
+
+
+def run(cmd, **kw):
+    r = subprocess.run(cmd, capture_output=True, env=ENV, **kw)
+    assert r.returncode == 0, (cmd, r.stderr[:500])
+
+
+def is_reference_truncation(orig, got):
+    """The reference's PE lookahead leak loses a SUFFIX of whole reads."""
+    a = open(orig, "rb").read()
+    b = open(got, "rb").read()
+    return len(b) < len(a) and a.startswith(b)
+
+
+def main(trials: int) -> int:
+    fails = ref_bugs = 0
+    for trial in range(trials):
+        rng = random.Random(10_000 + trial)
+        tmp = tempfile.mkdtemp(prefix="fz_")
+        illumina = rng.random() < 0.7
+        kw = dict(
+            illumina=illumina,
+            n_frac=rng.choice([0.0, 0.02, 0.3]),
+            var_len=rng.random() < 0.4,
+            quals=rng.choice(
+                ["FF:,:F", "F", "".join(chr(33 + i) for i in range(70)),
+                 "FFFF:#,"]
+            ),
+            no_final_nl=rng.random() < 0.25,
+        )
+        n = rng.randint(1, 800)
+        pe = rng.random() < 0.5
+        k = rng.choice(["100", "100", "150"])
+        f1 = os.path.join(tmp, "a_R1.fq")
+        try:
+            if pe:
+                cs = gen_fastq(f1, rng, n, pe_mate=1, **kw)
+                f2 = os.path.join(tmp, "a_R2.fq")
+                rng2 = random.Random(trial)
+                kw2 = dict(kw)
+                kw2["no_final_nl"] = rng.random() < 0.25
+                gen_fastq(f2, rng2, n, pe_mate=2,
+                          coords=cs if illumina else None, **kw2)
+                ours = os.path.join(tmp, "ours.rfq")
+                refs = os.path.join(tmp, "ref.rfq")
+                run(PY + ["-c", "-i", f1, "-I", f2, "-o", ours, "-k", k])
+                run([REF, "-c", "-i", f1, "-I", f2, "-o", refs, "-k", k])
+                assert filecmp.cmp(ours, refs, shallow=False), "rfq bytes differ"
+                d1, d2 = os.path.join(tmp, "d1.fq"), os.path.join(tmp, "d2.fq")
+                run([REF, "-d", "-i", ours, "-o", d1, "-O", d2])
+                e1, e2 = os.path.join(tmp, "e1.fq"), os.path.join(tmp, "e2.fq")
+                run(PY + ["-d", "-i", refs, "-o", e1, "-O", e2])
+                assert filecmp.cmp(f1, e1, shallow=False) and filecmp.cmp(
+                    f2, e2, shallow=False
+                ), "we can't roundtrip ref's container"
+                if not (filecmp.cmp(f1, d1, shallow=False)
+                        and filecmp.cmp(f2, d2, shallow=False)):
+                    assert is_reference_truncation(f1, d1) or (
+                        is_reference_truncation(f2, d2)
+                    ), "ref decode diverged in a non-truncation way"
+                    ref_bugs += 1
+                    print("trial %d: reference lookahead-leak truncation "
+                          "(our decode exact)" % trial, flush=True)
+                    continue
+            else:
+                gen_fastq(f1, rng, n, **kw)
+                ours = os.path.join(tmp, "ours.rfq")
+                refs = os.path.join(tmp, "ref.rfq")
+                run(PY + ["-c", "-i", f1, "-o", ours, "-k", k])
+                run([REF, "-c", "-i", f1, "-o", refs, "-k", k])
+                assert filecmp.cmp(ours, refs, shallow=False), "rfq bytes differ"
+                d = os.path.join(tmp, "d.fq")
+                run([REF, "-d", "-i", ours, "-o", d])
+                assert filecmp.cmp(f1, d, shallow=False), "ref can't roundtrip ours"
+                e = os.path.join(tmp, "e.fq")
+                run(PY + ["-d", "-i", refs, "-o", e])
+                assert filecmp.cmp(f1, e, shallow=False), "we can't roundtrip ref's"
+            print("trial %d ok (pe=%s n=%d)" % (trial, pe, n), flush=True)
+        except Exception as ex:
+            fails += 1
+            print("TRIAL %d FAILED: %r (dir kept: %s)" % (trial, ex, tmp),
+                  flush=True)
+    print("done: %d trials, %d failures, %d reference-bug truncations"
+          % (trials, fails, ref_bugs))
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(int(sys.argv[1]) if len(sys.argv) > 1 else 40))

@@ -116,10 +116,18 @@ def test_compare_failure_exit_code(fixtures_dir):
         (["-d", "-i", "in.fq", "-o", "out.fq"], b"should not be a FASTQ file"),
         (["-c", "-i", "in.fq", "-o", "out.rfq", "-k", "999999999"],
          b"chunk size cannot be greater"),
+        (["-c", "-i", "lower.fq", "-o", "out.rfq"],
+         b"doesn't support FASTQ with lowercase bases"),
+        (["-c", "-i", "bigxy.fq", "-o", "out.rfq"],
+         b"coordinate cannot be larger than 2M"),
     ],
 )
 def test_error_paths(tmp_path, args, msg):
     (tmp_path / "in.fq").write_bytes(b"@r\nACGT\n+\nFFFF\n")
+    (tmp_path / "lower.fq").write_bytes(b"@r\nacgt\n+\nFFFF\n")
+    (tmp_path / "bigxy.fq").write_bytes(
+        b"@A1:2:FC:4:1101:2356:3000000 1:N:0:T\nACGT\n+\nFFFF\n"
+    )
     r = run_cli(args, cwd=tmp_path)
     assert r.returncode != 0
     assert msg in r.stderr
@@ -149,3 +157,29 @@ def test_gz_output(fixtures_dir, tmp_path):
     assert gzip.open(out, "rb").read() == (
         fixtures_dir / "se_illumina.fq"
     ).read_bytes()
+
+
+def test_num_shards_concurrent(fixtures_dir, tmp_path):
+    """Three concurrent shard processes; rank 0 waits for all parts then
+    assembles — output must equal the golden reference bytes."""
+    import subprocess
+    import sys
+
+    out = tmp_path / "sh.rfq"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-m", "repaq_tpu.cli", "-c",
+             "-i", str(fixtures_dir / "se_big.fq"), "-o", str(out),
+             "-k", "100", "--num_shards", "3", "--shard", str(pid)],
+            env=dict(os.environ, PYTHONPATH=str(REPO)),
+            stderr=subprocess.PIPE,
+        )
+        for pid in (1, 2, 0)  # rank 0 last-launched: must wait for others
+    ]
+    for p in procs:
+        _, err = p.communicate(timeout=120)
+        assert p.returncode == 0, err
+    assert out.read_bytes() == (
+        fixtures_dir / "se_big.ref.k100.rfq"
+    ).read_bytes()
+    assert not list(tmp_path.glob("*.part*"))
