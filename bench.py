@@ -190,6 +190,28 @@ def bench_device_kernels() -> float | None:
         "device: %.4fs/step (%.1f MB seq+qual resident) -> %.0f MB/s per chip"
         % (dt / n_steps, B * L * 2 / 1e6, mbps)
     )
+
+    # decode kernels: full on-chip unpack + quality + N reconstruction
+    from repaq_tpu.parallel.mesh import device_decode_block
+
+    g = jax.jit(
+        lambda p, qb, ql, nb, nl: device_decode_block(
+            p, qb, ql, nb, nl, bd, jnp.uint8(ord("F")), B, L
+        )
+    )
+    sq, qq = g(out["packed"], out["qual"], out["qual_len"], out["npos"],
+               out["npos_len"])
+    _ = int(jnp.sum(sq[0].astype(jnp.int32)))
+    t0 = time.time()
+    for _i in range(n_steps):
+        sq, qq = g(out["packed"], out["qual"], out["qual_len"], out["npos"],
+                   out["npos_len"])
+        _ = int(jnp.sum(sq[0].astype(jnp.int32)))
+    dec_dt = time.time() - t0
+    log(
+        "device decode: %.4fs/step -> %.0f MB/s per chip"
+        % (dec_dt / n_steps, B * L * 2 / 1e6 * n_steps / dec_dt)
+    )
     return mbps
 
 

@@ -147,9 +147,15 @@ def _prev_grid(grid: np.ndarray, lens: np.ndarray) -> np.ndarray:
 
 
 def encode_section(data: bytes | np.ndarray, order: int = 0,
-                   lanes: int = DEFAULT_LANES) -> bytes:
+                   lanes: int = DEFAULT_LANES,
+                   counts0: np.ndarray | None = None,
+                   pair_counts: np.ndarray | None = None) -> bytes:
     """Entropy-code one byte section. Returns the self-contained section
-    record (header + tables + interleaved payload)."""
+    record (header + tables + interleaved payload).
+
+    counts0 / pair_counts: optional precomputed byte histogram and RAW
+    consecutive-pair histogram (65536,) over data — the mode chooser
+    already computed them; lane-boundary corrections are applied here."""
     data = np.frombuffer(data, dtype=np.uint8) if isinstance(
         data, (bytes, bytearray, memoryview)
     ) else np.asarray(data, dtype=np.uint8)
@@ -164,7 +170,10 @@ def encode_section(data: bytes | np.ndarray, order: int = 0,
         return bytes(head)
 
     if order == 0:
-        counts = np.bincount(data, minlength=256)
+        counts = (
+            np.bincount(data, minlength=256)
+            if counts0 is None else counts0.astype(np.int64)
+        )
         freqs = quantize_freqs(counts)
         head += serialize_table(freqs)
         cum = _cum_from_freqs(freqs)
@@ -174,8 +183,13 @@ def encode_section(data: bytes | np.ndarray, order: int = 0,
         # lane boundaries (each lane's first byte has context 0, and the
         # pair that straddles a boundary doesn't exist)
         off = lane_slices(n, lanes)
-        key = ((data[:-1].astype(np.uint16) << 8) | data[1:]).astype(np.int64)
-        ctx_counts = np.bincount(key, minlength=65536)
+        if pair_counts is None:
+            key = ((data[:-1].astype(np.uint16) << 8) | data[1:]).astype(
+                np.int64
+            )
+            ctx_counts = np.bincount(key, minlength=65536)
+        else:
+            ctx_counts = pair_counts.astype(np.int64).copy()
         for i in range(lanes):
             s = int(off[i])
             if s >= n:

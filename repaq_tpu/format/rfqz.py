@@ -57,19 +57,23 @@ def _table_cost_bytes(counts: np.ndarray) -> int:
     return 1 + 3 * int((counts > 0).sum())
 
 
-def choose_mode(data: np.ndarray) -> int:
-    """Cheap exact-entropy model selection for one section."""
+def choose_mode(data: np.ndarray):
+    """Cheap exact-entropy model selection for one section. Returns
+    (mode, byte_histogram, raw_pair_histogram_or_None) so the encoder can
+    reuse the scans."""
     n = data.shape[0]
-    if n < 4096:
-        counts = np.bincount(data, minlength=256)
-        est0 = _entropy_bits_order0(counts) / 8 + _table_cost_bytes(counts)
-        return MODE_ORDER0 if est0 < n * 0.98 else MODE_STORED
     counts = np.bincount(data, minlength=256)
     est0 = _entropy_bits_order0(counts) / 8 + _table_cost_bytes(counts)
+    if n < 4096:
+        mode = MODE_ORDER0 if est0 < n * 0.98 else MODE_STORED
+        return mode, counts, None
     # u16 pair keys, then one widening astype: int64 elementwise shifts and
     # u16 bincounts are both ~20x slower on this host
-    key = ((data[:-1].astype(np.uint16) << 8) | data[1:]).astype(np.int64)
-    ctx = np.bincount(key, minlength=65536).reshape(256, 256)
+    pair = np.bincount(
+        ((data[:-1].astype(np.uint16) << 8) | data[1:]).astype(np.int64),
+        minlength=65536,
+    )
+    ctx = pair.reshape(256, 256)
     est1 = sum(
         _entropy_bits_order0(ctx[c]) for c in range(256) if ctx[c].any()
     ) / 8 + sum(
@@ -77,8 +81,8 @@ def choose_mode(data: np.ndarray) -> int:
     )
     best = min(est0, est1)
     if best >= n * 0.98:
-        return MODE_STORED
-    return MODE_ORDER0 if est0 <= est1 else MODE_ORDER1
+        return MODE_STORED, counts, pair
+    return (MODE_ORDER0 if est0 <= est1 else MODE_ORDER1), counts, pair
 
 
 def encode_block(data: bytes | np.ndarray, lanes: int = rans_np.DEFAULT_LANES,
@@ -91,12 +95,15 @@ def encode_block(data: bytes | np.ndarray, lanes: int = rans_np.DEFAULT_LANES,
         if isinstance(data, (bytes, bytearray, memoryview))
         else np.asarray(data, dtype=np.uint8)
     )
-    mode = choose_mode(arr)
+    mode, counts0, pair = choose_mode(arr)
     if mode == MODE_STORED:
         return bytes([MODE_STORED]) + len(arr).to_bytes(4, "little") + arr.tobytes()
-    enc = (encode_section or rans_np.encode_section)(
-        arr, order=mode, lanes=lanes
-    )
+    if encode_section is None:
+        enc = rans_np.encode_section(
+            arr, order=mode, lanes=lanes, counts0=counts0, pair_counts=pair
+        )
+    else:
+        enc = encode_section(arr, order=mode, lanes=lanes)
     if len(enc) >= arr.shape[0] + 5:  # entropy estimate was optimistic
         return bytes([MODE_STORED]) + len(arr).to_bytes(4, "little") + arr.tobytes()
     return enc  # section record already leads with the order byte == mode
