@@ -94,6 +94,10 @@ def parse_table(buf: memoryview, off: int) -> tuple[np.ndarray, int]:
         s = buf[off]
         freqs[s] = int.from_bytes(buf[off + 1 : off + 3], "little")
         off += 3
+    if int(freqs.sum()) != SCALE:
+        # decoders build a SCALE-sized symbol LUT from this table; a wrong
+        # sum would index out of bounds in the native kernels
+        raise ValueError("rANS frequency table corrupt (sum != %d)" % SCALE)
     return freqs, off
 
 
@@ -337,12 +341,19 @@ def decode_section(buf: bytes | memoryview, off: int = 0) -> tuple[bytes, int]:
 
     payload_len = int.from_bytes(buf[off : off + 4], "little")
     off += 4
+    if off + 4 * lanes + payload_len > len(buf):
+        raise ValueError("rANS section truncated")
     lane_counts = np.frombuffer(buf, dtype="<u4", count=lanes, offset=off).astype(
         np.int64
     )
     off += 4 * lanes
     payload = np.frombuffer(buf, dtype=np.uint8, count=payload_len, offset=off)
     off += payload_len
+    # the native decoder trusts these; validate before it touches memory
+    if int(lane_counts.sum()) != payload_len or (lane_counts < 4).any() or (
+        ((lane_counts - 4) % 2) != 0
+    ).any():
+        raise ValueError("rANS section lane table corrupt")
 
     from . import _native
 

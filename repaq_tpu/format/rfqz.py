@@ -190,7 +190,15 @@ class RfqzReader:
     def _pull(self) -> bool:
         if self._off >= len(self._raw):
             return False
-        data, self._off = decode_block(self._mv, self._off, self._dec)
+        try:
+            data, self._off = decode_block(self._mv, self._off, self._dec)
+        except RfqzFormatError:
+            raise
+        except Exception as e:  # truncated/corrupt container
+            raise RfqzFormatError(
+                "corrupt or truncated RFQZ section at offset %d: %s"
+                % (self._off, e)
+            )
         if self._pos:
             del self._buf[: self._pos]
             self._pos = 0

@@ -462,37 +462,85 @@ def coords_encode_device(values: jnp.ndarray, out_size: int):
 # ---------------------------------------------------------------------------
 
 
+def _apply_map4(m: jnp.ndarray, s: jnp.ndarray) -> jnp.ndarray:
+    """out = m[..., s] for a 4-state map, unrolled into selects (a gather
+    here would serialize on the VPU)."""
+    return jnp.where(
+        s == 0, m[..., 0],
+        jnp.where(s == 1, m[..., 1], jnp.where(s == 2, m[..., 2], m[..., 3])),
+    )
+
+
 def token_start_mask(lens: jnp.ndarray, force_start: jnp.ndarray | None = None):
-    """Token boundary detection as a parallel FSM scan.
+    """Token boundary detection as a blocked parallel FSM scan.
 
     The stream grammar (tokens of 1/2/4 or 1/2/3 bytes, width determined by
     the first byte) is a 4-state machine: state = bytes remaining of the
     current token. Each byte contributes the map m(s) = lens[i]-1 if s==0
-    else s-1; prefix-composing the maps with lax.associative_scan
-    parallelizes the walk. force_start marks positions where a new token
-    must begin regardless of state (per-bin stream boundaries).
+    else s-1; composing the maps walks the stream. force_start marks
+    positions where a new token must begin regardless of state (per-bin
+    stream boundaries).
+
+    Three-level structure chosen for BOTH runtime and compile time on TPU:
+    a flat associative_scan over n elements traces ~2*log2(n) copies of the
+    16-select composition (minutes of XLA compile); instead a K-step
+    lax.scan composes byte maps WITHIN blocks (one small loop body), a tiny
+    associative_scan runs across the n/K block maps, and a second K-step
+    scan replays states inside each block.
 
     lens: (n,) int32 token length IF a token started at that byte.
     Returns bool (n,) start mask.
     """
     n = lens.shape[0]
-    s = jnp.arange(4, dtype=jnp.int32)[None, :]
-    maps = jnp.where(s == 0, lens[:, None] - 1, s - 1).astype(jnp.int32)
+    K = 64
+    pad = (-n) % K
+    s4 = jnp.arange(4, dtype=jnp.int32)[None, :]
+    maps = jnp.where(s4 == 0, lens[:, None] - 1, s4 - 1).astype(jnp.int32)
     maps = jnp.clip(maps, 0, 3)
     if force_start is not None:
-        forced = jnp.clip(lens[:, None] - 1, 0, 3) * jnp.ones_like(s)
+        forced = jnp.clip(lens[:, None] - 1, 0, 3) * jnp.ones_like(s4)
         maps = jnp.where(force_start[:, None], forced, maps)
+    if pad:  # pad with "len 1" maps; padded tail is trimmed from the mask
+        tail = jnp.broadcast_to(
+            jnp.maximum(jnp.arange(4, dtype=jnp.int32) - 1, 0)[None, :],
+            (pad, 4),
+        )
+        maps = jnp.concatenate([maps, tail])
+    nb = (n + pad) // K
+    bmaps = maps.reshape(nb, K, 4)
 
-    def compose(a, b):
-        # apply a (earlier) then b (later)
-        return jnp.take_along_axis(b, a, axis=-1)
+    # block-composed maps: scan K byte maps through an identity carry
+    def comp_step(carry, mk):
+        # carry: (nb, 4) prefix map; mk: (nb, 4) this byte's map
+        out = jnp.stack(
+            [_apply_map4(mk, carry[:, j]) for j in range(4)], axis=-1
+        )
+        return out, None
 
-    prefix = jax.lax.associative_scan(compose, maps)
-    state_after = prefix[:, 0]  # state after byte i, starting from state 0
-    state_before = jnp.concatenate(
-        [jnp.zeros(1, dtype=jnp.int32), state_after[:-1]]
+    ident = jnp.broadcast_to(
+        jnp.arange(4, dtype=jnp.int32)[None, :], (nb, 4)
     )
-    starts = state_before == 0
+    block_map, _ = jax.lax.scan(
+        comp_step, ident, jnp.moveaxis(bmaps, 1, 0)
+    )
+
+    def compose(a, b):  # tiny: runs over nb elements only
+        return jnp.stack(
+            [_apply_map4(b, a[..., j]) for j in range(4)], axis=-1
+        )
+
+    prefix = jax.lax.associative_scan(compose, block_map)
+    entry = jnp.concatenate(
+        [jnp.zeros(1, dtype=jnp.int32), prefix[:-1, 0]]
+    )  # state entering each block when the stream starts at state 0
+
+    # replay within blocks: emit the start mask column by column
+    def replay_step(state, mk):
+        starts_col = state == 0
+        return _apply_map4(mk, state), starts_col
+
+    _, cols = jax.lax.scan(replay_step, entry, jnp.moveaxis(bmaps, 1, 0))
+    starts = jnp.moveaxis(cols, 0, 1).reshape(-1)[:n]
     if force_start is not None:
         starts = starts | force_start
     return starts

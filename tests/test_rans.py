@@ -138,3 +138,39 @@ def test_cli_rfqz_roundtrip(fixtures_dir, tmp_path):
     )
     assert r.returncode == 0, r.stderr
     assert b'"result":"passed"' in r.stdout
+
+
+def test_rfqz_corrupt_sections(tmp_path):
+    """Truncated or bit-flipped containers must fail cleanly, never crash
+    or read out of bounds in the native decoder."""
+    data = _skewed(200_000, seed=7).tobytes()
+    p = tmp_path / "c.rfqz"
+    w = rfqz.RfqzWriter(str(p), block_size=64 * 1024, lanes=64)
+    w.write(data)
+    w.close()
+    blob = bytearray(p.read_bytes())
+
+    # truncation at several points
+    for cut in (6, 20, len(blob) // 2, len(blob) - 3):
+        q = tmp_path / "t.rfqz"
+        q.write_bytes(bytes(blob[:cut]))
+        r = rfqz.RfqzReader(str(q))
+        try:
+            while r.read(65536):
+                pass
+        except rfqz.RfqzFormatError:
+            pass  # clean structured failure is acceptable
+
+    # corrupt the lane-count table of the first section (order byte at 5,
+    # then n u32, lanes u16, tables...) — flip bytes through the record
+    for pos in range(6, min(len(blob), 600), 37):
+        q = bytearray(blob)
+        q[pos] ^= 0xFF
+        f = tmp_path / "x.rfqz"
+        f.write_bytes(bytes(q))
+        try:
+            r = rfqz.RfqzReader(str(f))
+            while r.read(65536):
+                pass
+        except rfqz.RfqzFormatError:
+            pass  # must not segfault / raise anything else
