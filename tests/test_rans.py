@@ -174,3 +174,39 @@ def test_rfqz_corrupt_sections(tmp_path):
                 pass
         except rfqz.RfqzFormatError:
             pass  # must not segfault / raise anything else
+
+
+def test_cli_rfqz_pe_and_verify(fixtures_dir, tmp_path):
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    env = {"PYTHONPATH": str(repo), "PATH": "/usr/bin:/bin",
+           "JAX_PLATFORMS": "cpu"}
+    z = tmp_path / "pe.rfqz"
+    r = subprocess.run(
+        [sys.executable, "-m", "repaq_tpu.cli", "-c",
+         "-i", str(fixtures_dir / "pe_big_R1.fq"),
+         "-I", str(fixtures_dir / "pe_big_R2.fq"),
+         "-o", str(z), "-k", "100", "--verify"],
+        env=env, capture_output=True,
+    )
+    assert r.returncode == 0, r.stderr
+    d1, d2 = tmp_path / "d1.fq", tmp_path / "d2.fq"
+    r = subprocess.run(
+        [sys.executable, "-m", "repaq_tpu.cli", "-d", "-i", str(z),
+         "-o", str(d1), "-O", str(d2)], env=env, capture_output=True,
+    )
+    assert r.returncode == 0, r.stderr
+    assert d1.read_bytes() == (fixtures_dir / "pe_big_R1.fq").read_bytes()
+    assert d2.read_bytes() == (fixtures_dir / "pe_big_R2.fq").read_bytes()
+    # PE compare against the .rfqz container
+    r = subprocess.run(
+        [sys.executable, "-m", "repaq_tpu.cli", "-p",
+         "-i", str(fixtures_dir / "pe_big_R1.fq"),
+         "-I", str(fixtures_dir / "pe_big_R2.fq"), "-r", str(z)],
+        env=env, capture_output=True,
+    )
+    assert r.returncode == 0, r.stderr
+    assert b'"result":"passed"' in r.stdout
