@@ -150,10 +150,14 @@ def bench_device_kernels() -> float | None:
             c *= 2
         return min(c, n)
 
-    s0_np, q0_np = mk(0)
     n_elems = B * L
-    nm_cap = bucket(int((q0_np != ord("F")).sum()), n_elems)
-    np_cap = bucket(int((s0_np == ord("N")).sum()), n_elems)
+    all_blocks = [mk(i) for i in range(4)]
+    nm_cap = bucket(
+        max(int((q != ord("F")).sum()) for _s, q in all_blocks), n_elems
+    )
+    np_cap = bucket(
+        max(int((s == ord("N")).sum()) for s, _q in all_blocks), n_elems
+    )
     f = jax.jit(
         lambda s, q, x, y, b, t: device_encode_block(
             s, q, x, y, b, jnp.uint8(ord("F")), t,

@@ -113,6 +113,8 @@ def decode_block(buf: memoryview, off: int, decode_section=None) -> tuple[bytes,
     mode = buf[off]
     if mode == MODE_STORED:
         n = int.from_bytes(buf[off + 1 : off + 5], "little")
+        if off + 5 + n > len(buf):
+            raise RfqzFormatError("stored rfqz section truncated")
         return bytes(buf[off + 5 : off + 5 + n]), off + 5 + n
     if mode not in (MODE_ORDER0, MODE_ORDER1):
         raise RfqzFormatError("bad rfqz section mode %d" % mode)
@@ -162,48 +164,92 @@ class RfqzWriter:
 
 
 class RfqzReader:
-    """File-like source: decodes sections lazily; read(n) like a pipe."""
+    """File-like source: decodes sections lazily; read(n) like a pipe.
+
+    Streams: compressed bytes are fetched in 4MB slices and consumed
+    sections are trimmed, so memory stays O(section) — matching the pipe
+    semantics of the xz stage this replaces — instead of holding the whole
+    archive plus its decoded image resident.
+    """
+
+    _FETCH = 4 << 20
 
     def __init__(self, path_or_stream, decode_section=None):
         if hasattr(path_or_stream, "read"):
-            self._raw = path_or_stream.read()
+            self._f = path_or_stream
             self._own = False
         else:
-            with open(path_or_stream, "rb") as f:
-                self._raw = f.read()
+            self._f = open(path_or_stream, "rb")
             self._own = True
-        if self._raw[:4] != MAGIC:
+        self._dec = decode_section
+        self._comp = bytearray()
+        self._eof = False
+        self._consumed = 0  # bytes trimmed off _comp (for error offsets)
+        while len(self._comp) < 5 and self._fill():
+            pass
+        if len(self._comp) < 5 or self._comp[:4] != MAGIC:
             raise RfqzFormatError(
                 "not an RFQZ file (bad magic); expected a .rfqz produced by "
                 "this tool"
             )
-        if self._raw[4] != VERSION:
+        if self._comp[4] != VERSION:
             raise RfqzFormatError(
-                "unsupported RFQZ container version %d" % self._raw[4]
+                "unsupported RFQZ container version %d" % self._comp[4]
             )
-        self._mv = memoryview(self._raw)
-        self._off = 5
-        self._dec = decode_section
+        del self._comp[:5]
+        self._consumed = 5
         self._buf = bytearray()
         self._pos = 0
 
-    def _pull(self) -> bool:
-        if self._off >= len(self._raw):
+    def _fill(self) -> bool:
+        if self._eof:
             return False
-        try:
-            data, self._off = decode_block(self._mv, self._off, self._dec)
-        except RfqzFormatError:
-            raise
-        except Exception as e:  # truncated/corrupt container
-            raise RfqzFormatError(
-                "corrupt or truncated RFQZ section at offset %d: %s"
-                % (self._off, e)
-            )
-        if self._pos:
-            del self._buf[: self._pos]
-            self._pos = 0
-        self._buf += data
+        data = self._f.read(self._FETCH)
+        if not data:
+            self._eof = True
+            return False
+        self._comp += data
         return True
+
+    def _pull(self) -> bool:
+        while True:
+            if not self._comp and self._eof:
+                return False
+            # NOTE the dance around buffer exports: decode errors must not
+            # keep views of self._comp alive (via the exception traceback)
+            # or the bytearray cannot be grown by _fill; record the error,
+            # let the except block close (python clears the traceback),
+            # then release the memoryview and act.
+            mv = memoryview(self._comp)
+            err = None
+            try:
+                data, end = decode_block(mv, 0, self._dec)
+            except RfqzFormatError as e:
+                err = (True, str(e))
+            except Exception as e:
+                err = (False, str(e))
+            finally:
+                mv.release()
+            if err is not None:
+                # may just need more compressed bytes; a genuine
+                # corruption re-raises once the stream is exhausted
+                if self._fill():
+                    continue
+                if not self._comp:
+                    return False  # clean end exactly at a section boundary
+                if err[0]:
+                    raise RfqzFormatError(err[1])
+                raise RfqzFormatError(
+                    "corrupt or truncated RFQZ section at offset %d: %s"
+                    % (self._consumed, err[1])
+                )
+            del self._comp[:end]
+            self._consumed += end
+            if self._pos:
+                del self._buf[: self._pos]
+                self._pos = 0
+            self._buf += data
+            return True
 
     def read(self, n: int = -1) -> bytes:
         if n < 0:
@@ -221,4 +267,5 @@ class RfqzReader:
 
     # RfqHeader.read / RfqChunk.read use stream.read(k) only
     def close(self) -> None:
-        pass
+        if self._own:
+            self._f.close()

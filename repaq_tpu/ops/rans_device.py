@@ -104,24 +104,27 @@ def rans_encode_payload_device(data: jnp.ndarray, freq_lut, cum_lut,
     dpos = wcount[None, :] - 1 - rank
     dest = lane_start[None, :] + 4 + 2 * dpos  # byte offset of hi byte
 
+    # sort (dest, byte) PAIRS with a stable two-operand sort: packing
+    # (dest << 8 | byte) into one int32 would overflow for payloads over
+    # 2^23 bytes (16MB sections routinely exceed that)
     inf = jnp.int32(2**31 - 1)
     w32 = words.astype(jnp.int32)
-    hi_keys = jnp.where(emits, (dest << 8) | (w32 >> 8), inf).reshape(-1)
-    lo_keys = jnp.where(
-        emits, ((dest + 1) << 8) | (w32 & 0xFF), inf
-    ).reshape(-1)
+    hi_keys = jnp.where(emits, dest, inf).reshape(-1)
+    hi_vals = (w32 >> 8).astype(jnp.uint8).reshape(-1)
+    lo_keys = jnp.where(emits, dest + 1, inf).reshape(-1)
+    lo_vals = (w32 & 0xFF).astype(jnp.uint8).reshape(-1)
 
     st = final.astype(jnp.int32)
     b = jnp.arange(4, dtype=jnp.int32)[None, :]
-    state_dest = lane_start[:, None] + b
-    state_byte = (st[:, None] >> (8 * b)) & 0xFF
-    state_keys = ((state_dest << 8) | state_byte).reshape(-1)
+    state_keys = (lane_start[:, None] + b).reshape(-1)
+    state_vals = ((st[:, None] >> (8 * b)) & 0xFF).astype(jnp.uint8).reshape(-1)
 
     keys = jnp.concatenate([hi_keys, lo_keys, state_keys])
-    srt = jnp.sort(keys)
-    take = min(out_cap, srt.shape[0])
+    vals = jnp.concatenate([hi_vals, lo_vals, state_vals])
+    _sk, sv = jax.lax.sort((keys, vals), num_keys=1)
+    take = min(out_cap, sv.shape[0])
     out = jnp.zeros(out_cap, dtype=jnp.uint8)
-    out = out.at[:take].set((srt[:take] & 0xFF).astype(jnp.uint8))
+    out = out.at[:take].set(sv[:take])
     k = jnp.arange(out_cap, dtype=jnp.int32)
     out = jnp.where(k < total, out, 0).astype(jnp.uint8)
     return out, lane_bytes, total
@@ -278,12 +281,20 @@ def decode_section_device(buf, off: int = 0) -> tuple[bytes, int]:
 
     payload_len = int.from_bytes(buf[off : off + 4], "little")
     off += 4
+    if off + 4 * lanes + payload_len > len(buf):
+        raise ValueError("rANS section truncated")
     lane_counts = np.frombuffer(buf, dtype="<u4", count=lanes, offset=off).astype(
         np.int32
     )
     off += 4 * lanes
     payload = np.frombuffer(buf, dtype=np.uint8, count=payload_len, offset=off)
     off += payload_len
+    # same trust boundary as the host decoder: validate before gathers
+    # (clamping backends would otherwise return garbage without an error)
+    if int(lane_counts.sum()) != payload_len or (lane_counts < 4).any() or (
+        ((lane_counts - 4) % 2) != 0
+    ).any():
+        raise ValueError("rANS section lane table corrupt")
     payload_pad = np.concatenate([payload, np.zeros(2, np.uint8)])
     steps = n // lanes
     grid = jax.jit(

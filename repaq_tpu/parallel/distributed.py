@@ -141,13 +141,8 @@ def encode_chunk_range(
     """Encode chunks plan[lo:hi] (already byte-delimited) to ``out``."""
     if lo >= hi:
         return
-    file_size = os.path.getsize(path)
-    with open(path, "rb") as f:
-        f.seek(max(0, file_size - 1))
-        last = f.read(1)
-    reader = _RangeReader(
-        path, plan[lo].byte_start, plan[hi - 1].byte_end, file_size,
-        last[0] if last else 10,
+    reader = _range_reader_for(
+        path, plan[lo].byte_start, plan[hi - 1].byte_end
     )
     comp = _Compressor(out, engine, False, False, is_pe=False, workers=workers)
     comp.header = header

@@ -210,3 +210,74 @@ def test_cli_rfqz_pe_and_verify(fixtures_dir, tmp_path):
     )
     assert r.returncode == 0, r.stderr
     assert b'"result":"passed"' in r.stdout
+
+
+def test_device_large_payload_no_key_overflow():
+    """Device encode of a section whose payload exceeds 2^23 bytes must
+    still match the host bytes (packed int32 sort keys used to overflow;
+    now a two-operand stable sort carries bytes alongside destinations)."""
+    from repaq_tpu.ops import rans_device as D
+
+    rng = np.random.default_rng(11)
+    n, lanes = 10 * 1024 * 1024, 4096  # incompressible -> ~2n payload
+    data = rng.integers(0, 256, size=n, dtype=np.uint8).tobytes()
+    enc_dev = D.encode_section_device(data, order=0, lanes=lanes)
+    enc_host = R.encode_section(data, order=0, lanes=lanes)
+    assert enc_dev == enc_host
+    dec, _ = R.decode_section(enc_dev)
+    assert dec == data
+
+
+def test_stored_section_truncation_detected(tmp_path):
+    rng = np.random.default_rng(12)
+    data = rng.integers(0, 256, size=100_000, dtype=np.uint8).tobytes()
+    p = tmp_path / "s.rfqz"
+    w = rfqz.RfqzWriter(str(p))
+    w.write(data)
+    w.close()
+    blob = p.read_bytes()
+    assert blob[5] == rfqz.MODE_STORED  # random bytes don't compress
+    q = tmp_path / "trunc.rfqz"
+    q.write_bytes(blob[: len(blob) // 2])
+    r = rfqz.RfqzReader(str(q))
+    with pytest.raises(rfqz.RfqzFormatError):
+        while r.read(65536):
+            pass
+
+
+def test_short_file_clean_error(tmp_path):
+    p = tmp_path / "tiny.rfqz"
+    p.write_bytes(b"RFQZ")  # magic but no version byte
+    with pytest.raises(rfqz.RfqzFormatError):
+        rfqz.RfqzReader(str(p))
+
+
+def test_reader_streams_from_pipe_like(tmp_path):
+    """RfqzReader over a non-seekable stream object (read-only), pulling
+    compressed bytes incrementally."""
+    class OneByteAtATime:
+        def __init__(self, raw):
+            self.raw = raw
+            self.i = 0
+
+        def read(self, k=-1):
+            if self.i >= len(self.raw):
+                return b""
+            step = min(k if k > 0 else 1 << 20, 7777)
+            out = self.raw[self.i : self.i + step]
+            self.i += len(out)
+            return out
+
+    data = _skewed(150_000, seed=13).tobytes()
+    p = tmp_path / "s.rfqz"
+    w = rfqz.RfqzWriter(str(p), block_size=32 * 1024, lanes=64)
+    w.write(data)
+    w.close()
+    r = rfqz.RfqzReader(OneByteAtATime(p.read_bytes()))
+    got = bytearray()
+    while True:
+        b = r.read(12_345)
+        if not b:
+            break
+        got += b
+    assert bytes(got) == data
