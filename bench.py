@@ -267,41 +267,36 @@ def main() -> None:
     log("roundtrip: bit-exact")
 
     # second entropy stage (.rfqz, in-framework interleaved rANS replacing
-    # the reference's external xz): size + throughput diagnostics
+    # the reference's external xz): the CLI path — stream-aligned sections
+    # over 16Mbase chunks
     try:
         from repaq_tpu.format.rfqz import RfqzReader, RfqzWriter
 
         zpath = os.path.join(tmp, "bench.rfqz")
         t0 = time.time()
         w = RfqzWriter(zpath)
-        with open(rfq, "rb") as fsrc:
-            while True:
-                buf = fsrc.read(1 << 22)
-                if not buf:
-                    break
-                w.write(buf)
+        pipeline.compress_pe(f1, f2, "", out_stream=w,
+                             chunk_size=16_000_000)
         w.close()
         z_s = time.time() - t0
         z_bytes = os.path.getsize(zpath)
+        z1 = os.path.join(tmp, "z_R1.fq")
+        z2 = os.path.join(tmp, "z_R2.fq")
         t0 = time.time()
-        r = RfqzReader(zpath)
-        back = bytearray()
-        while True:
-            piece = r.read(1 << 22)
-            if not piece:
-                break
-            back += piece
+        pipeline.decompress_pe("", z1, z2, in_stream=RfqzReader(zpath))
         z_dec_s = time.time() - t0
-        with open(rfq, "rb") as fsrc:
-            assert bytes(back) == fsrc.read(), "rfqz roundtrip mismatch"
+        assert filecmp.cmp(f1, z1, shallow=False) and filecmp.cmp(
+            f2, z2, shallow=False
+        ), "rfqz roundtrip mismatch"
         log(
-            "rfqz second stage: %.1f MB (%.1f%% of .rfq, %.2f%% of FASTQ) "
-            "enc %.0f MB/s dec %.0f MB/s, lossless"
+            "rfqz (FASTQ -> .rfqz, 16Mb chunks): %.1f MB (%.1f%% of .rfq, "
+            "%.2f%% of FASTQ) enc %.0f MB/s dec %.0f MB/s of FASTQ, lossless"
             % (z_bytes / 1e6, 100.0 * z_bytes / rfq_bytes,
-               100.0 * z_bytes / total_bytes, rfq_bytes / 1e6 / z_s,
-               rfq_bytes / 1e6 / z_dec_s)
+               100.0 * z_bytes / total_bytes, total_bytes / 1e6 / z_s,
+               total_bytes / 1e6 / z_dec_s)
         )
-        os.unlink(zpath)
+        for p in (zpath, z1, z2):
+            os.unlink(p)
     except Exception as e:
         log("rfqz stage diagnostics unavailable: %r" % (e,))
 

@@ -41,8 +41,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--compress", "-c", action="store_true")
     p.add_argument("--decompress", "-d", action="store_true")
     p.add_argument(
-        "--chunk", "-k", type=int, default=1000,
-        help="chunk size (kilo bases) for encoding, default 1000",
+        "--chunk", "-k", type=int, default=None,
+        help="chunk size (kilo bases) for encoding, default 1000 "
+        "(16000 for .rfqz output: bigger chunks give the entropy stage "
+        "purer per-stream sections)",
     )
     p.add_argument("--stdin", action="store_true", help="input from STDIN")
     p.add_argument("--stdout", action="store_true", help="write to STDOUT")
@@ -170,7 +172,12 @@ def main(argv: list[str] | None = None) -> int:
     else:
         mode = "compress"
 
-    chunk_size = max(100, args.chunk) * 1000
+    if args.chunk is not None:
+        chunk_size = max(100, args.chunk) * 1000
+    elif mode == "compress" and args.out1.endswith(".rfqz"):
+        chunk_size = 16_000_000
+    else:
+        chunk_size = 1_000_000
     threads = max(1, min(16, args.thread))
     compression = max(1, min(9, args.compression))
 

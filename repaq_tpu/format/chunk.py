@@ -135,48 +135,65 @@ class RfqChunk:
         self.size = size
 
     # ---- serialization ----
-    def to_bytes(self) -> bytes:
-        out = bytearray()
-        out += u32le(self.size)
-        out += u32le(self.reads)
-        out += u16le(self.flags)
-        out += u32le(self.seq_buf_size)
-        out += u32le(self.qual_buf_size)
+    def to_segments(self) -> list:
+        """Wire-order byte segments labeled by stream kind:
+        ``b"".join(data for _, data) == to_bytes()`` exactly. The labels
+        let the `.rfqz` entropy stage cut its sections at stream
+        boundaries — each stream type has very different statistics, and
+        mixing them in one model costs several ratio points."""
+        meta = bytearray()
+        meta += u32le(self.size)
+        meta += u32le(self.reads)
+        meta += u16le(self.flags)
+        meta += u32le(self.seq_buf_size)
+        meta += u32le(self.qual_buf_size)
         if self.header.encode_n_pos():
-            out += u32le(self.npos_buf_size)
+            meta += u32le(self.npos_buf_size)
 
-        out += self.read_len_buf
-        out += self.name1_len_buf
+        meta += self.read_len_buf
+        meta += self.name1_len_buf
         if self.header.has_name2():
-            out += self.name2_len_buf
-        out += self.strand_len_buf
+            meta += self.name2_len_buf
+        meta += self.strand_len_buf
 
         if self.header.has_lane():
-            out += self.lane_buf[: self._lane_count()]
+            meta += self.lane_buf[: self._lane_count()]
         if self.header.has_tile():
-            out += self.tile_buf[: 2 * self._tile_count()]
+            meta += self.tile_buf[: 2 * self._tile_count()]
 
+        coords = bytearray()
         if self.header.has_x():
-            out += u32le(self.x_buf_size)
-            out += self.x_buf
+            coords += u32le(self.x_buf_size)
+            coords += self.x_buf
         if self.header.has_y():
-            out += u32le(self.y_buf_size)
-            out += self.y_buf
+            coords += u32le(self.y_buf_size)
+            coords += self.y_buf
 
-        out += self.name1_buf
+        names = bytearray()
+        names += self.name1_buf
         if self.header.has_name2():
-            out += self.name2_buf
-        out += self.strand_buf
-        out += self.seq_buf
-        out += self.qual_buf
+            names += self.name2_buf
+        names += self.strand_buf
 
+        tail = bytearray()
         if (self.flags & BIT_PE_INTERLEAVED) and (
             self.header.flags & BIT_ENCODE_PE_BY_OVERLAP
         ):
-            out += self.overlap_buf[: self.reads // 2]
+            tail += self.overlap_buf[: self.reads // 2]
         if self.header.encode_n_pos():
-            out += self.npos_buf
-        return bytes(out)
+            tail += self.npos_buf
+
+        return [
+            ("meta", bytes(meta)),
+            ("coords", bytes(coords)),
+            ("names", bytes(names)),
+            ("seq", bytes(self.seq_buf)),
+            ("qual", bytes(self.qual_buf)),
+            ("tail", bytes(tail)),
+        ]
+
+    def to_bytes(self) -> bytes:
+        return b"".join(data for _label, data in self.to_segments())
 
     def write(self, stream) -> None:
         stream.write(self.to_bytes())

@@ -140,12 +140,37 @@ class RfqzWriter:
         self.raw_bytes = 0
         self.coded_bytes = 5
 
+    _SPLIT_MIN = 96 * 1024  # stream segments below this stay in the mix
+
     def write(self, data: bytes) -> int:
         self._buf += data
         self.raw_bytes += len(data)
         while len(self._buf) >= self._block:
             self._flush_one(self._block)
         return len(data)
+
+    def write_segments(self, segments) -> None:
+        """Write labeled wire-order segments (RfqChunk.to_segments),
+        cutting sections at stream boundaries: sequence, quality, and
+        coordinate streams have very different statistics, and giving each
+        its own section model is worth several ratio points over mixing
+        them. Byte stream (and therefore the decoded .rfq) is unchanged —
+        only the section boundaries move."""
+        for label, data in segments:
+            if (
+                label in ("seq", "qual", "coords", "tail")
+                and len(data) >= self._SPLIT_MIN
+            ):
+                if self._buf:
+                    self._flush_one(len(self._buf))
+                self.raw_bytes += len(data)
+                rec = encode_block(
+                    data, lanes=self._lanes, encode_section=self._enc
+                )
+                self.coded_bytes += len(rec)
+                self._out.write(rec)
+            else:
+                self.write(data)
 
     def _flush_one(self, size: int) -> None:
         chunk = bytes(self._buf[:size])

@@ -154,6 +154,9 @@ class _Compressor:
         self.header: Optional[RfqHeader] = None
         self.header_bytes = b""
         self.passnum = 0
+        # stream-aligned entropy sections when the sink understands them
+        # (.rfqz, format/rfqz.py) — same bytes, better section models
+        self._segmented = hasattr(out, "write_segments")
         self.workers = max(1, workers)
         self._pool = None
         self._pending = None
@@ -192,13 +195,20 @@ class _Compressor:
             chunk.flags |= BIT_HAS_NO_LINE_BREAK_AT_END
         if self.is_pe and flag_r2:
             chunk.flags |= BIT_HAS_NO_LINE_BREAK_AT_END_R2
-        return chunk.to_bytes()
+        if self._segmented:
+            segs = chunk.to_segments()
+            return b"".join(d for _l, d in segs), segs
+        return chunk.to_bytes(), None
 
-    def _emit(self, data: Optional[bytes], block: ReadBlock) -> None:
-        if data is None:
+    def _emit(self, payload, block: ReadBlock) -> None:
+        if payload is None:
             return
+        data, segs = payload
         with self.timer.stage("write", len(data)):
-            self.out.write(data)
+            if segs is not None:
+                self.out.write_segments(segs)
+            else:
+                self.out.write(data)
         if self.verify or (self.fast_verify and self.passnum % 10 == 0):
             with self.timer.stage("verify"):
                 _verify_chunk(
