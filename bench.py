@@ -36,8 +36,9 @@ def log(msg: str) -> None:
 
 
 def make_dataset(tmp: str) -> tuple[str, str, int]:
-    """Synthetic NovaSeq-like paired-end FASTQ (4 quality bins, ~1% N with
-    constant '#' qual, 35% overlapping fragments)."""
+    """Synthetic NovaSeq-like paired-end FASTQ (4 quality bins, ~0.2% N
+    with constant '#' qual, 35% overlapping fragments in the orientation
+    the codec's PE overlap elision detects)."""
     rng = np.random.default_rng(2024)
     n = PAIRS
     bases = np.frombuffer(b"ACGT", dtype=np.uint8)
@@ -48,21 +49,26 @@ def make_dataset(tmp: str) -> tuple[str, str, int]:
 
     s1 = rng.choice(bases, size=(n, READ_LEN))
     s2 = rng.choice(bases, size=(n, READ_LEN))
-    # overlapping fragments: R2 rc-prefix == R1 suffix (batched per overlap
-    # length so generation stays vectorized)
+    # overlapping fragments: RC(R2) starts with R1's last o bases — the
+    # orientation the codec's overlap elision detects (reference
+    # rfqcodec.cpp:1391-1438). R2 = revcomp(R1[-o:] ++ random tail).
+    # (batched per overlap length so generation stays vectorized)
     ov_mask = rng.random(n) < 0.35
     ov_len = rng.integers(30, READ_LEN, size=n)
     for o in range(30, READ_LEN):
         rows = np.flatnonzero(ov_mask & (ov_len == o))
         if rows.size == 0:
             continue
-        rc = comp[s1[rows, READ_LEN - o :]][:, ::-1]
-        s2i = np.concatenate([rc, s2[rows, : READ_LEN - o]], axis=1)
-        s2[rows] = comp[s2i][:, ::-1]
+        r2rc = np.concatenate(
+            [s1[rows, READ_LEN - o :], s2[rows, : READ_LEN - o]], axis=1
+        )
+        s2[rows] = comp[r2rc][:, ::-1]
     q1 = rng.choice(quals, size=(n, READ_LEN))
     q2 = rng.choice(quals, size=(n, READ_LEN))
-    nmask1 = rng.random((n, READ_LEN)) < 0.01
-    nmask2 = rng.random((n, READ_LEN)) < 0.01
+    # ~0.2% N (NovaSeq-like; an N inside an overlap window breaks the
+    # exact-match elision, as in the reference)
+    nmask1 = rng.random((n, READ_LEN)) < 0.002
+    nmask2 = rng.random((n, READ_LEN)) < 0.002
     s1[nmask1] = ord("N")
     q1[nmask1] = ord("#")
     s2[nmask2] = ord("N")
