@@ -90,6 +90,27 @@ def run_ref(cmd, **kw):
     assert r.returncode == 0, (cmd, r.stderr[:500])
 
 
+_COMP = bytes.maketrans(b"ACGTN", b"TGCAN")
+
+
+def _make_overlapping(f1, f2, rng):
+    """Rewrite ~60% of R2 sequences so RC(R2) starts with R1's suffix —
+    the orientation the PE overlap elision detects (rfqcodec.cpp:1391+)."""
+    r1 = open(f1, "rb").read().split(b"\n")
+    r2 = open(f2, "rb").read().split(b"\n")
+    for i in range(1, min(len(r1), len(r2)) - 1, 4):
+        if rng.random() > 0.6:
+            continue
+        s1, s2 = r1[i], r2[i]
+        if not s1 or not s2:
+            continue
+        o = rng.randint(12, min(len(s1), len(s2)))
+        fwd = s1[len(s1) - o :] + s2[o:]
+        r2[i] = fwd.translate(_COMP)[::-1][: len(s2)]
+    with open(f2, "wb") as f:
+        f.write(b"\n".join(r2))
+
+
 def is_reference_truncation(orig, got):
     """The reference's PE lookahead leak loses a SUFFIX of whole reads."""
     a = open(orig, "rb").read()
@@ -127,6 +148,8 @@ def main(trials: int) -> int:
                 kw2["no_final_nl"] = rng.random() < 0.25
                 gen_fastq(f2, rng2, n, pe_mate=2,
                           coords=cs if illumina else None, **kw2)
+                if rng.random() < 0.5:
+                    _make_overlapping(f1, f2, rng)
                 ours = os.path.join(tmp, "ours.rfq")
                 refs = os.path.join(tmp, "ref.rfq")
                 run(PY + ["-c", "-i", f1, "-I", f2, "-o", ours, "-k", k])
