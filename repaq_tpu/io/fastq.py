@@ -61,7 +61,9 @@ class FastqReader:
             self._file = sys.stdin.buffer
         else:
             self._file = open(filename, "rb")
-        self._buf = b""
+        # bytearray: += is amortized O(1); with bytes, accumulating a large
+        # chunk from 1MB fetches was quadratic (100Mbase chunks took minutes)
+        self._buf = bytearray()
         self._buf_used = 0
         self._gbase = 0  # global offset of _buf[0]
         self._eof = False
@@ -72,6 +74,7 @@ class FastqReader:
         # fast-mode scan cache: newline positions (buffer-relative) at or
         # after _buf_used, plus how far the buffer has been scanned
         self._nl = np.empty(0, dtype=np.int64)
+        self._nl_parts: list = []  # pending newline arrays (merged lazily)
         self._scanned = 0
         self._fetch_block()
 
@@ -99,7 +102,8 @@ class FastqReader:
             self._buf = self._buf[drop:]
             self._gbase += drop
             self._buf_used = 0
-            self._nl = self._nl[self._nl >= drop] - drop
+            nl = self._nl_all()
+            self._nl = nl[nl >= drop] - drop
             self._scanned = max(0, self._scanned - drop)
 
     def close(self) -> None:
@@ -140,16 +144,24 @@ class FastqReader:
             return False  # file starts with an empty line
         new = np.frombuffer(self._buf, dtype=np.uint8, count=len(self._buf) - start, offset=start)
         nl = np.flatnonzero(new == _NL) + start
-        self._nl = np.concatenate([self._nl, nl]) if self._nl.size else nl
+        if nl.size:
+            self._nl_parts.append(nl)
         self._scanned = len(self._buf)
         return True
+
+    def _nl_all(self) -> np.ndarray:
+        if self._nl_parts:
+            arrs = ([self._nl] if self._nl.size else []) + self._nl_parts
+            self._nl = np.concatenate(arrs) if len(arrs) > 1 else arrs[0]
+            self._nl_parts = []
+        return self._nl
 
     def _available(self):
         """(record_count, per-record seq_len array, record_end array).
 
         record_end[i] = buffer offset one past record i's terminating
         newline. Includes an unterminated final record at EOF."""
-        nl = self._nl
+        nl = self._nl_all()
         lpr = self._lpr
         n_lines = nl.shape[0]
         count = n_lines // lpr
@@ -177,7 +189,7 @@ class FastqReader:
     def _consume_block(self, k: int) -> tuple[ReadBlock, int]:
         """Build a ReadBlock from the first k available records and consume
         them. Returns (block, global e after the k-th record)."""
-        nl = self._nl
+        nl = self._nl_all()
         lpr = self._lpr
         count_term = min(k, nl.shape[0] // lpr)
         used = self._buf_used
@@ -240,8 +252,14 @@ class FastqReader:
                 self._scalar_mode = True
             if self._scalar_mode:
                 return -1
-            total, _, _ = self._available()
-            if total >= min_records or self._eof:
+            n_lines = self._nl.shape[0] + sum(
+                p.shape[0] for p in self._nl_parts
+            )
+            total = n_lines // self._lpr
+            if total >= min_records:
+                return total
+            if self._eof:
+                total, _, _ = self._available()  # may add unterminated tail
                 return total
             self._fetch_block()
 
@@ -315,7 +333,7 @@ class FastqReader:
             end += 1
 
         if end < n or self._eof:
-            line = buf[start:end]
+            line = bytes(buf[start:end])
             end += 1
             # \r\n handling with the reference's boundary condition
             # (fastqreader.cpp:115)
@@ -325,12 +343,13 @@ class FastqReader:
             return line
 
         # line spans fetch boundaries
-        parts = [buf[start:]]
+        parts = [bytes(buf[start:])]
         while True:
             self._gbase += len(self._buf)
-            self._buf = b""
+            self._buf = bytearray()
             self._buf_used = 0
             self._nl = np.empty(0, dtype=np.int64)
+            self._nl_parts = []
             self._scanned = 0
             self._fetch_block()
             buf = self._buf
@@ -339,7 +358,7 @@ class FastqReader:
             while end < n and buf[end] != _CR and buf[end] != _NL:
                 end += 1
             if end < n or self._eof:
-                parts.append(buf[:end])
+                parts.append(bytes(buf[:end]))
                 end += 1
                 if end < n - 1 and buf[end] == _NL:
                     end += 1
@@ -353,6 +372,7 @@ class FastqReader:
             return None
         # scalar consumption invalidates the fast-path scan cache
         self._nl = np.empty(0, dtype=np.int64)
+        self._nl_parts = []
         self._scanned = 0
         while self._buf_used >= len(self._buf) and not self._eof:
             self._fetch_block()

@@ -93,7 +93,7 @@ class _RangeReader(FastqReader):
         self._lpr = 4
         self.zipped = False
         self._file = self._fh
-        self._buf = b""
+        self._buf = bytearray()
         self._buf_used = 0
         self._gbase = start
         self._eof = False
@@ -104,6 +104,7 @@ class _RangeReader(FastqReader):
         import numpy as np
 
         self._nl = np.empty(0, dtype=np.int64)
+        self._nl_parts = []
         self._scanned = 0
         self._fetch_block()
 
