@@ -174,7 +174,11 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.chunk is not None:
         chunk_size = max(100, args.chunk) * 1000
-    elif mode == "compress" and args.out1.endswith(".rfqz"):
+    elif (
+        mode == "compress"
+        and args.out1.endswith(".rfqz")
+        and not args.stdout  # --stdout overrides out1: plain .rfq stream
+    ):
         chunk_size = 16_000_000
     else:
         chunk_size = 1_000_000

@@ -249,24 +249,25 @@ class RfqzReader:
             err = None
             try:
                 data, end = decode_block(mv, 0, self._dec)
-            except RfqzFormatError as e:
-                err = (True, str(e))
-            except Exception as e:
-                err = (False, str(e))
+            except (IndexError, ValueError, RfqzFormatError) as e:
+                # IndexError / "...truncated" mean the section extends past
+                # the buffered bytes — retry after fetching more. Anything
+                # else (bad mode byte, corrupt tables, lane-table
+                # violations) is genuine corruption: raise immediately
+                # instead of buffering the rest of the archive.
+                retryable = isinstance(e, IndexError) or "truncated" in str(e)
+                err = (retryable, str(e))
             finally:
                 mv.release()
             if err is not None:
-                # may just need more compressed bytes; a genuine
-                # corruption re-raises once the stream is exhausted
-                if self._fill():
+                retryable, msg = err
+                if retryable and self._fill():
                     continue
-                if not self._comp:
+                if retryable and not self._comp:
                     return False  # clean end exactly at a section boundary
-                if err[0]:
-                    raise RfqzFormatError(err[1])
                 raise RfqzFormatError(
                     "corrupt or truncated RFQZ section at offset %d: %s"
-                    % (self._consumed, err[1])
+                    % (self._consumed, msg)
                 )
             del self._comp[:end]
             self._consumed += end

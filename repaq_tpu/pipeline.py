@@ -197,14 +197,21 @@ class _Compressor:
             chunk.flags |= BIT_HAS_NO_LINE_BREAK_AT_END_R2
         if self._segmented:
             segs = chunk.to_segments()
-            return b"".join(d for _l, d in segs), segs
-        return chunk.to_bytes(), None
+            nbytes = sum(len(d) for _l, d in segs)
+            # the joined image is only needed by the verify re-decode
+            data = (
+                b"".join(d for _l, d in segs)
+                if (self.verify or self.fast_verify) else None
+            )
+            return data, segs, nbytes
+        data = chunk.to_bytes()
+        return data, None, len(data)
 
     def _emit(self, payload, block: ReadBlock) -> None:
         if payload is None:
             return
-        data, segs = payload
-        with self.timer.stage("write", len(data)):
+        data, segs, nbytes = payload
+        with self.timer.stage("write", nbytes):
             if segs is not None:
                 self.out.write_segments(segs)
             else:
