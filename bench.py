@@ -207,26 +207,37 @@ def bench_device_kernels() -> float | None:
         % (dt / n_steps, B * L * 2 / 1e6, mbps)
     )
 
-    # decode kernels: full on-chip unpack + quality + N reconstruction
+    # decode kernels: full on-chip unpack + quality + N reconstruction.
+    # A real pipeline knows every stream's length from the chunk header,
+    # so the padded buffers are sliced to bucketed sizes before dispatch —
+    # the token-FSM and scans run over the compressed size, not n.
     from repaq_tpu.parallel.mesh import device_decode_block
 
+    qcap = bucket(max(int(o["qual_len"]) for o in outs) + 8,
+                  out["qual"].shape[0])
+    ncap = bucket(max(int(o["npos_len"]) for o in outs) + 8,
+                  out["npos"].shape[0])
     g = jax.jit(
         lambda p, qb, ql, nb, nl: device_decode_block(
             p, qb, ql, nb, nl, bd, jnp.uint8(ord("F")), B, L
         )
     )
-    sq, qq = g(out["packed"], out["qual"], out["qual_len"], out["npos"],
-               out["npos_len"])
+    sq, qq = g(out["packed"], out["qual"][:qcap], out["qual_len"],
+               out["npos"][:ncap], out["npos_len"])
     _ = int(jnp.sum(sq[0].astype(jnp.int32)))
     t0 = time.time()
     decs = []
     for o in outs:
-        sq, qq = g(o["packed"], o["qual"], o["qual_len"], o["npos"],
-                   o["npos_len"])
+        sq, qq = g(o["packed"], o["qual"][:qcap], o["qual_len"],
+                   o["npos"][:ncap], o["npos_len"])
         decs.append(sq)
     for sq in decs:
         _ = int(jnp.sum(sq[0].astype(jnp.int32)))
     dec_dt = time.time() - t0
+    # exactness gate for the sliced-buffer decode (last block = mk(3))
+    s3, q3 = host_blocks[(n_steps - 1) % 4]
+    assert np.array_equal(np.asarray(sq), s3), "device decode seq mismatch"
+    assert np.array_equal(np.asarray(qq), q3), "device decode qual mismatch"
     log(
         "device decode: %.4fs/step -> %.0f MB/s per chip"
         % (dec_dt / n_steps, B * L * 2 / 1e6 * n_steps / dec_dt)
