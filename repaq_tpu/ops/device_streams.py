@@ -737,3 +737,98 @@ def revcomp_device(seqs: jnp.ndarray) -> jnp.ndarray:
 def qual_histogram_device(qual: jnp.ndarray) -> jnp.ndarray:
     """(n,) uint8 -> (128,) int32 counts (header quality table input)."""
     return jnp.bincount(qual.astype(jnp.int32), length=128)
+
+
+# ---------------------------------------------------------------------------
+# PE overlap search (reference rfqcodec.cpp:1391-1438) on device
+# ---------------------------------------------------------------------------
+
+_OV_MIN = 12
+_OV_BASE1 = np.uint32(0x01000193)  # FNV-ish odd bases (invertible mod 2^32)
+_OV_BASE2 = np.uint32(0x9E3779B1)
+
+
+def _u32_inv(a: int) -> int:
+    """Multiplicative inverse of an odd a modulo 2^32 (Newton iteration)."""
+    x = a
+    for _ in range(5):
+        x = (x * (2 - a * x)) & 0xFFFFFFFF
+    return x
+
+
+def _poly_prefix_hash(b: jnp.ndarray, base: np.uint32) -> jnp.ndarray:
+    """h(o) = sum_{j<o} b[:, j] * base^(o-1-j) mod 2^32 for every o, with
+    two cumulative passes: h(o) = base^(o-1) * cumsum(b[:, j] * inv^j)."""
+    p, L = b.shape
+    inv = np.uint32(_u32_inv(int(base)))
+    invp = np.empty(L, dtype=np.uint32)
+    powp = np.empty(L, dtype=np.uint32)
+    x = y = np.uint32(1)
+    for j in range(L):
+        invp[j] = x
+        powp[j] = y
+        x = np.uint32((int(x) * int(inv)) & 0xFFFFFFFF)
+        y = np.uint32((int(y) * int(base)) & 0xFFFFFFFF)
+    terms = b.astype(jnp.uint32) * jnp.asarray(invp)[None, :]
+    return jnp.cumsum(terms, axis=1, dtype=jnp.uint32) * jnp.asarray(powp)[None, :]
+
+
+def _suffix_hash(a: jnp.ndarray, base: np.uint32, minlen: int) -> jnp.ndarray:
+    """h(o) = sum_{j=1..o} a[:, La-j] * base^(j-1) mod 2^32, o = 1..minlen."""
+    powp = np.empty(minlen, dtype=np.uint32)
+    y = np.uint32(1)
+    for j in range(minlen):
+        powp[j] = y
+        y = np.uint32((int(y) * int(base)) & 0xFFFFFFFF)
+    tail = jnp.flip(a[:, a.shape[1] - minlen :], axis=1).astype(jnp.uint32)
+    return jnp.cumsum(tail * jnp.asarray(powp)[None, :], axis=1,
+                      dtype=jnp.uint32)
+
+
+def _first_candidate_device(a: jnp.ndarray, b: jnp.ndarray, minlen: int):
+    """Smallest o in [12, minlen] with double-hash match of a's suffix and
+    b's prefix; 0 when none."""
+    hs1 = _suffix_hash(a, _OV_BASE1, minlen)
+    hp1 = _poly_prefix_hash(b[:, :minlen], _OV_BASE1)
+    hs2 = _suffix_hash(a, _OV_BASE2, minlen)
+    hp2 = _poly_prefix_hash(b[:, :minlen], _OV_BASE2)
+    o = jnp.arange(1, minlen + 1, dtype=jnp.int32)[None, :]
+    hit = (hs1 == hp1) & (hs2 == hp2) & (o >= _OV_MIN)
+    first = jnp.min(jnp.where(hit, o, jnp.int32(minlen + 1)), axis=1)
+    return jnp.where(first > minlen, 0, first)
+
+
+def _verify_overlap_device(a: jnp.ndarray, b: jnp.ndarray, o: jnp.ndarray,
+                           minlen: int) -> jnp.ndarray:
+    """Exact check a[:, La-o:] == b[:, :o] (masked; o == 0 -> False)."""
+    La = a.shape[1]
+    cols = jnp.arange(minlen, dtype=jnp.int32)[None, :]
+    valid = cols < o[:, None]
+    idx = jnp.clip(La - o[:, None] + cols, 0, La - 1)
+    eq = (jnp.take_along_axis(a, idx, axis=1) == b[:, :minlen]) | ~valid
+    return eq.all(axis=1) & (o > 0)
+
+
+def overlap_pairs_device(r1: jnp.ndarray, r2: jnp.ndarray):
+    """First exact overlap per pair on device (reference semantics: +o
+    forward r1-suffix/r2-prefix, then -o backward, first match from o=12
+    upward; 0 none). r2 must already be reverse-complemented.
+
+    Returns (ov (p,) int32, collision (p,) bool). A True collision flag
+    means the first DOUBLE-HASH candidate failed exact verification
+    (probability ~2^-64 per candidate); those rows must take the host
+    scalar path to preserve first-match semantics. Cross-checked against
+    the host search in tests/test_device.py.
+    """
+    p, L1 = r1.shape
+    L2 = r2.shape[1]
+    minlen = min(L1, L2)
+    if minlen < _OV_MIN or p == 0:
+        return jnp.zeros(p, jnp.int32), jnp.zeros(p, bool)
+    fwd = _first_candidate_device(r1, r2, minlen)
+    okf = _verify_overlap_device(r1, r2, fwd, minlen)
+    bwd = _first_candidate_device(r2, r1, minlen)
+    okb = _verify_overlap_device(r2, r1, bwd, minlen)
+    ov = jnp.where(okf, fwd, jnp.where(okb, -bwd, 0))
+    collision = (~okf & (fwd > 0)) | (~okf & ~okb & (bwd > 0))
+    return ov.astype(jnp.int32), collision

@@ -181,3 +181,48 @@ def test_qualcol_decode_device():
         )
         want = K.decode_qual_by_col(enc, bins, h.major_qual(), n)
         assert np.asarray(got).tobytes() == want.tobytes(), trial
+
+
+def test_overlap_pairs_device_matches_host():
+    """Device overlap search (double-u32-hash candidates + exact masked
+    verify) must agree with the host hash search / scalar oracle."""
+    import numpy as np
+
+    from repaq_tpu.codec.vectorized import _overlap_pairs
+    from repaq_tpu.ops.device_streams import overlap_pairs_device
+
+    rng = np.random.default_rng(0)
+    comp = np.zeros(256, dtype=np.uint8)
+    for a, b in zip(b"ACGTN", b"TGCAN"):
+        comp[a] = b
+    P, L = 512, 100
+    r1 = rng.choice(np.frombuffer(b"ACGT", np.uint8), size=(P, L))
+    r2 = rng.choice(np.frombuffer(b"ACGT", np.uint8), size=(P, L))
+    # craft forward overlaps (r2 here is the already-revcomped mate)
+    for i in range(0, P, 3):
+        o = int(rng.integers(12, L + 1))
+        r2[i, :o] = r1[i, L - o :]
+    # craft backward overlaps
+    for i in range(1, P, 5):
+        o = int(rng.integers(12, L + 1))
+        r2[i, L - o :] = r1[i, :o]
+    # N's inside some overlap windows (still exact matches when equal)
+    r1[7, L - 30 :] = ord("N")
+    r2[7, :30] = ord("N")
+
+    want = _overlap_pairs(r1, r2)
+    ov, collision = overlap_pairs_device(r1, r2)
+    assert not np.asarray(collision).any()
+    assert np.array_equal(np.asarray(ov), want)
+
+    # unequal lengths + too-short reads
+    r1s = r1[:, :40]
+    r2s = r2[:, :64]
+    want = _overlap_pairs(r1s, r2s)
+    ov, collision = overlap_pairs_device(r1s, r2s)
+    assert not np.asarray(collision).any()
+    assert np.array_equal(np.asarray(ov), want)
+
+    tiny = r1[:, :8]
+    ov, collision = overlap_pairs_device(tiny, tiny)
+    assert np.asarray(ov).sum() == 0
