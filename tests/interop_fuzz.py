@@ -184,6 +184,13 @@ def main(trials: int) -> int:
                 e = os.path.join(tmp, "e.fq")
                 run(PY + ["-d", "-i", refs, "-o", e])
                 assert filecmp.cmp(f1, e, shallow=False), "we can't roundtrip ref's"
+                # our native second stage on the same corpus
+                if rng.random() < 0.3:
+                    z = os.path.join(tmp, "o.rfqz")
+                    zf = os.path.join(tmp, "z.fq")
+                    run(PY + ["-c", "-i", f1, "-o", z])
+                    run(PY + ["-d", "-i", z, "-o", zf])
+                    assert filecmp.cmp(f1, zf, shallow=False), "rfqz roundtrip"
             print("trial %d ok (pe=%s n=%d)" % (trial, pe, n), flush=True)
           except RefCrash:
             # the reference died on its own bug; our container must still
