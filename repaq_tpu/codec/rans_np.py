@@ -41,6 +41,12 @@ RANS_L = 1 << 16  # lower bound of the normalized interval
 DEFAULT_LANES = 4096
 
 
+class RansTruncated(ValueError):
+    """The buffered bytes end mid-section: callers that stream compressed
+    data (format/rfqz.py RfqzReader) should fetch more and retry. Distinct
+    from plain ValueError, which means the section is genuinely corrupt."""
+
+
 # ---------------------------------------------------------------------------
 # frequency tables
 # ---------------------------------------------------------------------------
@@ -87,8 +93,12 @@ def serialize_table(freqs: np.ndarray) -> bytes:
 
 
 def parse_table(buf: memoryview, off: int) -> tuple[np.ndarray, int]:
+    if len(buf) - off < 1:
+        raise RansTruncated("rANS section truncated (table header)")
     npresent = buf[off] + 1
     off += 1
+    if len(buf) - off < 3 * npresent:
+        raise RansTruncated("rANS section truncated (table entries)")
     freqs = np.zeros(256, dtype=np.int64)
     for _ in range(npresent):
         s = buf[off]
@@ -310,12 +320,22 @@ def encode_section(data: bytes | np.ndarray, order: int = 0,
 def decode_section(buf: bytes | memoryview, off: int = 0) -> tuple[bytes, int]:
     """Decode one section record starting at off; returns (raw, new_off)."""
     buf = memoryview(buf)
+    if len(buf) - off < 7:
+        # with < 7 bytes buffered, n would parse from a short slice as a
+        # small/zero value and silently desync the stream (ADVICE r1)
+        raise RansTruncated("rANS section truncated (header)")
     order = buf[off]
     n = int.from_bytes(buf[off + 1 : off + 5], "little")
     lanes = int.from_bytes(buf[off + 5 : off + 7], "little")
     off += 7
     if n == 0:
+        if len(buf) - off < 4:
+            raise RansTruncated("rANS section truncated (empty payload len)")
         return b"", off + 4
+    if lanes < 1:
+        # an empty lane table would pass the sum/parity checks below and
+        # then divide by zero in lane_slices
+        raise ValueError("rANS section lane count corrupt (0 with n > 0)")
 
     if order == 0:
         freqs, off = parse_table(buf, off)
@@ -326,6 +346,8 @@ def decode_section(buf: bytes | memoryview, off: int = 0) -> tuple[bytes, int]:
     else:
         freqs_all = np.zeros((256, 256), dtype=np.int64)
         for c in range(256):
+            if len(buf) - off < 1:
+                raise RansTruncated("rANS section truncated (context flags)")
             flag = buf[off]
             off += 1
             if flag:
@@ -339,10 +361,12 @@ def decode_section(buf: bytes | memoryview, off: int = 0) -> tuple[bytes, int]:
                     np.arange(256, dtype=np.uint8), freqs_all[c]
                 )
 
+    if len(buf) - off < 4:
+        raise RansTruncated("rANS section truncated (payload len)")
     payload_len = int.from_bytes(buf[off : off + 4], "little")
     off += 4
     if off + 4 * lanes + payload_len > len(buf):
-        raise ValueError("rANS section truncated")
+        raise RansTruncated("rANS section truncated (payload)")
     lane_counts = np.frombuffer(buf, dtype="<u4", count=lanes, offset=off).astype(
         np.int64
     )

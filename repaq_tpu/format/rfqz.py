@@ -112,9 +112,11 @@ def encode_block(data: bytes | np.ndarray, lanes: int = rans_np.DEFAULT_LANES,
 def decode_block(buf: memoryview, off: int, decode_section=None) -> tuple[bytes, int]:
     mode = buf[off]
     if mode == MODE_STORED:
+        if len(buf) - off < 5:
+            raise rans_np.RansTruncated("stored rfqz section truncated (header)")
         n = int.from_bytes(buf[off + 1 : off + 5], "little")
         if off + 5 + n > len(buf):
-            raise RfqzFormatError("stored rfqz section truncated")
+            raise rans_np.RansTruncated("stored rfqz section truncated")
         return bytes(buf[off + 5 : off + 5 + n]), off + 5 + n
     if mode not in (MODE_ORDER0, MODE_ORDER1):
         raise RfqzFormatError("bad rfqz section mode %d" % mode)
@@ -250,12 +252,12 @@ class RfqzReader:
             try:
                 data, end = decode_block(mv, 0, self._dec)
             except (IndexError, ValueError, RfqzFormatError) as e:
-                # IndexError / "...truncated" mean the section extends past
+                # RansTruncated / IndexError mean the section extends past
                 # the buffered bytes — retry after fetching more. Anything
                 # else (bad mode byte, corrupt tables, lane-table
                 # violations) is genuine corruption: raise immediately
                 # instead of buffering the rest of the archive.
-                retryable = isinstance(e, IndexError) or "truncated" in str(e)
+                retryable = isinstance(e, (IndexError, rans_np.RansTruncated))
                 err = (retryable, str(e))
             finally:
                 mv.release()

@@ -67,6 +67,13 @@ def _emit_sort(planes: jnp.ndarray, counts: jnp.ndarray, out_size: int,
     Returns (out: (out_size,) uint8 zero-padded, total_len).
     """
     n, w = planes.shape
+    # keys pack (offset << 8 | byte) into int32: offsets past 2^23 would
+    # silently wrap and corrupt the sorted stream (ADVICE r1) — the same
+    # reason rans_encode_payload_device uses a two-operand sort instead
+    assert out_size < (1 << 23), (
+        "_emit_sort: out_size %d overflows the (offset<<8|byte) int32 "
+        "packing; split the block below 8M output bytes" % out_size
+    )
     explicit_total = total is not None
     if offsets is None:
         cum, derived = _exclusive_cumsum(counts)
@@ -134,6 +141,10 @@ def _emit_sort_lazy(b0: jnp.ndarray, counts: jnp.ndarray, out_size: int,
     ~W passes over n to ~2.
     """
     n = b0.shape[0]
+    assert out_size < (1 << 23), (
+        "_emit_sort_lazy: out_size %d overflows the (offset<<8|byte) int32 "
+        "packing; split the block below 8M output bytes" % out_size
+    )
     inf = jnp.int32(2**31 - 1)
     first = counts >= 1 if first_mask is None else first_mask
     keys0 = jnp.where(first, (offsets << 8) | b0.astype(jnp.int32), inf)

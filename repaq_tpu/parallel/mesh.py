@@ -49,7 +49,13 @@ def device_encode_block(seqs, quals, xs, ys, bins, major, in_table,
     bool. esc_cap/nonmajor_cap: static bounds on out-of-table quality chars
     and non-major-qual positions (see qualcol_encode_device); npos_cap:
     static bound on 'N' bases. All default to n = fully general; the host
-    pipeline knows exact counts and passes tight buckets. use_pallas: run
+    pipeline knows exact counts and passes tight buckets. The caps are HARD
+    preconditions — grouped entries past a cap are silently dropped by the
+    sort-slice compaction — so the result includes the true on-device
+    counts ("n_esc", "n_nonmajor", "n_npos", one fused reduction each);
+    callers passing non-exact caps must check counts <= caps before
+    trusting the streams (the production engine computes exact counts
+    host-side, making the caps exact by construction). use_pallas: run
     the fused pallas front end (pack + N mask + bin classify in one HBM
     pass); defaults to True on the TPU backend. Returns a dict of padded
     streams + true lengths.
@@ -88,7 +94,22 @@ def device_encode_block(seqs, quals, xs, ys, bins, major, in_table,
     )
     x_out, x_len = coords_encode_device(xs, 3 * b + 8)
     y_out, y_len = coords_encode_device(ys, 3 * b + 8)
+    # true counts behind the static caps (cheap fused reductions) — lets
+    # callers detect a cap violation instead of shipping a silently
+    # truncated stream (ADVICE r1). bid (when the pallas front end ran)
+    # avoids a 256-LUT gather: escape = nbins, major = nbins + 1.
+    nbins = bins.shape[0]
+    if bid is not None:
+        n_esc = jnp.sum(bid == nbins).astype(jnp.int32)
+        n_nonmajor = jnp.sum(bid <= nbins).astype(jnp.int32)
+    else:
+        n_esc = jnp.sum(~in_table[flat_qual]).astype(jnp.int32)
+        n_nonmajor = jnp.sum(flat_qual != major).astype(jnp.int32)
+    n_npos = jnp.sum(nmask).astype(jnp.int32)
     return {
+        "n_esc": n_esc,
+        "n_nonmajor": n_nonmajor,
+        "n_npos": n_npos,
         "packed": packed,
         "qual": qual_out,
         "qual_len": qual_len,
@@ -161,6 +182,9 @@ def make_sharded_encode_step(mesh: Mesh, axis: str = "data"):
         in_specs=(P(axis), P(axis), P(axis), P(axis), P(), P(), P()),
         out_specs=(
             {
+                "n_esc": P(axis),
+                "n_nonmajor": P(axis),
+                "n_npos": P(axis),
                 "packed": P(axis),
                 "qual": P(axis),
                 "qual_len": P(axis),

@@ -281,3 +281,70 @@ def test_reader_streams_from_pipe_like(tmp_path):
             break
         got += b
     assert bytes(got) == data
+
+
+def test_decode_section_truncated_header_raises():
+    """ADVICE r1 (high): a 1-byte buffer must raise RansTruncated, not
+    misparse n=0 from a short slice and claim 11 bytes consumed."""
+    with pytest.raises(R.RansTruncated):
+        R.decode_section(b"\x00", 0)
+    # every strict prefix of a real section must be truncated-or-decoded,
+    # never a silent short/garbled success
+    data = _skewed(5000, seed=21).tobytes()
+    sec = R.encode_section(data, order=0, lanes=8)
+    for cut in [0, 1, 3, 6, 7, 10, len(sec) // 2, len(sec) - 1]:
+        with pytest.raises((R.RansTruncated, IndexError)):
+            R.decode_section(sec[:cut], 0)
+    out, end = R.decode_section(sec, 0)
+    assert out == data and end == len(sec)
+
+
+def test_decode_section_zero_lanes_rejected():
+    """ADVICE r1: lanes=0 with n>0 must be a clean ValueError, not a
+    ZeroDivisionError escaping the reader's retry classification."""
+    bad = bytes([0]) + (100).to_bytes(4, "little") + (0).to_bytes(2, "little")
+    # order-0 table for a single symbol then empty payload tables
+    bad += bytes([0, 65]) + R.SCALE.to_bytes(2, "little")
+    bad += (0).to_bytes(4, "little")
+    with pytest.raises(ValueError) as ei:
+        R.decode_section(bad, 0)
+    assert not isinstance(ei.value, R.RansTruncated)
+
+
+def test_reader_one_byte_section_boundary(tmp_path):
+    """ADVICE r1 (high): force the reader's refill boundary to land with
+    exactly 1 byte of the next section buffered — the stream must still
+    decode losslessly (previously desynced and dropped a section)."""
+    data = _skewed(300_000, seed=22).tobytes()
+    p = tmp_path / "b.rfqz"
+    w = rfqz.RfqzWriter(str(p), block_size=64 * 1024, lanes=64)
+    w.write(data)
+    w.close()
+    raw = p.read_bytes()
+
+    # find the first section boundary after the 5-byte container header and
+    # serve reads so a fetch ends exactly 1 byte past it
+    mv = memoryview(raw)
+    _, end = rfqz.decode_block(mv[5:], 0)
+    split = 5 + end + 1
+
+    class TwoPhase:
+        def __init__(self):
+            self.i = 0
+
+        def read(self, k=-1):
+            if self.i >= len(raw):
+                return b""
+            stop = split if self.i < split else len(raw)
+            out = raw[self.i : min(self.i + (k if k > 0 else 1 << 30), stop)]
+            self.i += len(out)
+            return out
+
+    r = rfqz.RfqzReader(TwoPhase())
+    got = bytearray()
+    while True:
+        b = r.read(50_000)
+        if not b:
+            break
+        got += b
+    assert bytes(got) == data
