@@ -57,8 +57,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--thread", "-t", type=int, default=1)
     p.add_argument("--compression", "-z", type=int, default=3)
     p.add_argument(
-        "--engine", default="auto", choices=["auto", "oracle", "vectorized"],
-        help="codec engine (default: vectorized when available)",
+        "--engine", default="auto",
+        choices=["auto", "oracle", "vectorized", "device"],
+        help="codec engine: 'device' runs the JAX/Pallas TPU kernels as "
+        "the chunk codec (host fallback for ragged/tiny/oversized "
+        "chunks); default: vectorized host engine",
     )
     p.add_argument(
         "--workers", "-w", type=int, default=1,

@@ -242,47 +242,72 @@ def _all_same_content(flat, starts, lens) -> bool:
     return bool((mat == mat[0]).all())
 
 
+class ChunkAnalysis:
+    """Host-side pass-1 products shared by the host and device engines:
+    name metadata, the all-same predicates, and PE interleave viability
+    (reference rfqcodec.cpp:171-287). Slots only — this is built once per
+    chunk on the hot path."""
+
+    __slots__ = (
+        "meta", "seq_lens", "name1_lens", "name2_lens", "strand_lens",
+        "lane", "tile", "xs", "ys", "read_len_same", "name1_len_same",
+        "name2_len_same", "strand_len_same", "lane_same", "tile_same",
+        "name1_same", "strand_same", "name2_same", "can_interleave",
+        "encode_overlap",
+    )
+
+
+def analyze_chunk(header: RfqHeader, block: ReadBlock, is_pe: bool) -> ChunkAnalysis:
+    a = ChunkAnalysis()
+    a.meta = meta = parse_names(block.name_flat, block.name_off)
+    a.seq_lens = seq_lens = block.seq_lens().astype(np.int64)
+    a.name1_lens = name1_lens = meta["name1_len"]
+    a.name2_lens = name2_lens = meta["name2_len"]
+    a.strand_lens = strand_lens = np.diff(block.strand_off).astype(np.int64)
+    a.lane = lane = meta["lane"].astype(np.int64)
+    a.tile = tile = meta["tile"].astype(np.int64)
+    a.xs = meta["x"].astype(np.int64)
+    a.ys = meta["y"].astype(np.int64)
+
+    a.read_len_same = bool((seq_lens == seq_lens[0]).all())
+    a.name1_len_same = name1_len_same = bool((name1_lens == name1_lens[0]).all())
+    a.name2_len_same = bool((name2_lens == name2_lens[0]).all())
+    a.strand_len_same = strand_len_same = bool(
+        (strand_lens == strand_lens[0]).all()
+    )
+    a.lane_same = bool((lane == lane[0]).all())
+    a.tile_same = bool((tile == tile[0]).all())
+    a.name1_same = name1_len_same and _all_same_content(
+        block.name_flat, meta["name1_start"], name1_lens
+    )
+    a.strand_same = strand_len_same and _all_same_content(
+        block.strand_flat, block.strand_off[:-1], strand_lens
+    )
+
+    can_interleave = is_pe and header.support_interleaved
+    a.name2_same, a.can_interleave = _compute_name2_same_and_interleave(
+        header, block, meta, can_interleave
+    )
+    a.encode_overlap = a.can_interleave and header.encode_pe_by_overlap()
+    return a
+
+
 def encode_chunk(header: RfqHeader, block: ReadBlock, is_pe: bool = False) -> RfqChunk | None:
     s = block.n
     if s == 0:
         return None
 
-    meta = parse_names(block.name_flat, block.name_off)
-    seq_lens = block.seq_lens().astype(np.int64)
-    name1_lens = meta["name1_len"]
-    name2_lens = meta["name2_len"]
-    strand_lens = np.diff(block.strand_off).astype(np.int64)
-    lane = meta["lane"].astype(np.int64)
-    tile = meta["tile"].astype(np.int64)
-    xs = meta["x"].astype(np.int64)
-    ys = meta["y"].astype(np.int64)
-
-    read_len_same = bool((seq_lens == seq_lens[0]).all())
-    name1_len_same = bool((name1_lens == name1_lens[0]).all())
-    name2_len_same = bool((name2_lens == name2_lens[0]).all())
-    strand_len_same = bool((strand_lens == strand_lens[0]).all())
-    lane_same = bool((lane == lane[0]).all())
-    tile_same = bool((tile == tile[0]).all())
-    name1_same = name1_len_same and _all_same_content(
-        block.name_flat, meta["name1_start"], name1_lens
-    )
-    strand_same = strand_len_same and _all_same_content(
-        block.strand_flat, block.strand_off[:-1], strand_lens
-    )
-
-    # ---- PE interleave viability + name2Same accounting ----
-    can_interleave = is_pe and header.support_interleaved
-    name2_same = _compute_name2_same_and_interleave(header, block, meta, can_interleave)
-    name2_same, can_interleave = name2_same
+    a = analyze_chunk(header, block, is_pe)
+    seq_lens = a.seq_lens
+    can_interleave = a.can_interleave
 
     # ---- transformed seq/qual (odd reads revcomped when interleaving) ----
-    n_total = int(seq_lens.sum())
     if can_interleave:
         tseq, tqual = _revcomp_odd(block, seq_lens)
     else:
         tseq, tqual = block.seq_flat, block.qual_flat
 
-    encode_overlap = can_interleave and header.encode_pe_by_overlap()
+    encode_overlap = a.encode_overlap
     ov = np.zeros(s // 2 if is_pe else 0, dtype=np.int64)
     if can_interleave and encode_overlap:
         even_l = seq_lens[0::2]
@@ -332,7 +357,40 @@ def encode_chunk(header: RfqHeader, block: ReadBlock, is_pe: bool = False) -> Rf
     if header.encode_n_pos():
         npos_buf = K.encode_positions_of(seq_concat, ord("N"))
 
-    # ---- assemble ----
+    return assemble_chunk(
+        header, block, a, ov, seq_encoded.tobytes(), qual_encoded.tobytes(),
+        npos_buf.tobytes()
+    )
+
+
+def assemble_chunk(
+    header: RfqHeader,
+    block: ReadBlock,
+    a: ChunkAnalysis,
+    ov: np.ndarray,
+    seq_bytes: bytes,
+    qual_bytes: bytes,
+    npos_bytes: bytes,
+    x_bytes: bytes | None = None,
+    y_bytes: bytes | None = None,
+) -> RfqChunk:
+    """Container assembly from encoded streams (reference
+    rfqcodec.cpp:433-585): flags, length buffers, name/strand buffers,
+    coordinate buffers (host-coded unless x_bytes/y_bytes are passed in by
+    the device engine), final mSize accounting. Pure byte bookkeeping —
+    stays on host by design."""
+    s = block.n
+    meta = a.meta
+    seq_lens = a.seq_lens
+    name1_lens = a.name1_lens
+    name2_lens = a.name2_lens
+    strand_lens = a.strand_lens
+    lane, tile, xs, ys = a.lane, a.tile, a.xs, a.ys
+    can_interleave = a.can_interleave
+    encode_overlap = a.encode_overlap
+    read_len_same = a.read_len_same
+    name1_len_same = a.name1_len_same
+
     chunk = RfqChunk(header)
     chunk.reads = s
     if can_interleave:
@@ -340,19 +398,19 @@ def encode_chunk(header: RfqHeader, block: ReadBlock, is_pe: bool = False) -> Rf
     for flag, val in (
         (BIT_READ_LEN_SAME, read_len_same),
         (BIT_NAME1_LEN_SAME, name1_len_same),
-        (BIT_NAME2_LEN_SAME, name2_len_same),
-        (BIT_STRAND_LEN_SAME, strand_len_same),
-        (BIT_STRAND_SAME, strand_same),
-        (BIT_LANE_SAME, lane_same),
-        (BIT_TILE_SAME, tile_same),
-        (BIT_NAME1_SAME, name1_same),
-        (BIT_NAME2_SAME, name2_same),
+        (BIT_NAME2_LEN_SAME, a.name2_len_same),
+        (BIT_STRAND_LEN_SAME, a.strand_len_same),
+        (BIT_STRAND_SAME, a.strand_same),
+        (BIT_LANE_SAME, a.lane_same),
+        (BIT_TILE_SAME, a.tile_same),
+        (BIT_NAME1_SAME, a.name1_same),
+        (BIT_NAME2_SAME, a.name2_same),
     ):
         if val:
             chunk.flags |= flag
 
-    chunk.seq_buf_size = int(seq_encoded.shape[0])
-    chunk.qual_buf_size = int(qual_encoded.shape[0])
+    chunk.seq_buf_size = len(seq_bytes)
+    chunk.qual_buf_size = len(qual_bytes)
 
     nb = header.read_length_bytes
     if read_len_same:
@@ -374,21 +432,21 @@ def encode_chunk(header: RfqHeader, block: ReadBlock, is_pe: bool = False) -> Rf
         name1_lens, name1_len_same, name1_lens[0]
     )
     chunk.name2_len_buf, chunk.name2_len_buf_size = len_buf(
-        name2_lens, name2_len_same, name2_lens[0]
+        name2_lens, a.name2_len_same, name2_lens[0]
     )
     chunk.strand_len_buf, chunk.strand_len_buf_size = len_buf(
-        strand_lens, strand_len_same, strand_lens[0]
+        strand_lens, a.strand_len_same, strand_lens[0]
     )
 
     half = s // 2 if can_interleave else s
-    if lane_same:
+    if a.lane_same:
         chunk.lane_buf = bytes([int(lane[0]) & 0xFF])
         chunk.lane_buf_size = 1
     else:
         lv = lane[0::2] if can_interleave else lane
         chunk.lane_buf = (lv & 0xFF).astype(np.uint8).tobytes()
         chunk.lane_buf_size = half
-    if tile_same:
+    if a.tile_same:
         chunk.tile_buf = (int(tile[0]) & 0xFFFF).to_bytes(2, "little")
         # reference quirk: tile byte count lands in the lane size field
         chunk.lane_buf_size = 2
@@ -399,15 +457,19 @@ def encode_chunk(header: RfqHeader, block: ReadBlock, is_pe: bool = False) -> Rf
     chunk.tile_buf_size = 0
 
     if header.has_x():
-        xv = xs[0::2] if can_interleave else xs
-        chunk.x_buf = K.encode_coords(xv).tobytes()
+        if x_bytes is None:
+            xv = xs[0::2] if can_interleave else xs
+            x_bytes = K.encode_coords(xv).tobytes()
+        chunk.x_buf = x_bytes
         chunk.x_buf_size = len(chunk.x_buf)
     if header.has_y():
-        yv = ys[0::2] if can_interleave else ys
-        chunk.y_buf = K.encode_coords(yv).tobytes()
+        if y_bytes is None:
+            yv = ys[0::2] if can_interleave else ys
+            y_bytes = K.encode_coords(yv).tobytes()
+        chunk.y_buf = y_bytes
         chunk.y_buf_size = len(chunk.y_buf)
 
-    if name1_same:
+    if a.name1_same:
         s0 = int(meta["name1_start"][0])
         chunk.name1_buf = block.name_flat[s0 : s0 + int(name1_lens[0])].tobytes()
         chunk.name1_buf_size = int(name1_lens[0])
@@ -417,7 +479,7 @@ def encode_chunk(header: RfqHeader, block: ReadBlock, is_pe: bool = False) -> Rf
         ).tobytes()
         chunk.name1_buf_size = len(chunk.name1_buf)
 
-    if name2_same:
+    if a.name2_same:
         s0 = int(meta["name2_start"][0])
         chunk.name2_buf = block.name_flat[s0 : s0 + int(name2_lens[0])].tobytes()
         chunk.name2_buf_size = int(name2_lens[0])
@@ -427,7 +489,7 @@ def encode_chunk(header: RfqHeader, block: ReadBlock, is_pe: bool = False) -> Rf
         ).tobytes()
         chunk.name2_buf_size = len(chunk.name2_buf)
 
-    if strand_same:
+    if a.strand_same:
         s0 = int(block.strand_off[0])
         chunk.strand_buf = block.strand_flat[
             s0 : s0 + int(strand_lens[0])
@@ -437,8 +499,8 @@ def encode_chunk(header: RfqHeader, block: ReadBlock, is_pe: bool = False) -> Rf
         chunk.strand_buf = block.strand_flat.tobytes()
         chunk.strand_buf_size = len(chunk.strand_buf)
 
-    chunk.seq_buf = seq_encoded.tobytes()
-    chunk.qual_buf = qual_encoded.tobytes()
+    chunk.seq_buf = seq_bytes
+    chunk.qual_buf = qual_bytes
     if encode_overlap:
         chunk.overlap_buf = (
             ((ov + header.overlap_shift) & 0xFF).astype(np.uint8).tobytes()
@@ -446,7 +508,7 @@ def encode_chunk(header: RfqHeader, block: ReadBlock, is_pe: bool = False) -> Rf
             else bytes(s // 2)
         )
     if header.encode_n_pos():
-        chunk.npos_buf = npos_buf.tobytes()
+        chunk.npos_buf = npos_bytes
         chunk.npos_buf_size = len(chunk.npos_buf)
 
     chunk.calc_total_buf_size()
@@ -648,6 +710,23 @@ def decode_chunk(header: RfqHeader, chunk: RfqChunk) -> ReadBlock:
             seq = np.where(is_odd, _COMP[seq2], seq2).astype(np.uint8)
             qual = np.ascontiguousarray(qual)[src]
 
+    return assemble_block(header, chunk, n, read_lens, seq_off, seq, qual)
+
+
+def assemble_block(
+    header: RfqHeader,
+    chunk: RfqChunk,
+    n: int,
+    read_lens: np.ndarray,
+    seq_off: np.ndarray,
+    seq: np.ndarray,
+    qual: np.ndarray,
+) -> ReadBlock:
+    """ReadBlock assembly from decoded seq/qual (reference
+    rfqcodec.cpp:1141-1231): name reconstruction from name1/lane/tile/x/y/
+    name2 buffers, strand expansion. Shared by the host and device decode
+    engines — string rebuild stays on host by design."""
+    pe_interleaved = bool(chunk.flags & BIT_PE_INTERLEAVED)
     # ---- name reconstruction ----
     name1_flat, name1_starts, name1_lens = _expand_strings(
         chunk.name1_buf,

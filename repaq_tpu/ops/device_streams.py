@@ -415,9 +415,14 @@ def qualcol_encode_device(qual: jnp.ndarray, bins: jnp.ndarray, major: jnp.ndarr
     return out, total
 
 
-def coords_encode_device(values: jnp.ndarray, out_size: int):
+def coords_encode_device(values: jnp.ndarray, out_size: int,
+                         n_valid: jnp.ndarray | None = None):
     """Coordinate coder (reference rfqcodec.cpp:1262-1330) on device.
-    values: (n,) int32; out_size >= 3n + 8. Returns (out, length)."""
+    values: (n,) int32; out_size >= 3n + 8. n_valid: optional traced count
+    of real entries — entries at i >= n_valid emit nothing and terminate
+    repeat runs, so one compiled shape serves any chunk size up to n
+    (the production engine pads to bucketed shapes). Returns (out, length).
+    """
     n = values.shape[0]
     v = values.astype(jnp.int32)
     i = jnp.arange(n, dtype=jnp.int32)
@@ -427,6 +432,14 @@ def coords_encode_device(values: jnp.ndarray, out_size: int):
     is_delta = (diff > 0) & (diff <= 64)
     is_abs2 = ~is_rep & ~is_delta & (v <= 32767)
     is_abs3 = ~is_rep & ~is_delta & (v > 32767)
+    if n_valid is not None:
+        valid = i < n_valid
+        # padded entries must not extend a trailing repeat run (is_rep
+        # False makes them run boundaries) nor emit any token
+        is_rep = is_rep & valid
+        is_delta = is_delta & valid
+        is_abs2 = is_abs2 & valid
+        is_abs3 = is_abs3 & valid
 
     rep_prev = jnp.concatenate([jnp.array([False]), is_rep[:-1]])
     rep_start = is_rep & ~rep_prev

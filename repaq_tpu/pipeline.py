@@ -63,8 +63,17 @@ def _oracle_engine() -> EngineConfig:
 
 
 def get_engine(name: str = "auto") -> EngineConfig:
+    """auto = the vectorized host engine: on this class of deployment the
+    TPU sits behind a network tunnel whose per-dispatch floor and D2H rate
+    cap end-to-end offload below the host path (ARCHITECTURE.md); pass
+    'device' explicitly to run the JAX/Pallas kernels as the chunk codec
+    (the right default when the chip is co-located)."""
     if name == "oracle":
         return _oracle_engine()
+    if name == "device":
+        from .codec.device_engine import make_engine_config
+
+        return make_engine_config()
     return EngineConfig(
         make_header_se=vectorized.make_header_se,
         make_header_pe=vectorized.make_header_pe,

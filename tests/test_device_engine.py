@@ -1,0 +1,205 @@
+"""The production device engine (codec/device_engine.py) must be
+byte-identical to the host engine on every chunk it claims, fall back
+transparently otherwise, and roundtrip through the real CLI pipelines.
+Runs on the CPU backend (pallas interpret mode); the real-chip pass of the
+same engine runs in bench.py."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from repaq_tpu.codec import vectorized
+from repaq_tpu.codec.blocks import ReadBlock, lens_to_offsets
+from repaq_tpu.codec.device_engine import DeviceEngine
+from repaq_tpu.codec.names import build_names
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _mk_block(n, L, seed=0, illumina=True, nfrac=0.01, esc=False,
+              pe_overlap=0.0):
+    rng = np.random.default_rng(seed)
+    seqs = rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8), size=(n, L))
+    quals = rng.choice(np.frombuffer(b"FFF,:#", dtype=np.uint8), size=(n, L))
+    nmask = rng.random((n, L)) < nfrac
+    seqs[nmask] = ord("N")
+    quals[nmask] = ord("#")
+    if esc:
+        # a char outside the first-chunk palette (forces escape records)
+        quals[0, : L // 8] = ord("!")
+    if pe_overlap > 0:
+        comp = np.zeros(256, dtype=np.uint8)
+        for a, b in zip(b"ACGTN", b"TGCAN"):
+            comp[a] = b
+        ov_rows = np.flatnonzero(rng.random(n // 2) < pe_overlap)
+        for p in ov_rows:
+            o = int(rng.integers(20, L - 5))
+            r2rc = np.concatenate([seqs[2 * p, L - o :], seqs[2 * p + 1, : L - o]])
+            seqs[2 * p + 1] = comp[r2rc][::-1]
+    xs = rng.integers(1000, 40000, size=n).astype(np.int64)
+    ys = rng.integers(1000, 40000, size=n).astype(np.int64)
+    if pe_overlap > 0:  # pairs share coords like real interleaved data
+        xs[1::2] = xs[0::2]
+        ys[1::2] = ys[0::2]
+    if illumina:
+        pre = b"@SIM:1:FCX:2:1101"
+        n2 = b" 1:N:0:ATCCGA"
+        name_flat, name_off = build_names(
+            n,
+            np.frombuffer(pre, dtype=np.uint8),
+            np.zeros(n, dtype=np.int64),
+            np.full(n, len(pre), dtype=np.int64),
+            None, None, xs, ys,
+            np.frombuffer(n2 + n2.replace(b" 1:", b" 2:"), dtype=np.uint8),
+            np.where(np.arange(n) % 2 == 1, len(n2), 0).astype(np.int64)
+            if pe_overlap > 0 else np.zeros(n, dtype=np.int64),
+            np.full(n, len(n2), dtype=np.int64),
+        )
+    else:
+        names = [b"@read_%06d_bgi" % i for i in range(n)]
+        name_flat = np.frombuffer(b"".join(names), dtype=np.uint8)
+        name_off = lens_to_offsets(
+            np.array([len(x) for x in names], dtype=np.int64)
+        )
+    lens = np.full(n, L, dtype=np.int64)
+    off = lens_to_offsets(lens)
+    strand = np.full(n, ord("+"), dtype=np.uint8)
+    return ReadBlock(
+        n, name_flat, name_off, seqs.reshape(-1), off, strand,
+        lens_to_offsets(np.ones(n, dtype=np.int64)), quals.reshape(-1),
+        off.copy(),
+    )
+
+
+@pytest.fixture(scope="module")
+def eng():
+    return DeviceEngine(min_bases=0)
+
+
+@pytest.mark.parametrize("illumina", [True, False])
+@pytest.mark.parametrize("nfrac", [0.0, 0.02])
+def test_se_encode_byte_identical(eng, illumina, nfrac):
+    block = _mk_block(600, 101, seed=3, illumina=illumina, nfrac=nfrac)
+    header = vectorized.make_header_se(block)
+    want = vectorized.encode_chunk(header, block, False)
+    got = eng.encode_chunk(header, block, False)
+    assert eng.stats["device_chunks"] >= 1
+    assert got.to_bytes() == want.to_bytes()
+
+
+def test_se_escape_records(eng):
+    """Out-of-palette qual chars appearing after the header chunk."""
+    first = _mk_block(400, 80, seed=5)
+    header = vectorized.make_header_se(first)
+    block = _mk_block(400, 80, seed=6, esc=True)
+    want = vectorized.encode_chunk(header, block, False)
+    got = eng.encode_chunk(header, block, False)
+    assert got.to_bytes() == want.to_bytes()
+
+
+def test_pe_interleaved_overlap_byte_identical(eng):
+    block = _mk_block(600, 96, seed=7, pe_overlap=0.5)
+    header = vectorized.make_header_pe(block)
+    assert header.encode_pe_by_overlap()
+    want = vectorized.encode_chunk(header, block, True)
+    got = eng.encode_chunk(header, block, True)
+    assert got.to_bytes() == want.to_bytes()
+    assert eng.stats["device_chunks"] >= 1
+
+
+def test_decode_byte_identical(eng):
+    for seed, pe, ov in ((11, False, 0.0), (12, True, 0.6)):
+        block = _mk_block(500, 90, seed=seed, pe_overlap=ov)
+        mk = vectorized.make_header_pe if pe else vectorized.make_header_se
+        header = mk(block)
+        chunk = vectorized.encode_chunk(header, block, pe)
+        want = vectorized.decode_chunk(header, chunk)
+        got = eng.decode_chunk(header, chunk)
+        assert got.n == want.n
+        for f in ("name_flat", "seq_flat", "strand_flat", "qual_flat",
+                  "seq_off", "name_off"):
+            assert np.array_equal(getattr(got, f), getattr(want, f)), f
+        assert eng.stats["device_decodes"] >= 1
+
+
+def test_ragged_falls_back(eng):
+    block = _mk_block(300, 70, seed=13)
+    # make one read shorter: ragged -> host path
+    lens = np.diff(block.seq_off).copy()
+    lens[5] -= 3
+    off = lens_to_offsets(lens)
+    ragged = ReadBlock(
+        block.n, block.name_flat, block.name_off,
+        np.concatenate([
+            block.seq_flat[s : s + l]
+            for s, l in zip(block.seq_off[:-1], lens)
+        ]),
+        off, block.strand_flat, block.strand_off,
+        np.concatenate([
+            block.qual_flat[s : s + l]
+            for s, l in zip(block.qual_off[:-1], lens)
+        ]),
+        off.copy(),
+    )
+    header = vectorized.make_header_se(ragged)
+    before = eng.stats["host_chunks"]
+    want = vectorized.encode_chunk(header, ragged, False)
+    got = eng.encode_chunk(header, ragged, False)
+    assert eng.stats["host_chunks"] == before + 1
+    assert got.to_bytes() == want.to_bytes()
+
+
+def test_cli_device_engine_golden(tmp_path):
+    """Full CLI with --engine device forced onto small fixtures must still
+    emit the reference encoder's exact bytes and roundtrip."""
+    fx = os.path.join(REPO, "tests", "fixtures")
+    env = dict(os.environ, JAX_PLATFORMS="cpu", REPAQ_DEVICE_MIN_BASES="0",
+               PYTHONPATH=REPO)
+    import gzip
+
+    for base, golden, pe in (
+        ("se_big", "se_big.ref.k100.rfq", False),
+        ("pe_big", "pe_big.ref.k100.rfq", True),
+    ):
+        if pe:
+            f1 = tmp_path / "r1.fq"
+            f2 = tmp_path / "r2.fq"
+            f1.write_bytes(gzip.open(os.path.join(fx, base + "_R1.fq.gz")).read())
+            f2.write_bytes(gzip.open(os.path.join(fx, base + "_R2.fq.gz")).read())
+            args = ["-c", "-i", str(f1), "-I", str(f2)]
+        else:
+            f1 = tmp_path / "in.fq"
+            f1.write_bytes(gzip.open(os.path.join(fx, base + ".fq.gz")).read())
+            args = ["-c", "-i", str(f1)]
+        out = tmp_path / (base + ".rfq")
+        r = subprocess.run(
+            [sys.executable, "-m", "repaq_tpu.cli", *args, "-o", str(out),
+             "-k", "100", "--engine", "device"],
+            env=env, capture_output=True, text=True,
+        )
+        assert r.returncode == 0, r.stderr
+        with open(os.path.join(fx, golden), "rb") as f:
+            assert out.read_bytes() == f.read(), base
+        # decode with the device engine too
+        if pe:
+            d1, d2 = tmp_path / "d1.fq", tmp_path / "d2.fq"
+            r = subprocess.run(
+                [sys.executable, "-m", "repaq_tpu.cli", "-d", "-i", str(out),
+                 "-o", str(d1), "-O", str(d2), "--engine", "device"],
+                env=env, capture_output=True, text=True,
+            )
+            assert r.returncode == 0, r.stderr
+            assert d1.read_bytes() == f1.read_bytes()
+            assert d2.read_bytes() == f2.read_bytes()
+        else:
+            d1 = tmp_path / "d.fq"
+            r = subprocess.run(
+                [sys.executable, "-m", "repaq_tpu.cli", "-d", "-i", str(out),
+                 "-o", str(d1), "--engine", "device"],
+                env=env, capture_output=True, text=True,
+            )
+            assert r.returncode == 0, r.stderr
+            assert d1.read_bytes() == f1.read_bytes()
