@@ -30,6 +30,8 @@ rare PE overlap double-hash collision.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from ..format.chunk import RfqChunk
@@ -44,6 +46,31 @@ _N = ord("N")
 # qualcol's out_size = 4*B + n + 8 must stay < 2^23 (ops/device_streams.py)
 _MAX_DEVICE_BASES = 4 << 20
 _MIN_DEVICE_BASES = 128 << 10
+
+
+_CACHE_ENABLED = False
+
+
+def _enable_compile_cache(jax) -> None:
+    """Persistent XLA compilation cache: the encode/decode executables are
+    big graphs (minutes of XLA time for the PE step), but a steady corpus
+    uses one shape per direction — cache them across CLI invocations.
+    Opt out with REPAQ_NO_COMPILE_CACHE=1."""
+    global _CACHE_ENABLED
+    if _CACHE_ENABLED or os.environ.get("REPAQ_NO_COMPILE_CACHE"):
+        return
+    try:
+        path = os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR",
+            os.path.expanduser("~/.cache/repaq_tpu_xla"),
+        )
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        _CACHE_ENABLED = True
+    except Exception:  # cache is an optimization, never a requirement
+        pass
 
 
 def _bucket(x: int, lo: int = 1024) -> int:
@@ -70,6 +97,7 @@ class DeviceEngine:
         import jax  # deferred so host-only runs never touch jax
 
         self._jax = jax
+        _enable_compile_cache(jax)
         self.min_bases = min_bases
         self.max_bases = max_bases
         self._enc_cache: dict = {}

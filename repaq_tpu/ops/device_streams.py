@@ -541,9 +541,10 @@ def token_start_mask(lens: jnp.ndarray, force_start: jnp.ndarray | None = None):
         )
         return out, None
 
-    ident = jnp.broadcast_to(
-        jnp.arange(4, dtype=jnp.int32)[None, :], (nb, 4)
-    )
+    # derive the identity carry FROM the data (x*0 + iota) so it carries
+    # the same varying-manual-axes type as the scanned maps under
+    # shard_map (a replicated literal carry fails lax.scan's vma check)
+    ident = bmaps[:, 0, :] * 0 + jnp.arange(4, dtype=jnp.int32)[None, :]
     block_map, _ = jax.lax.scan(
         comp_step, ident, jnp.moveaxis(bmaps, 1, 0)
     )

@@ -91,7 +91,9 @@ def rans_encode_device(data: jnp.ndarray, freq_lut: jnp.ndarray,
         ) + (state % f) + c
         return state, (word, emit)
 
-    init = jnp.full(lanes, RANS_L, dtype=jnp.uint32)
+    # init derived from the data (x*0 + L) so the carry has the same
+    # varying-manual-axes type as the scanned tables under shard_map
+    init = (gi[0] * 0 + RANS_L).astype(jnp.uint32)
     final, (words, emits) = jax.lax.scan(
         step, init, (f_of[::-1], c_of[::-1])
     )
@@ -161,7 +163,7 @@ def rans_decode_device(payload: jnp.ndarray, lane_counts: jnp.ndarray,
         | (payload[s0 + 3].astype(jnp.uint32) << jnp.uint32(24))
     )
     ptr = (s0 + 4).astype(jnp.int32)
-    prev0 = jnp.zeros(lanes, dtype=jnp.int32)
+    prev0 = (state * 0).astype(jnp.int32)  # data-derived: shard_map vma
     mask = jnp.uint32(SCALE - 1)
 
     if order == 0:

@@ -202,6 +202,65 @@ def make_sharded_encode_step(mesh: Mesh, axis: str = "data"):
     return jax.jit(sharded)
 
 
+def make_sharded_decode_step(mesh: Mesh, reads: int, read_len: int,
+                             axis: str = "data"):
+    """SPMD decode step: each device decodes its own chunk's streams
+    (packed bases + qual + npos buffers sharded over the data axis,
+    palette replicated) back to (reads, read_len) seq/qual blocks. The
+    inverse of make_sharded_encode_step — together they cover the full
+    multi-chip codec path."""
+
+    def step(packed, qual_buf, qual_len, npos_buf, npos_len, bins, major):
+        seq, qual = device_decode_block(
+            packed[0], qual_buf[0], qual_len[0], npos_buf[0], npos_len[0],
+            bins, major[0], reads, read_len,
+        )
+        return seq[None], qual[None]
+
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    sharded = shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(), P()),
+        out_specs=(P(axis), P(axis)),
+    )
+    return jax.jit(sharded)
+
+
+def make_sharded_rans_step(mesh: Mesh, lanes: int, out_cap: int,
+                           axis: str = "data"):
+    """SPMD .rfqz second-stage step: every device entropy-codes its own
+    section with the interleaved-rANS kernel (sections are self-contained,
+    format/rfqz.py, so section-parallelism IS the scaling axis of the
+    second stage). Section byte sizes are all-gathered over ICI so every
+    participant knows the container offsets without a host round trip."""
+    from ..ops.rans_device import rans_encode_payload_device
+
+    def step(data, freq_lut, cum_lut):
+        out, lane_bytes, total = rans_encode_payload_device(
+            data[0], freq_lut, cum_lut, lanes, 0, out_cap
+        )
+        totals = jax.lax.all_gather(total, axis)
+        return out[None], lane_bytes[None], totals[None]
+
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    sharded = shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P(axis), P(), P()),
+        out_specs=(P(axis), P(axis), P(axis)),
+    )
+    return jax.jit(sharded)
+
+
 def shard_blocks(mesh: Mesh, arr: np.ndarray, axis: str = "data"):
     return jax.device_put(arr, NamedSharding(mesh, P(axis)))
 
