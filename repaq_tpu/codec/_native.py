@@ -110,6 +110,11 @@ def _load():
                                 _u8p, _i32, _u8p]
     lib.atoi_spans.restype = None
     lib.atoi_spans.argtypes = [_u8p, _i64p, _i64p, _i64, _i64p]
+    lib.lz_parse.restype = _i64
+    lib.lz_parse.argtypes = [_u8p, _i64, _i64, _i64p, _i64p, _i64p, _i64]
+    lib.lz_expand.restype = _i64
+    lib.lz_expand.argtypes = [_i64p, _i64p, _i64p, _i64, _u8p, _i64, _u8p,
+                              _i64]
     _LIB = lib
     return _LIB
 
@@ -297,6 +302,43 @@ def rans_decode(payload: np.ndarray, lane_counts: np.ndarray,
         _ptr(lane_off, _i64p), _ptr(freq, _i32p), _ptr(cum, _i32p),
         _ptr(sym_lut, _u8p), order, _ptr(out, _u8p),
     )
+    return out
+
+
+def lz_parse(data: np.ndarray, min_match: int):
+    """Greedy hash-chain LZ tokens over bytes: (lit_lens, match_lens,
+    dists) int64 arrays; the final token may have match_len == 0."""
+    lib = _load()
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    n = data.shape[0]
+    cap = max(1024, n // max(min_match, 1) + 16)
+    while True:
+        ll = np.empty(cap, dtype=np.int64)
+        ml = np.empty(cap, dtype=np.int64)
+        dd = np.empty(cap, dtype=np.int64)
+        ntok = lib.lz_parse(
+            _ptr(data, _u8p), n, min_match, _ptr(ll, _i64p),
+            _ptr(ml, _i64p), _ptr(dd, _i64p), cap,
+        )
+        if ntok >= 0:
+            return ll[:ntok], ml[:ntok], dd[:ntok]
+        cap *= 2
+
+
+def lz_expand(lit_lens: np.ndarray, match_lens: np.ndarray,
+              dists: np.ndarray, lits: np.ndarray, out_len: int) -> np.ndarray:
+    lib = _load()
+    out = np.empty(out_len, dtype=np.uint8)
+    got = lib.lz_expand(
+        _ptr(np.ascontiguousarray(lit_lens, np.int64), _i64p),
+        _ptr(np.ascontiguousarray(match_lens, np.int64), _i64p),
+        _ptr(np.ascontiguousarray(dists, np.int64), _i64p),
+        lit_lens.shape[0],
+        _ptr(np.ascontiguousarray(lits, np.uint8), _u8p), lits.shape[0],
+        _ptr(out, _u8p), out_len,
+    )
+    if got != out_len:
+        raise ValueError("LZ stream corrupt (expanded %d of %d)" % (got, out_len))
     return out
 
 

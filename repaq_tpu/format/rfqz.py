@@ -38,7 +38,13 @@ VERSION = 1
 DEFAULT_BLOCK = 16 << 20
 MODE_ORDER0 = 0
 MODE_ORDER1 = 1
+MODE_LZ = 2  # hash-chain LZ over raw bytes, token fields + literals rANS'd
+MODE_SEQLZ = 3  # LZ over UNPACKED bases of a 2-bit seq stream (phase-free)
 MODE_STORED = 255
+
+_LZ_MIN_BYTES = 16  # min match (bytes) for MODE_LZ
+_LZ_MIN_BASES = 32  # min match (bases) for MODE_SEQLZ
+_LZ_TRY_MIN = 64 << 10  # don't bother below this section size
 
 
 class RfqzFormatError(RfqFormatError):
@@ -85,11 +91,199 @@ def choose_mode(data: np.ndarray):
     return (MODE_ORDER0 if est0 <= est1 else MODE_ORDER1), counts, pair
 
 
+def _lz_fields_bytes(ll: np.ndarray, ml: np.ndarray, dd: np.ndarray):
+    """Token fields as plane-major byte streams (rANS-friendly): litlen and
+    matchlen as u16 with 0xFFFF escaping to an overflow list, dist as u32.
+    Returns (fields (8*ntok,) u8, overflow_raw bytes)."""
+    ntok = ll.shape[0]
+    overflow: list[int] = []
+    ll16 = np.minimum(ll, 0xFFFF).astype(np.uint32)
+    ml16 = np.minimum(ml, 0xFFFF).astype(np.uint32)
+    big = np.flatnonzero((ll >= 0xFFFF) | (ml >= 0xFFFF))
+    for t in big:  # rare: scan order (litlen first, then matchlen)
+        if ll[t] >= 0xFFFF:
+            ll16[t] = 0xFFFF
+            overflow.append(int(ll[t]))
+        if ml[t] >= 0xFFFF:
+            ml16[t] = 0xFFFF
+            overflow.append(int(ml[t]))
+    d32 = dd.astype(np.uint32)
+    fields = np.empty(8 * ntok, dtype=np.uint8)
+    fields[0 * ntok : 1 * ntok] = ll16 & 0xFF
+    fields[1 * ntok : 2 * ntok] = ll16 >> 8
+    fields[2 * ntok : 3 * ntok] = ml16 & 0xFF
+    fields[3 * ntok : 4 * ntok] = ml16 >> 8
+    fields[4 * ntok : 5 * ntok] = d32 & 0xFF
+    fields[5 * ntok : 6 * ntok] = (d32 >> 8) & 0xFF
+    fields[6 * ntok : 7 * ntok] = (d32 >> 16) & 0xFF
+    fields[7 * ntok : 8 * ntok] = (d32 >> 24) & 0xFF
+    oraw = np.asarray(overflow, dtype="<u8").tobytes()
+    return fields, oraw
+
+
+def _lz_fields_parse(fields: np.ndarray, oraw: bytes, ntok: int):
+    ll = (
+        fields[0 * ntok : 1 * ntok].astype(np.int64)
+        | (fields[1 * ntok : 2 * ntok].astype(np.int64) << 8)
+    )
+    ml = (
+        fields[2 * ntok : 3 * ntok].astype(np.int64)
+        | (fields[3 * ntok : 4 * ntok].astype(np.int64) << 8)
+    )
+    dd = (
+        fields[4 * ntok : 5 * ntok].astype(np.int64)
+        | (fields[5 * ntok : 6 * ntok].astype(np.int64) << 8)
+        | (fields[6 * ntok : 7 * ntok].astype(np.int64) << 16)
+        | (fields[7 * ntok : 8 * ntok].astype(np.int64) << 24)
+    )
+    if oraw:
+        ov = np.frombuffer(oraw, dtype="<u8")
+        k = 0
+        for t in np.flatnonzero((ll == 0xFFFF) | (ml == 0xFFFF)):
+            if ll[t] == 0xFFFF:
+                ll[t] = int(ov[k])
+                k += 1
+            if ml[t] == 0xFFFF:
+                ml[t] = int(ov[k])
+                k += 1
+        if k != ov.shape[0]:
+            raise ValueError("LZ overflow list corrupt")
+    return ll, ml, dd
+
+
+def _encode_lz(arr: np.ndarray, mode: int, lanes: int) -> bytes | None:
+    """MODE_LZ / MODE_SEQLZ record, or None when LZ does not apply (no
+    native library) — never larger-than-raw gating here; the caller
+    compares against the rANS/store candidate."""
+    from ..codec import _native
+
+    if not _native.available():
+        return None
+    from ..codec.blocks import gather_slices
+
+    n = arr.shape[0]
+    if mode == MODE_SEQLZ:
+        base_stream = _native.unpack_2bit(arr, 4 * n)
+        stream, minm = base_stream, _LZ_MIN_BASES
+    else:
+        stream, minm = arr, _LZ_MIN_BYTES
+    # probe parse: data without cross-record redundancy (e.g. reads of a
+    # random or unshared genome) finds no matches — detect that on a small
+    # prefix before paying the full hash-chain walk
+    probe_n = 4 << 20
+    if stream.shape[0] > 2 * probe_n:
+        _pl, pml, _pd = _native.lz_parse(stream[:probe_n], minm)
+        if int(pml.sum()) * 8 < probe_n:
+            return None
+    ll, ml, dd = _native.lz_parse(stream, minm)
+    if mode == MODE_SEQLZ:
+        lits = _native.pack_2bit(
+            gather_slices(base_stream, _lz_lit_starts(ll, ml), ll)
+        )
+    else:
+        lits = gather_slices(arr, _lz_lit_starts(ll, ml), ll)
+    if ml.shape[0] <= 1 or int(ml.sum()) * 2 < n // 8:
+        return None  # too few matches to beat plain rANS — skip the work
+    fields, oraw = _lz_fields_bytes(ll, ml, dd)
+    ntok = ll.shape[0]
+    head = bytearray([mode])
+    head += int(n).to_bytes(4, "little")
+    head += ntok.to_bytes(4, "little")
+    head += (len(oraw) // 8).to_bytes(4, "little")
+    body = bytearray()
+    body += encode_block(fields, lanes=lanes, label="inner")
+    body += oraw
+    body += encode_block(lits, lanes=lanes, label="inner")
+    return bytes(head) + bytes(body)
+
+
+def _lz_lit_starts(ll: np.ndarray, ml: np.ndarray) -> np.ndarray:
+    """Start offset of each token's literal run in the original stream."""
+    starts = np.zeros(ll.shape[0], dtype=np.int64)
+    np.cumsum((ll + ml)[:-1], out=starts[1:])
+    return starts
+
+
+def _decode_lz(buf: memoryview, off: int, decode_section) -> tuple[bytes, int]:
+    mode = buf[off]
+    if len(buf) - off < 13:
+        raise rans_np.RansTruncated("LZ rfqz section truncated (header)")
+    n = int.from_bytes(buf[off + 1 : off + 5], "little")
+    ntok = int.from_bytes(buf[off + 5 : off + 9], "little")
+    nover = int.from_bytes(buf[off + 9 : off + 13], "little")
+    off += 13
+    fields_b, off = decode_block(buf, off, decode_section)
+    if len(buf) - off < 8 * nover:
+        raise rans_np.RansTruncated("LZ rfqz section truncated (overflow)")
+    oraw = bytes(buf[off : off + 8 * nover])
+    off += 8 * nover
+    lits_b, off = decode_block(buf, off, decode_section)
+    fields = np.frombuffer(fields_b, dtype=np.uint8)
+    if fields.shape[0] != 8 * ntok:
+        raise ValueError("LZ token fields corrupt")
+    ll, ml, dd = _lz_fields_parse(fields, oraw, ntok)
+    lits = np.frombuffer(lits_b, dtype=np.uint8)
+    from ..codec import _native
+
+    if mode == MODE_SEQLZ:
+        out_bases = _lz_expand_py(ll, ml, dd, _np_unpack(lits, None), 4 * n)
+        if _native.available():
+            packed = _native.pack_2bit(out_bases)
+        else:
+            from ..codec import kernels_np as K
+
+            packed = K.pack_2bit(out_bases)
+        return packed.tobytes(), off
+    out = _lz_expand_py(ll, ml, dd, lits, n)
+    return out.tobytes(), off
+
+
+def _np_unpack(packed: np.ndarray, _):
+    from ..codec import _native
+
+    if _native.available():
+        return _native.unpack_2bit(packed, 4 * packed.shape[0])
+    from ..codec import kernels_np as K
+
+    return K.unpack_2bit(packed, 4 * packed.shape[0])
+
+
+def _lz_expand_py(ll, ml, dd, lits: np.ndarray, out_len: int) -> np.ndarray:
+    from ..codec import _native
+
+    if _native.available():
+        return _native.lz_expand(ll, ml, dd, lits, out_len)
+    # pure-python fallback (decode must work everywhere)
+    out = np.empty(out_len, dtype=np.uint8)
+    o = lp = 0
+    for t in range(ll.shape[0]):
+        l, m, d = int(ll[t]), int(ml[t]), int(dd[t])
+        if l < 0 or m < 0 or lp + l > lits.shape[0] or o + l + m > out_len:
+            raise ValueError("LZ stream corrupt")
+        out[o : o + l] = lits[lp : lp + l]
+        lp += l
+        o += l
+        if m:
+            if d <= 0 or d > o:
+                raise ValueError("LZ stream corrupt (bad dist)")
+            if d >= m:
+                out[o : o + m] = out[o - d : o - d + m]
+            else:
+                for j in range(m):  # overlapping copy
+                    out[o + j] = out[o - d + j]
+            o += m
+    if o != out_len:
+        raise ValueError("LZ stream corrupt (short expand)")
+    return out
+
+
 def encode_block(data: bytes | np.ndarray, lanes: int = rans_np.DEFAULT_LANES,
-                 encode_section=None) -> bytes:
+                 encode_section=None, label: str | None = None) -> bytes:
     """One self-contained section record with mode selection.
     encode_section: override for the device kernel path (same signature as
-    rans_np.encode_section)."""
+    rans_np.encode_section). label: stream label from RfqChunk.to_segments
+    — 'seq' sections try the phase-free base-level LZ (MODE_SEQLZ), other
+    large sections try byte LZ (MODE_LZ); smallest candidate wins."""
     arr = (
         np.frombuffer(data, dtype=np.uint8)
         if isinstance(data, (bytes, bytearray, memoryview))
@@ -97,16 +291,30 @@ def encode_block(data: bytes | np.ndarray, lanes: int = rans_np.DEFAULT_LANES,
     )
     mode, counts0, pair = choose_mode(arr)
     if mode == MODE_STORED:
-        return bytes([MODE_STORED]) + len(arr).to_bytes(4, "little") + arr.tobytes()
-    if encode_section is None:
-        enc = rans_np.encode_section(
-            arr, order=mode, lanes=lanes, counts0=counts0, pair_counts=pair
-        )
+        best = bytes([MODE_STORED]) + len(arr).to_bytes(4, "little") + arr.tobytes()
     else:
-        enc = encode_section(arr, order=mode, lanes=lanes)
-    if len(enc) >= arr.shape[0] + 5:  # entropy estimate was optimistic
-        return bytes([MODE_STORED]) + len(arr).to_bytes(4, "little") + arr.tobytes()
-    return enc  # section record already leads with the order byte == mode
+        if encode_section is None:
+            enc = rans_np.encode_section(
+                arr, order=mode, lanes=lanes, counts0=counts0, pair_counts=pair
+            )
+        else:
+            enc = encode_section(arr, order=mode, lanes=lanes)
+        if len(enc) >= arr.shape[0] + 5:  # entropy estimate was optimistic
+            best = (
+                bytes([MODE_STORED]) + len(arr).to_bytes(4, "little")
+                + arr.tobytes()
+            )
+        else:
+            best = enc
+    if arr.shape[0] >= _LZ_TRY_MIN and label in ("seq", "qual", "tail", None):
+        lz_mode = MODE_SEQLZ if label == "seq" else MODE_LZ
+        try:
+            lz = _encode_lz(arr, lz_mode, lanes)
+        except Exception:
+            lz = None
+        if lz is not None and len(lz) < len(best):
+            best = lz
+    return best
 
 
 def decode_block(buf: memoryview, off: int, decode_section=None) -> tuple[bytes, int]:
@@ -118,6 +326,8 @@ def decode_block(buf: memoryview, off: int, decode_section=None) -> tuple[bytes,
         if off + 5 + n > len(buf):
             raise rans_np.RansTruncated("stored rfqz section truncated")
         return bytes(buf[off + 5 : off + 5 + n]), off + 5 + n
+    if mode in (MODE_LZ, MODE_SEQLZ):
+        return _decode_lz(buf, off, decode_section)
     if mode not in (MODE_ORDER0, MODE_ORDER1):
         raise RfqzFormatError("bad rfqz section mode %d" % mode)
     return (decode_section or rans_np.decode_section)(buf, off)
@@ -167,7 +377,8 @@ class RfqzWriter:
                     self._flush_one(len(self._buf))
                 self.raw_bytes += len(data)
                 rec = encode_block(
-                    data, lanes=self._lanes, encode_section=self._enc
+                    data, lanes=self._lanes, encode_section=self._enc,
+                    label=label,
                 )
                 self.coded_bytes += len(rec)
                 self._out.write(rec)

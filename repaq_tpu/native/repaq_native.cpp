@@ -10,6 +10,7 @@
 
 #include <cstdint>
 #include <cstring>
+#include <vector>
 
 extern "C" {
 
@@ -560,6 +561,127 @@ void rans_decode(const uint8_t* payload, const int64_t* lane_counts,
         }
         start += avail;
     }
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Greedy hash-chain LZ parse/expand for the .rfqz second stage.
+//
+// The rANS stage cannot touch cross-read redundancy (sequencing coverage
+// puts every genome position in ~N reads), which is exactly what the
+// reference's external xz exploits on the 2-bit-packed seq stream. This
+// parser runs over the UNPACKED base stream so matches are found at any
+// alignment (packed bytes only match when reads overlap with equal phase
+// mod 4 — 3/4 of matches are invisible to byte-level LZ).
+//
+// Tokens: (lit_len, match_len, dist) triples; a final token may have
+// match_len == 0. Greedy longest-match with a bounded chain walk.
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+// data: n bytes; emits up to cap tokens. Returns token count, or -1 when
+// the token arrays would overflow (caller retries with bigger arrays).
+int64_t lz_parse(const uint8_t* data, int64_t n, int64_t min_match,
+                 int64_t* lit_lens, int64_t* match_lens, int64_t* dists,
+                 int64_t cap) {
+    const int HASH_BITS = 21;
+    const int64_t HSIZE = (int64_t)1 << HASH_BITS;
+    const int MAXCHAIN = 32;
+    const int64_t HB = 12;  // bytes hashed
+    static thread_local std::vector<int32_t> head_v, prev_v;
+    head_v.assign(HSIZE, -1);
+    prev_v.resize(n > 0 ? n : 1);
+    int32_t* head = head_v.data();
+    int32_t* prev = prev_v.data();
+
+    auto hash_at = [&](int64_t i) -> uint32_t {
+        uint64_t h = 0;
+        memcpy(&h, data + i, 8);
+        uint32_t h2;
+        memcpy(&h2, data + i + 8, 4);
+        h = h * 0x9E3779B185EBCA87ull ^ (uint64_t)h2 * 0xC2B2AE3D27D4EB4Full;
+        return (uint32_t)(h >> (64 - HASH_BITS));
+    };
+
+    int64_t ntok = 0;
+    int64_t i = 0, lit_start = 0;
+    while (i + HB <= n) {
+        uint32_t h = hash_at(i);
+        int64_t cand = head[h];
+        int64_t best_len = 0, best_pos = -1;
+        int walked = 0;
+        while (cand >= 0 && walked < MAXCHAIN) {
+            // extend only if it beats best: check the byte at best_len
+            if (cand + best_len < i && data[cand + best_len] == data[i + best_len]) {
+                int64_t l = 0;
+                int64_t lim = n - i;
+                while (l < lim && data[cand + l] == data[i + l]) l++;
+                if (l > best_len) { best_len = l; best_pos = cand; }
+            }
+            cand = prev[cand];
+            walked++;
+        }
+        prev[i] = head[h];
+        head[h] = (int32_t)i;
+        if (best_len >= min_match) {
+            if (ntok >= cap) return -1;
+            lit_lens[ntok] = i - lit_start;
+            match_lens[ntok] = best_len;
+            dists[ntok] = i - best_pos;
+            ntok++;
+            // sparse insertion inside the match keeps the chain useful
+            // without quadratic insert cost
+            int64_t end = i + best_len;
+            for (int64_t j = i + 1; j + HB <= n && j < end; j += 5) {
+                uint32_t hj = hash_at(j);
+                prev[j] = head[hj];
+                head[hj] = (int32_t)j;
+            }
+            i = end;
+            lit_start = i;
+        } else {
+            i++;
+        }
+    }
+    if (lit_start < n || ntok == 0) {
+        if (ntok >= cap) return -1;
+        lit_lens[ntok] = n - lit_start;
+        match_lens[ntok] = 0;
+        dists[ntok] = 0;
+        ntok++;
+    }
+    return ntok;
+}
+
+// Expand tokens back: literals come from `lits`, matches copy from the
+// already-produced output (overlapping copies byte-by-byte, LZ77 rules).
+// Returns bytes produced, or -1 on malformed input (OOB dist/overrun).
+int64_t lz_expand(const int64_t* lit_lens, const int64_t* match_lens,
+                  const int64_t* dists, int64_t ntok, const uint8_t* lits,
+                  int64_t nlits, uint8_t* out, int64_t out_cap) {
+    int64_t o = 0, lp = 0;
+    for (int64_t t = 0; t < ntok; t++) {
+        int64_t ll = lit_lens[t], ml = match_lens[t], d = dists[t];
+        if (ll < 0 || ml < 0 || lp + ll > nlits || o + ll + ml > out_cap)
+            return -1;
+        memcpy(out + o, lits + lp, ll);
+        lp += ll;
+        o += ll;
+        if (ml) {
+            if (d <= 0 || d > o) return -1;
+            const uint8_t* src = out + o - d;
+            uint8_t* dst = out + o;
+            if (d >= ml) {
+                memcpy(dst, src, ml);
+            } else {
+                for (int64_t j = 0; j < ml; j++) dst[j] = src[j];
+            }
+            o += ml;
+        }
+    }
+    return o;
 }
 
 }  // extern "C"

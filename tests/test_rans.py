@@ -348,3 +348,84 @@ def test_reader_one_byte_section_boundary(tmp_path):
             break
         got += b
     assert bytes(got) == data
+
+
+def _coverage_reads(n_reads=3000, glen=200_000, seed=5):
+    """Packed 2-bit reads sampled from a shared genome (cross-read
+    redundancy the LZ stage exists for)."""
+    from repaq_tpu.codec import kernels_np as K
+
+    rng = np.random.default_rng(seed)
+    genome = rng.choice(np.frombuffer(b"ACGT", np.uint8), size=glen)
+    bases = np.concatenate(
+        [genome[s : s + 150] for s in rng.integers(0, glen - 151, n_reads)]
+    )
+    return K.pack_2bit(bases)
+
+
+def test_seqlz_mode_roundtrip_and_wins():
+    packed = _coverage_reads()
+    rec = rfqz.encode_block(packed, label="seq")
+    assert rec[0] == rfqz.MODE_SEQLZ, "seq coverage data must pick seq-LZ"
+    out, end = rfqz.decode_block(memoryview(rec), 0)
+    assert out == packed.tobytes() and end == len(rec)
+    assert len(rec) < 0.8 * len(packed)
+    # plain rANS would have stored this almost raw
+    plain = rfqz.encode_block(packed, label="coords")
+    assert len(rec) < len(plain)
+
+
+def test_bytelz_mode_roundtrip():
+    rng = np.random.default_rng(1)
+    base = rng.integers(0, 255, 4096).astype(np.uint8)
+    data = np.concatenate(
+        [base[rng.integers(0, 3000) :][:700] for _ in range(200)]
+    )
+    rec = rfqz.encode_block(data, label="tail")
+    assert rec[0] == rfqz.MODE_LZ
+    out, end = rfqz.decode_block(memoryview(rec), 0)
+    assert out == data.tobytes() and end == len(rec)
+
+
+def test_lz_incompressible_falls_back():
+    rng = np.random.default_rng(2)
+    data = rng.integers(0, 255, 200_000).astype(np.uint8)
+    rec = rfqz.encode_block(data, label="seq")
+    assert rec[0] != rfqz.MODE_SEQLZ  # no matches -> rANS/store candidate
+
+
+def test_lz_container_stream_roundtrip(tmp_path):
+    """Full RfqzWriter/RfqzReader with labeled segments incl. an LZ-coded
+    seq stream, streamed back through the incremental reader."""
+    packed = _coverage_reads(seed=9)
+    other = _skewed(150_000, seed=10)
+    p = tmp_path / "lz.rfqz"
+    w = rfqz.RfqzWriter(str(p))
+    w.write_segments([("seq", packed.tobytes()), ("qual", other.tobytes())])
+    w.close()
+    r = rfqz.RfqzReader(str(p))
+    got = bytearray()
+    while True:
+        b = r.read(37_777)
+        if not b:
+            break
+        got += b
+    assert bytes(got) == packed.tobytes() + other.tobytes()
+
+
+def test_lz_corrupt_sections_clean_errors(tmp_path):
+    packed = _coverage_reads(seed=11)
+    rec = bytearray(rfqz.encode_block(packed, label="seq"))
+    assert rec[0] == rfqz.MODE_SEQLZ
+    import pytest as _pytest
+
+    # flip bytes across the record; decode must raise cleanly, never crash
+    for pos in (5, 9, 13, 20, len(rec) // 2, len(rec) - 2):
+        bad = bytearray(rec)
+        bad[pos] ^= 0x55
+        try:
+            out, _ = rfqz.decode_block(memoryview(bytes(bad)), 0)
+            # silent success is fine only if it roundtrips identically
+            # (flips in dead padding); otherwise it must have raised
+        except (ValueError, rfqz.RfqzFormatError, IndexError):
+            continue
