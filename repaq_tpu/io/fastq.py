@@ -16,9 +16,11 @@ Two scan modes:
   that reaches the final block (see _flag_visible).
 - **scalar**: exact line-by-line emulation (including the \\r\\n and
   empty-line quirks) for inputs containing '\\r' or empty lines. Sticky
-  once triggered. Known divergence: if such a file is ALSO >1MB, quirks
-  that depend on exact 1MB buffer boundaries may differ (the fast path may
-  have coalesced buffers before the switch).
+  once triggered. Exact for ANY file size: the reference's \\r\\n skip is
+  gated in its 1MB-block frame (fastqreader.cpp:108-117), and _get_line
+  recomputes that gate from global offsets, so straddling newlines
+  surface as the same empty lines the reference produces (fuzzed >1MB
+  with adversarial boundary placements in tests/interop_fuzz.py).
 
 One further deliberate divergence: for files whose size is an exact
 multiple of 1MB, the reference reads one byte of uninitialized memory to
@@ -324,47 +326,65 @@ class FastqReader:
     # ------------------------------------------------------------------
     # scalar record API (exact reference line semantics)
     # ------------------------------------------------------------------
+    _BS = 1 << 20  # the reference's FQ_BUF_SIZE (fastqreader.cpp:5)
+
     def _get_line(self) -> bytes:
-        buf = self._buf
-        n = len(buf)
+        """Exact reference getLine (fastqreader.cpp:94-155) for ANY file
+        size. The reference refills in 1MB blocks aligned to file offsets
+        (readToBuf always reads FQ_BUF_SIZE), and the \r\n / \n\n skip is
+        gated on `end < mBufDataLen - 1` IN THE FRAME OF THE BLOCK THAT
+        HELD THE TERMINATOR — so a second newline straddling (or adjacent
+        to) a 1MB boundary is deliberately NOT consumed and surfaces as an
+        empty line. Our buffer may coalesce several fetches, so the gate
+        is recomputed from global offsets: for terminator at global g_t,
+        with B = the 1MB block containing g_t, consume a following '\n'
+        iff (g_t + 1) - base(B) < len(B) - 1."""
         start = self._buf_used
-        end = start
-        while end < n and buf[end] != _CR and buf[end] != _NL:
-            end += 1
-
-        if end < n or self._eof:
-            line = bytes(buf[start:end])
-            end += 1
-            # \r\n handling with the reference's boundary condition
-            # (fastqreader.cpp:115)
-            if end < n - 1 and buf[end] == _NL:
-                end += 1
-            self._buf_used = end
-            return line
-
-        # line spans fetch boundaries
-        parts = [bytes(buf[start:])]
+        # scan for the terminator, fetching as needed (append-only: the
+        # global base _gbase stays valid)
+        t = start
         while True:
-            self._gbase += len(self._buf)
-            self._buf = bytearray()
-            self._buf_used = 0
-            self._nl = np.empty(0, dtype=np.int64)
-            self._nl_parts = []
-            self._scanned = 0
-            self._fetch_block()
             buf = self._buf
             n = len(buf)
-            end = 0
-            while end < n and buf[end] != _CR and buf[end] != _NL:
-                end += 1
-            if end < n or self._eof:
-                parts.append(bytes(buf[:end]))
-                end += 1
-                if end < n - 1 and buf[end] == _NL:
-                    end += 1
-                self._buf_used = end
-                return b"".join(parts)
-            parts.append(buf)
+            while t < n and buf[t] != _CR and buf[t] != _NL:
+                t += 1
+            if t < n:
+                break
+            if self._eof:
+                # last (partial) block: line runs to EOF; the reference
+                # sets mBufUsedLen past mBufDataLen so the next read()
+                # returns NULL
+                self._buf_used = n + 1
+                return bytes(buf[start:])
+            self._fetch_more_scalar()
+
+        # the skip gate needs the terminator block's exact length: buffer
+        # to the end of that block (or EOF) so partial-final-block sizes
+        # are known, and the byte after the terminator is visible
+        g_t = self._gbase + t
+        base = (g_t // self._BS) * self._BS
+        while not self._eof and self._gbase + len(self._buf) < base + self._BS:
+            self._fetch_more_scalar()
+        buf = self._buf
+        n = len(buf)
+        line = bytes(buf[start:t])
+        end = t + 1
+        file_end = self._gbase + n  # exact when this block is the last
+        blen = min(self._BS, file_end - base) if self._eof else self._BS
+        if end < n and buf[end] == _NL and (g_t + 1 - base) < blen - 1:
+            end += 1
+        self._buf_used = end
+        return line
+
+    def _fetch_more_scalar(self) -> None:
+        """Append-fetch for the scalar path: keeps _gbase anchored at
+        _buf[0] and drops the fast-path scan cache. Never trims — callers
+        hold buffer-relative indices across this call; trimming happens
+        between records in read()."""
+        self._nl = np.empty(0, dtype=np.int64)
+        self._nl_parts = []
+        self._scanned = 0
+        self._fetch_block()
 
     def read(self) -> Optional[FastqRead]:
         """Scalar record reader (reference fastqreader.cpp:166-196)."""
@@ -374,6 +394,13 @@ class FastqReader:
         self._nl = np.empty(0, dtype=np.int64)
         self._nl_parts = []
         self._scanned = 0
+        # between records no buffer-relative index is live: trim consumed
+        # bytes so scalar mode stays O(blocks), preserving the global base
+        if self._buf_used > 4 * self._BS:
+            drop = self._buf_used - (self._buf_used % self._BS)
+            del self._buf[:drop]
+            self._gbase += drop
+            self._buf_used -= drop
         while self._buf_used >= len(self._buf) and not self._eof:
             self._fetch_block()
         if self._buf_used >= len(self._buf) and self._eof:
