@@ -263,8 +263,9 @@ def main(argv: list[str] | None = None) -> int:
     if args.num_shards > 0 and mode == "compress":
         if not (0 <= args.shard < args.num_shards):
             _die("--shard must be in [0, num_shards)")
-        if out1.endswith((".xz", ".rfqz")) or args.stdout or args.stdin:
-            _die("--num_shards requires a plain .rfq output file and file inputs")
+        if out1.endswith(".xz") or args.stdout or args.stdin:
+            _die("--num_shards requires a .rfq or .rfqz output file and "
+                 "file inputs")
         if in1.endswith(".gz") or (args.in2 and args.in2.endswith(".gz")):
             _die("--num_shards requires non-gz inputs (byte-range plan)")
         from .parallel import distributed as dist
@@ -304,7 +305,8 @@ def main(argv: list[str] | None = None) -> int:
                     )
                 else:
                     header = dist.derive_header(in1, chunk_size, engine)
-                dist.assemble_parts(out1, header.to_bytes(), args.num_shards)
+                dist.assemble_parts(out1, header.to_bytes(), args.num_shards,
+                                    rfqz=out1.endswith(".rfqz"))
         except RfqFormatError as e:
             print("ERROR: %s" % e, file=sys.stderr)
             return -1

@@ -337,7 +337,11 @@ class RfqzWriter:
     """File-like sink: buffers .rfq bytes, emits coded sections."""
 
     def __init__(self, path_or_stream, block_size: int = DEFAULT_BLOCK,
-                 lanes: int = rans_np.DEFAULT_LANES, encode_section=None):
+                 lanes: int = rans_np.DEFAULT_LANES, encode_section=None,
+                 container_header: bool = True):
+        """container_header=False emits a bare section stream (no magic):
+        the multi-process shard path concatenates per-rank section streams
+        under one container header (sections are self-delimiting)."""
         if hasattr(path_or_stream, "write"):
             self._out = path_or_stream
             self._own = False
@@ -348,9 +352,11 @@ class RfqzWriter:
         self._lanes = lanes
         self._buf = bytearray()
         self._enc = encode_section
-        self._out.write(MAGIC + bytes([VERSION]))
+        self.coded_bytes = 0
+        if container_header:
+            self._out.write(MAGIC + bytes([VERSION]))
+            self.coded_bytes = 5
         self.raw_bytes = 0
-        self.coded_bytes = 5
 
     _SPLIT_MIN = 96 * 1024  # stream segments below this stay in the mix
 

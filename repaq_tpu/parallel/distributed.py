@@ -30,6 +30,8 @@ from __future__ import annotations
 import os
 from dataclasses import dataclass
 
+import numpy as np
+
 from ..format.header import RfqFormatError
 from ..io.fastq import FastqReader, FastqReaderPair
 from ..pipeline import EngineConfig, _Compressor, get_engine
@@ -286,6 +288,7 @@ def compress_pe_distributed(
     interleaved=True, in1 is a single R1/R2-interleaved stream and in2 is
     ignored."""
     engine = engine or get_engine()
+    rfqz = out1.endswith(".rfqz")
     plan = plan_pair_chunks(in1, in2, chunk_size, interleaved)
     header = derive_header_pe(in1, in2, chunk_size, engine, interleaved)
     header_bytes = header.to_bytes()
@@ -293,14 +296,29 @@ def compress_pe_distributed(
     lo, hi = ranges[process_id]
     part = "%s.part%d" % (out1, process_id)
     with open(part + ".tmp", "wb") as f:
+        out = _part_sink(f, rfqz)
         encode_pair_chunk_range(
-            in1, in2, plan, lo, hi, header, header_bytes, f, engine, workers,
-            interleaved,
+            in1, in2, plan, lo, hi, header, header_bytes, out, engine,
+            workers, interleaved,
         )
+        if out is not f:
+            out.close()
     os.replace(part + ".tmp", part)  # completion is atomic for waiters
     if assemble and process_id == 0:
-        assemble_parts(out1, header_bytes, num_processes)
+        assemble_parts(out1, header_bytes, num_processes, rfqz=rfqz)
     return part
+
+
+def _part_sink(f, rfqz: bool):
+    """Per-rank sink: raw .rfq bytes, or a bare .rfqz section stream
+    (sections are self-delimiting, so rank parts concatenate into one
+    container under a single magic+header — the second stage composes
+    with sharding, reference main.cpp:134-159 composes xz the same way)."""
+    if not rfqz:
+        return f
+    from ..format.rfqz import RfqzWriter
+
+    return RfqzWriter(f, container_header=False)
 
 
 def partition(n_chunks: int, n_processes: int) -> list[tuple[int, int]]:
@@ -330,6 +348,7 @@ def compress_se_distributed(
     (with assemble=True, after all parts exist) concatenates header +
     parts into out1. Returns the part path written."""
     engine = engine or get_engine()
+    rfqz = out1.endswith(".rfqz")
     plan = plan_chunks(in1, chunk_size)
     header = derive_header(in1, chunk_size, engine)
     header_bytes = header.to_bytes()
@@ -337,21 +356,33 @@ def compress_se_distributed(
     lo, hi = ranges[process_id]
     part = "%s.part%d" % (out1, process_id)
     with open(part + ".tmp", "wb") as f:
+        out = _part_sink(f, rfqz)
         encode_chunk_range(
-            in1, plan, lo, hi, header, header_bytes, f, engine, chunk_size,
+            in1, plan, lo, hi, header, header_bytes, out, engine, chunk_size,
             workers,
         )
+        if out is not f:
+            out.close()
     os.replace(part + ".tmp", part)  # completion is atomic for waiters
     if assemble and process_id == 0:
-        assemble_parts(out1, header_bytes, num_processes)
+        assemble_parts(out1, header_bytes, num_processes, rfqz=rfqz)
     return part
 
 
-def assemble_parts(out1: str, header_bytes: bytes, num_processes: int) -> None:
+def assemble_parts(out1: str, header_bytes: bytes, num_processes: int,
+                   rfqz: bool = False) -> None:
     """Ordered concatenation: header, then each rank's part (rank order ==
-    chunk order). Parts are removed after assembly."""
+    chunk order). Parts are removed after assembly. For .rfqz targets the
+    container magic goes first and the .rfq header travels as its own
+    section; rank parts are bare section streams."""
     with open(out1, "wb") as out:
-        out.write(header_bytes)
+        if rfqz:
+            from ..format import rfqz as Z
+
+            out.write(Z.MAGIC + bytes([Z.VERSION]))
+            out.write(Z.encode_block(np.frombuffer(header_bytes, np.uint8)))
+        else:
+            out.write(header_bytes)
         for pid in range(num_processes):
             part = "%s.part%d" % (out1, pid)
             with open(part, "rb") as f:

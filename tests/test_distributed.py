@@ -181,3 +181,44 @@ def test_interleaved_distributed_matches_golden(fixtures_dir, tmp_path, nproc):
     assert out.read_bytes() == (
         fixtures_dir / "pe_big.ref.k100.rfq"
     ).read_bytes()
+
+
+def test_sharded_rfqz_compose(tmp_path):
+    """--num_shards with a .rfqz target: per-rank bare section streams
+    concatenate under one container header; decoded .rfq stream equals the
+    serial pipeline's (VERDICT r1 item 8)."""
+    import gzip
+    import subprocess
+    import sys
+
+    fx = str(REPO / "tests" / "fixtures")
+    in1 = str(tmp_path / "in.fq")
+    with gzip.open(os.path.join(fx, "se_big.fq.gz")) as f:
+        open(in1, "wb").write(f.read())
+    out = str(tmp_path / "s.rfqz")
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=str(REPO))
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-m", "repaq_tpu.cli", "-c", "-i", in1, "-o",
+             out, "-k", "100", "--num_shards", "3", "--shard", str(i)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        )
+        for i in range(3)
+    ]
+    for p in procs:
+        _o, err = p.communicate(timeout=300)
+        assert p.returncode == 0, err.decode()[-1500:]
+    # decoded container must reproduce the input exactly
+    back = str(tmp_path / "back.fq")
+    r = subprocess.run(
+        [sys.executable, "-m", "repaq_tpu.cli", "-d", "-i", out, "-o", back],
+        env=env, capture_output=True,
+    )
+    assert r.returncode == 0, r.stderr[-1500:]
+    assert open(back, "rb").read() == open(in1, "rb").read()
+    # and the decoded .rfq stream equals the golden reference bytes
+    from repaq_tpu.format.rfqz import RfqzReader
+
+    rfq_bytes = RfqzReader(out).read()
+    with open(os.path.join(fx, "se_big.ref.k100.rfq"), "rb") as f:
+        assert rfq_bytes == f.read()
