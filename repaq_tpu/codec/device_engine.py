@@ -156,6 +156,96 @@ class DeviceEngine:
         return np.asarray(payload).view(np.uint8).reshape(-1)
 
     # ------------------------------------------------------------------
+    # header inference (reference rfqheader.cpp:130-237 scan on device)
+    # ------------------------------------------------------------------
+
+    def quality_stats(self, block: ReadBlock) -> dict:
+        """The first-chunk quality scan on device: sort-based histogram
+        (TPU bincount lowers to a serializing scatter; sort+searchsorted
+        does not) plus the order-dependent N-policy reductions in one
+        dispatch. Host falls back for tiny chunks or invalid bases (the
+        error path needs the offending char)."""
+        n = int(block.qual_flat.shape[0])
+        from ..format.header import quality_stats as host_stats
+
+        if n == 0 or n < self.min_bases:
+            return host_stats(block.seq_flat, block.qual_flat)
+        jax = self._jax
+        import jax.numpy as jnp
+
+        n_cap = _bucket(n, lo=4096)
+        step = self._enc_cache.get(("qstats", n_cap))
+        if step is None:
+
+            def stats_step(seq, qual, n_valid):
+                i = jnp.arange(n_cap, dtype=jnp.int32)
+                valid = i < n_valid
+                # histogram: sort quals (pad with 255) + searchsorted
+                qs = jnp.sort(jnp.where(valid, qual, jnp.uint8(255)))
+                bounds = jnp.searchsorted(
+                    qs, jnp.arange(129, dtype=jnp.uint8)
+                )
+                counts = jnp.diff(bounds)
+                qual_ge128 = (
+                    jnp.sum(jnp.where(valid & (qual >= 128), 1, 0))
+                )
+                is_acgt = (
+                    (seq == ord("A")) | (seq == ord("C"))
+                    | (seq == ord("G")) | (seq == ord("T"))
+                )
+                nmask = (seq == _N) & valid
+                invalid = jnp.sum(
+                    jnp.where(valid & ~is_acgt & ~nmask, 1, 0)
+                )
+                n_count = jnp.sum(nmask.astype(jnp.int32))
+                first_n = jnp.argmax(nmask)  # 0 when none; gated by count
+                first_q = qual[first_n].astype(jnp.int32)
+                n_qual_differs = jnp.sum(
+                    jnp.where(nmask & (qual != qual[first_n]), 1, 0)
+                )
+                after = i >= first_n
+                nonn_after = jnp.sum(
+                    jnp.where(
+                        valid & after & ~nmask & (qual == qual[first_n]),
+                        1, 0,
+                    )
+                )
+                scalars = jnp.stack(
+                    [qual_ge128, invalid, n_count, first_q,
+                     n_qual_differs, nonn_after]
+                ).astype(jnp.int32)
+                return counts.astype(jnp.int32), scalars
+
+            step = jax.jit(stats_step)
+            self._enc_cache[("qstats", n_cap)] = step
+
+        seq_pad = np.full(n_cap, _G, dtype=np.uint8)
+        seq_pad[:n] = block.seq_flat
+        qual_pad = np.zeros(n_cap, dtype=np.uint8)
+        qual_pad[:n] = block.qual_flat
+        counts, scalars = step(
+            jax.device_put(seq_pad), jax.device_put(qual_pad), jnp.int32(n)
+        )
+        counts = np.asarray(counts).astype(np.int64)
+        ge128, invalid, n_count, first_q, ndiff, nonn = (
+            int(v) for v in np.asarray(scalars)
+        )
+        if invalid > 0:
+            # error path: the message needs the offending char class
+            return host_stats(block.seq_flat, block.qual_flat)
+        return {
+            "empty": False,
+            "qual_ge128": ge128 > 0,
+            "invalid_lower": False,
+            "invalid_other": False,
+            "qual_counts": counts,
+            "n_count": n_count,
+            "first_n_qual": first_q if n_count else -1,
+            "n_qual_differs": ndiff > 0,
+            "nonn_after_matches": nonn > 0,
+        }
+
+    # ------------------------------------------------------------------
     # encode
     # ------------------------------------------------------------------
 
@@ -215,7 +305,8 @@ class DeviceEngine:
         n_cap = _bucket(n, lo=4096)
         b_cap = _bucket(b, lo=256)
         nm_cap = _bucket(nonmajor)
-        esc_cap = _bucket(esc, lo=8)
+        # esc == 0 proven host-side skips the escape compaction sort
+        esc_cap = 0 if esc == 0 else _bucket(esc, lo=8)
         np_cap = _bucket(npos, lo=8)
         qfetch = min(_bucket(4 * nbins + 4 * nonmajor + 5 * esc + 8),
                      4 * nbins + n_cap + 8)
@@ -223,9 +314,12 @@ class DeviceEngine:
         # + <n/16384 four-byte gaps (deltas sum to <= n)
         npfetch = _bucket(min(4 * npos, npos + n_cap // 64) + 16, lo=64)
         has_xy = header.has_x()
+        # the N-position machinery costs a full n-size sort: skip it when
+        # the header restores N via nBaseQual, or the chunk has no Ns
+        want_npos = header.encode_n_pos() and npos > 0
 
         key = ("se", n_cap, b_cap, nbins, nm_cap, esc_cap, np_cap, qfetch,
-               npfetch, has_xy)
+               npfetch, has_xy, want_npos)
         step = self._enc_cache.get(key)
         if step is None:
             step = self._build_encode_se(key)
@@ -274,7 +368,7 @@ class DeviceEngine:
 
     def _build_encode_se(self, key):
         (_tag, n_cap, b_cap, nbins, nm_cap, esc_cap, np_cap, qfetch,
-         npfetch, has_xy) = key
+         npfetch, has_xy, want_npos) = key
         jax = self._jax
         import jax.numpy as jnp
 
@@ -291,9 +385,13 @@ class DeviceEngine:
                 qual, bins, major, in_table, esc_cap=esc_cap, bid=bid,
                 nonmajor_cap=nm_cap,
             )
-            npos_out, npos_len = encode_positions_from_mask(
-                nmask, npfetch, pos_cap=np_cap
-            )
+            if want_npos:
+                npos_out, npos_len = encode_positions_from_mask(
+                    nmask, npfetch, pos_cap=np_cap
+                )
+            else:
+                npos_out = jnp.zeros(npfetch, dtype=jnp.uint8)
+                npos_len = jnp.int32(0)
             if has_xy:
                 x_out, x_len = coords_encode_device(
                     xs, 3 * b_cap + 8, n_valid=n_reads
@@ -338,15 +436,17 @@ class DeviceEngine:
         if 4 * nbins + n_cap + 8 >= (1 << 23):
             return None  # padded rows pushed past the emission-sort limit
         nm_cap = _bucket(nonmajor)
-        esc_cap = _bucket(esc, lo=8)
+        # esc == 0 proven host-side skips the escape compaction sort
+        esc_cap = 0 if esc == 0 else _bucket(esc, lo=8)
         np_cap = _bucket(npos, lo=8)
         qfetch = min(_bucket(4 * nbins + 4 * nonmajor + 5 * esc + 8),
                      4 * nbins + n_cap + 8)
         npfetch = _bucket(min(4 * npos, npos + n_cap // 64) + 16, lo=64)
         has_xy = header.has_x()
+        want_npos = header.encode_n_pos() and npos > 0
 
         key = ("pe", b_cap, L, nbins, nm_cap, esc_cap, np_cap, qfetch,
-               npfetch, has_xy, int(header.overlap_shift))
+               npfetch, has_xy, want_npos, int(header.overlap_shift))
         step = self._enc_cache.get(key)
         if step is None:
             step = self._build_encode_pe(key)
@@ -407,7 +507,7 @@ class DeviceEngine:
 
     def _build_encode_pe(self, key):
         (_tag, b_cap, L, nbins, nm_cap, esc_cap, np_cap, qfetch, npfetch,
-         has_xy, shift) = key
+         has_xy, want_npos, shift) = key
         jax = self._jax
         import jax.numpy as jnp
 
@@ -483,9 +583,13 @@ class DeviceEngine:
                 qual_flat, bins, major, in_table, esc_cap=esc_cap,
                 bid=bid, nonmajor_cap=nm_cap,
             )
-            npos_out, npos_len = encode_positions_from_mask(
-                nmask, npfetch, pos_cap=np_cap
-            )
+            if want_npos:
+                npos_out, npos_len = encode_positions_from_mask(
+                    nmask, npfetch, pos_cap=np_cap
+                )
+            else:
+                npos_out = jnp.zeros(npfetch, dtype=jnp.uint8)
+                npos_len = jnp.int32(0)
             if has_xy:
                 x_out, x_len = coords_encode_device(
                     xs, 3 * p_cap + 8, n_valid=n_pairs
@@ -721,8 +825,12 @@ def make_engine_config():
                                      _MAX_DEVICE_BASES)),
     )
     return EngineConfig(
-        make_header_se=vectorized.make_header_se,
-        make_header_pe=vectorized.make_header_pe,
+        make_header_se=lambda b: vectorized.make_header_se(
+            b, stats_fn=eng.quality_stats
+        ),
+        make_header_pe=lambda b: vectorized.make_header_pe(
+            b, stats_fn=eng.quality_stats
+        ),
         encode_chunk=eng.encode_chunk,
         decode_chunk=eng.decode_chunk,
         name="device",

@@ -50,7 +50,9 @@ _HASH_BASE = np.uint64(1099511628211)
 # ---------------------------------------------------------------------------
 
 
-def make_header_se(block: ReadBlock) -> RfqHeader | None:
+def make_header_se(block: ReadBlock, stats_fn=None) -> RfqHeader | None:
+    """stats_fn: optional override computing the quality-scan statistics
+    (the device engine passes its on-device histogram kernel)."""
     if block.n == 0:
         return None
     header = RfqHeader()
@@ -59,12 +61,15 @@ def make_header_se(block: ReadBlock) -> RfqHeader | None:
         header.flags |= (
             BIT_HAS_LANE | BIT_HAS_TILE | BIT_HAS_X | BIT_HAS_Y | BIT_HAS_NAME2
         )
-    header.make_quality_table(block.seq_flat, block.qual_flat)
+    if stats_fn is None:
+        header.make_quality_table(block.seq_flat, block.qual_flat)
+    else:
+        header.make_quality_table_from_stats(stats_fn(block))
     _set_read_length_bytes(header, int(block.seq_lens().max(initial=0)))
     return header
 
 
-def make_header_pe(block: ReadBlock) -> RfqHeader | None:
+def make_header_pe(block: ReadBlock, stats_fn=None) -> RfqHeader | None:
     """block holds interleaved pairs (r1, r2, r1, r2, ...)."""
     if block.n == 0:
         return None
@@ -79,7 +84,10 @@ def make_header_pe(block: ReadBlock) -> RfqHeader | None:
         header.name2_diff_char = diff_char
         header.flags |= BIT_ENCODE_PE_BY_OVERLAP
 
-    header.make_quality_table(block.seq_flat, block.qual_flat)
+    if stats_fn is None:
+        header.make_quality_table(block.seq_flat, block.qual_flat)
+    else:
+        header.make_quality_table_from_stats(stats_fn(block))
     if all_illumina:
         header.flags |= (
             BIT_HAS_LANE | BIT_HAS_TILE | BIT_HAS_X | BIT_HAS_Y | BIT_HAS_NAME2

@@ -151,22 +151,27 @@ class RfqHeader:
         order (reads in file order, bases left to right), which matters for
         the order-dependent N-base policy below.
         """
-        if qual.size == 0:
+        self.make_quality_table_from_stats(quality_stats(seq, qual))
+
+    def make_quality_table_from_stats(self, st: dict) -> None:
+        """Palette construction from scan statistics — the scan itself may
+        run on host (quality_stats) or on device (the device engine's
+        histogram kernel, codec/device_engine.py); the policy logic here is
+        a pure function of the stats either way."""
+        if st["empty"]:
             raise RfqFormatError("bad quality string, is this a valid FASTQ file?")
-        if np.any(qual >= 128):
+        if st["qual_ge128"]:
             raise RfqFormatError("bad quality value")
-        valid = np.isin(seq, np.frombuffer(b"ATCGN", dtype=np.uint8))
-        if not np.all(valid):
-            offender = seq[~valid][0]
-            if offender in b"atcg":
-                raise RfqFormatError(
-                    "repaq doesn't support FASTQ with lowercase bases (a/t/c/g)"
-                )
+        if st["invalid_lower"]:
+            raise RfqFormatError(
+                "repaq doesn't support FASTQ with lowercase bases (a/t/c/g)"
+            )
+        if st["invalid_other"]:
             raise RfqFormatError(
                 "repaq only supports FASTQ with uppercase bases (A/T/C/G/N)"
             )
 
-        counts = np.bincount(qual, minlength=128)[:128]
+        counts = st["qual_counts"]
 
         # N-base policy, exactly matching the sequential scan in the
         # reference (rfqheader.cpp:134-184): the first N base fixes the
@@ -174,22 +179,14 @@ class RfqHeader:
         # (a) another N base has a different quality, (b) a non-N base after
         # the first N carries the candidate quality, or (c) fewer than 100 N
         # bases exist in the chunk.
-        n_mask = seq == _N
-        n_count = int(np.count_nonzero(n_mask))
+        n_count = st["n_count"]
         encode_npos = False
         n_base_qual = -1
         if n_count > 0:
-            first_n = int(np.argmax(n_mask))
-            first_q = int(qual[first_n])
-            n_quals = qual[n_mask]
-            if np.any(n_quals != first_q):
+            first_q = st["first_n_qual"]
+            if st["n_qual_differs"] or st["nonn_after_matches"]:
                 encode_npos = True
             else:
-                after = np.zeros(seq.shape[0], dtype=bool)
-                after[first_n:] = True
-                if np.any(after & ~n_mask & (qual == first_q)):
-                    encode_npos = True
-            if not encode_npos:
                 n_base_qual = first_q
         if n_count < 100:
             encode_npos = True
@@ -233,6 +230,7 @@ class RfqHeader:
         self._make_qual_bit_table()
 
     # ---- serialization ----
+    # (quality_stats lives at module level below)
     def to_bytes(self) -> bytes:
         out = bytearray()
         out += self.magic
@@ -298,3 +296,44 @@ class RfqHeader:
             and self.normal_qual_num_bits == other.normal_qual_num_bits
             and self.n_base_qual == other.n_base_qual
         )
+
+
+def quality_stats(seq: np.ndarray, qual: np.ndarray) -> dict:
+    """Host scan statistics for make_quality_table_from_stats. The device
+    engine computes the identical dict with on-device histograms/reduces
+    (one pass over chunk 1 on the chip instead of the host)."""
+    if qual.size == 0:
+        return {"empty": True, "qual_ge128": False, "invalid_lower": False,
+                "invalid_other": False, "qual_counts": np.zeros(128, np.int64),
+                "n_count": 0, "first_n_qual": -1, "n_qual_differs": False,
+                "nonn_after_matches": False}
+    qual_ge128 = bool(np.any(qual >= 128))
+    valid = np.isin(seq, np.frombuffer(b"ATCGN", dtype=np.uint8))
+    invalid_lower = invalid_other = False
+    if not np.all(valid):
+        offender = seq[~valid][0]
+        if offender in b"atcg":
+            invalid_lower = True
+        else:
+            invalid_other = True
+    counts = (np.bincount(qual, minlength=128)[:128]
+              if not qual_ge128 else np.zeros(128, np.int64))
+    n_mask = seq == _N
+    n_count = int(np.count_nonzero(n_mask))
+    first_q = -1
+    n_qual_differs = nonn_after_matches = False
+    if n_count > 0:
+        first_n = int(np.argmax(n_mask))
+        first_q = int(qual[first_n])
+        n_qual_differs = bool(np.any(qual[n_mask] != first_q))
+        if not n_qual_differs:
+            after = np.zeros(seq.shape[0], dtype=bool)
+            after[first_n:] = True
+            nonn_after_matches = bool(
+                np.any(after & ~n_mask & (qual == first_q))
+            )
+    return {"empty": False, "qual_ge128": qual_ge128,
+            "invalid_lower": invalid_lower, "invalid_other": invalid_other,
+            "qual_counts": counts, "n_count": n_count,
+            "first_n_qual": first_q, "n_qual_differs": n_qual_differs,
+            "nonn_after_matches": nonn_after_matches}

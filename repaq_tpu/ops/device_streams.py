@@ -319,21 +319,25 @@ def qualcol_encode_device(qual: jnp.ndarray, bins: jnp.ndarray, major: jnp.ndarr
         bid = bin_idx[qual]  # (n,): 0..B-1 stream, B escape, B+1 major (drop)
 
     # ONE sort both groups the emitting positions (bid <= B) by bin AND
-    # compacts away the major-qual ones: key = bid*(n+1) + pos, major
-    # pushed to +inf, then slice the first nonmajor_cap entries.
+    # compacts away the major-qual ones: key = bid << 23 | pos, major
+    # pushed to +inf, then slice the first nonmajor_cap entries. The
+    # power-of-two stride keeps the unpack to shifts/ands — integer
+    # division has no TPU hardware path and expanded to a measurable
+    # per-element sequence at this size.
     m = nonmajor_cap
-    assert (nbins + 2) * (n + 1) < 2**31, (
-        "qualcol device path needs (B+2)*(n+1) < 2^31; split the block"
+    assert n < (1 << 23) and nbins + 2 < 128, (
+        "qualcol device path needs n < 2^23 (the bid<<23|pos key packing "
+        "and the emission dest packing share the limit); split the block"
     )
     i = jnp.arange(m, dtype=jnp.int32)
     i_n = jnp.arange(n, dtype=jnp.int32)
     keys_g = jnp.where(
-        bid <= nbins, bid.astype(jnp.int32) * (n + 1) + i_n,
+        bid <= nbins, (bid.astype(jnp.int32) << 23) | i_n,
         jnp.int32(2**31 - 1),
     )
     grouped = jnp.sort(keys_g)[:m]
-    g_bid = grouped // (n + 1)  # fill entries -> > nbins
-    g_pos = grouped - g_bid * (n + 1)
+    g_bid = grouped >> 23  # fill entries -> > nbins
+    g_pos = grouped & ((1 << 23) - 1)
     is_stream = g_bid < nbins
     is_esc = g_bid == nbins
 
@@ -357,18 +361,23 @@ def qualcol_encode_device(qual: jnp.ndarray, bins: jnp.ndarray, major: jnp.ndarr
 
     # escape records start with the raw qual char — gather it only for the
     # (rare) escapes rather than densely; their first-byte keys join the
-    # extras, their position bytes flow through the multi-byte tail path
-    i_m = jnp.arange(m, dtype=jnp.int32)
-    eidx = jnp.sort(jnp.where(is_esc, i_m, jnp.int32(m)))[
-        : max(1, min(esc_cap, m))
-    ]
-    e_pos = _gather1(g_pos, eidx, fill=0)
-    e_dest = _gather1(dest, eidx, fill=-1)
-    e_valid = _gather1(is_esc.astype(jnp.int32), eidx) == 1
-    e_qual = qual[jnp.clip(e_pos, 0, n - 1)].astype(jnp.int32)
-    esc_keys = jnp.where(
-        e_valid, (e_dest << 8) | e_qual, jnp.int32(2**31 - 1)
-    )
+    # extras, their position bytes flow through the multi-byte tail path.
+    # esc_cap == 0 (host PROVED no out-of-table quals in this chunk, the
+    # common case) skips the whole compaction sort.
+    if esc_cap == 0:
+        esc_keys = jnp.zeros(0, dtype=jnp.int32)
+    else:
+        i_m = jnp.arange(m, dtype=jnp.int32)
+        eidx = jnp.sort(jnp.where(is_esc, i_m, jnp.int32(m)))[
+            : max(1, min(esc_cap, m))
+        ]
+        e_pos = _gather1(g_pos, eidx, fill=0)
+        e_dest = _gather1(dest, eidx, fill=-1)
+        e_valid = _gather1(is_esc.astype(jnp.int32), eidx) == 1
+        e_qual = qual[jnp.clip(e_pos, 0, n - 1)].astype(jnp.int32)
+        esc_keys = jnp.where(
+            e_valid, (e_dest << 8) | e_qual, jnp.int32(2**31 - 1)
+        )
 
     def tail(midx):
         t = _gather1(ttype, midx)

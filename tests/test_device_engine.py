@@ -203,3 +203,43 @@ def test_cli_device_engine_golden(tmp_path):
             )
             assert r.returncode == 0, r.stderr
             assert d1.read_bytes() == f1.read_bytes()
+
+
+def test_device_quality_stats_header_identical(eng):
+    """On-device histogram + N-policy reductions must yield the identical
+    header bytes (reference rfqheader.cpp:130-237 policy)."""
+    cases = [
+        _mk_block(700, 120, seed=31, nfrac=0.02),   # many Ns, shared # qual
+        _mk_block(700, 120, seed=32, nfrac=0.0),    # no Ns
+        _mk_block(700, 120, seed=33, nfrac=0.0005), # <100 Ns -> npos anyway
+    ]
+    for block in cases:
+        want = vectorized.make_header_se(block)
+        got = vectorized.make_header_se(block, stats_fn=eng.quality_stats)
+        assert got.to_bytes() == want.to_bytes()
+    pe = _mk_block(600, 96, seed=34, pe_overlap=0.5, nfrac=0.01)
+    want = vectorized.make_header_pe(pe)
+    got = vectorized.make_header_pe(pe, stats_fn=eng.quality_stats)
+    assert got.to_bytes() == want.to_bytes()
+    assert got.support_interleaved == want.support_interleaved
+
+
+def test_device_quality_stats_nbasequal_policy(eng):
+    """Unique N-qual with >=100 Ns must pick the nBaseQual path (no npos
+    stream) through the device stats too."""
+    block = _mk_block(800, 120, seed=35, nfrac=0.02)
+    # force: all N quals '#', and no non-N position ever uses '#'
+    seqs = block.seq_flat.copy()
+    quals = block.qual_flat.copy()
+    quals[quals == ord("#")] = ord(",")
+    nm = seqs == ord("N")
+    assert nm.sum() >= 100
+    quals[nm] = ord("#")
+    block2 = ReadBlock(
+        block.n, block.name_flat, block.name_off, seqs, block.seq_off,
+        block.strand_flat, block.strand_off, quals, block.qual_off,
+    )
+    want = vectorized.make_header_se(block2)
+    assert not want.encode_n_pos() and want.n_base_qual == ord("#")
+    got = vectorized.make_header_se(block2, stats_fn=eng.quality_stats)
+    assert got.to_bytes() == want.to_bytes()
