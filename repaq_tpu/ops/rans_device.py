@@ -47,6 +47,40 @@ def _cmp_lookup(slot: jnp.ndarray, cum257: jnp.ndarray):
     return sym, (cnext - c).astype(jnp.uint32), c.astype(jnp.uint32)
 
 
+def _cmp_lookup_compact(slot: jnp.ndarray, bounds: jnp.ndarray,
+                        syms: jnp.ndarray, S: int):
+    """(sym, freq, cum) via compare-select against the COMPACT boundary
+    table of the S present symbols (S static, typically 4-16 for rfqz
+    streams) — the dense 256-wide compare-reduce costs 256/S times more
+    VPU work for the same answer. bounds: (S+1,) i32 cumulative starts +
+    SCALE; syms: (S,) i32. Both TRACED so different sections of the same
+    shape reuse one executable."""
+    ge = slot[:, None] >= bounds[None, :S]  # (lanes, S)
+    sym = jnp.zeros(slot.shape, jnp.int32) + syms[0]
+    for j in range(1, S):
+        sym = sym + jnp.where(ge[:, j], syms[j] - syms[j - 1], 0)
+    c = jnp.max(jnp.where(ge, bounds[None, :S], 0), axis=1)
+    hi = bounds[None, 1:]
+    cnext = jnp.min(jnp.where(slot[:, None] < hi, hi, jnp.int32(SCALE)),
+                    axis=1)
+    return sym, (cnext - c).astype(jnp.uint32), c.astype(jnp.uint32)
+
+
+def _select_fc(gi: jnp.ndarray, syms: jnp.ndarray, f_of_sym: jnp.ndarray,
+               c_of_sym: jnp.ndarray, S: int):
+    """(freq, cum) per symbol via compare-select over the S present
+    symbols — replaces two 256-LUT gathers over the whole grid (gathers
+    serialize on the VPU at ~0.11 Gelem/s). Tables traced; only S is
+    static."""
+    f = jnp.zeros(gi.shape, jnp.uint32)
+    c = jnp.zeros(gi.shape, jnp.uint32)
+    for j in range(S):
+        hit = gi == syms[j]
+        f = jnp.where(hit, f_of_sym[j].astype(jnp.uint32), f)
+        c = jnp.where(hit, c_of_sym[j].astype(jnp.uint32), c)
+    return f, c
+
+
 def _grid_of(data: jnp.ndarray, lanes: int) -> jnp.ndarray:
     """(n,) -> (steps, lanes): lane i owns the contiguous slice
     data[i*steps:(i+1)*steps] (n % lanes == 0), matching
@@ -92,10 +126,14 @@ def rans_encode_device(data: jnp.ndarray, freq_lut: jnp.ndarray,
         return state, (word, emit)
 
     # init derived from the data (x*0 + L) so the carry has the same
-    # varying-manual-axes type as the scanned tables under shard_map
+    # varying-manual-axes type as the scanned tables under shard_map.
+    # unroll: the body is a handful of elementwise ops over `lanes`
+    # values — per-iteration scan overhead dominates at 4096 lanes, and
+    # unrolling 8 symbols per iteration amortizes it without changing the
+    # per-lane symbol order (bytes identical).
     init = (gi[0] * 0 + RANS_L).astype(jnp.uint32)
     final, (words, emits) = jax.lax.scan(
-        step, init, (f_of[::-1], c_of[::-1])
+        step, init, (f_of[::-1], c_of[::-1]), unroll=8
     )
     return words, emits, final
 
@@ -147,13 +185,61 @@ def rans_encode_payload_device(data: jnp.ndarray, freq_lut, cum_lut,
     return out, lane_bytes, total
 
 
+def rans_encode_o0_image(data: jnp.ndarray, syms: jnp.ndarray,
+                         f_present: jnp.ndarray, c_present: jnp.ndarray,
+                         lanes: int, maxw_cap: int, S: int):
+    """Fast order-0 encode to a PER-LANE image (host does the trivial
+    span concatenation): compare-select tables (no 256-LUT gathers) and a
+    batched per-COLUMN sort that lays each lane's emitted words out in
+    decode order — the flat 2n-key global sort of the general path was the
+    dominant cost. Returns (state_img (lanes,4) u8, word_img
+    (lanes, 2*maxw_cap) u8, wcount (lanes,) i32). Lanes whose word count
+    exceeds maxw_cap must take the general path (host checks wcount)."""
+    grid = _grid_of(data, lanes)
+    gi = grid.astype(jnp.int32)
+    f_of, c_of = _select_fc(gi, syms, f_present, c_present, S)
+
+    def step(state, fc):
+        f, c = fc
+        emit = (state >> jnp.uint32(20)) >= f
+        word = (state & jnp.uint32(0xFFFF)).astype(jnp.uint16)
+        state = jnp.where(emit, state >> jnp.uint32(16), state)
+        state = ((state // f) << jnp.uint32(SCALE_BITS)) + (state % f) + c
+        return state, (word, emit)
+
+    init = (gi[0] * 0 + RANS_L).astype(jnp.uint32)
+    final, (words, emits) = jax.lax.scan(
+        step, init, (f_of[::-1], c_of[::-1]), unroll=8
+    )
+    wcount = jnp.sum(emits, axis=0).astype(jnp.int32)
+    rank = jnp.cumsum(emits.astype(jnp.int32), axis=0) - 1
+    dpos = wcount[None, :] - 1 - rank
+    key = jnp.where(emits, dpos, jnp.int32(2**31 - 1))
+    _sk, sw = jax.lax.sort(
+        (key, words.astype(jnp.int32)), dimension=0, num_keys=1
+    )
+    sw = sw[:maxw_cap]  # rows past the per-lane word count are inf-keyed
+    hi = ((sw >> 8) & 0xFF).astype(jnp.uint8)
+    lo = (sw & 0xFF).astype(jnp.uint8)
+    word_img = jnp.stack([hi, lo], axis=2).transpose(1, 0, 2).reshape(
+        lanes, 2 * maxw_cap
+    )
+    st = final.astype(jnp.uint32)
+    b = jnp.arange(4, dtype=jnp.uint32) * 8
+    state_img = ((st[:, None] >> b[None, :]) & 0xFF).astype(jnp.uint8)
+    return state_img, word_img, wcount
+
+
 def rans_decode_device(payload: jnp.ndarray, lane_counts: jnp.ndarray,
                        sym_lut: jnp.ndarray, freq_lut, cum_lut,
-                       lanes: int, steps: int, order: int):
+                       lanes: int, steps: int, order: int,
+                       compact: tuple | None = None):
     """Decode to a (steps, lanes) symbol grid (= data.reshape(lanes,
     steps).T). payload: flat per-lane image as produced above, padded with
     >= 2 zero bytes; sym_lut: (SCALE,) u8 for order-0 / (256, SCALE) for
-    order-1."""
+    order-1. compact: optional (syms (S,) traced, bounds (S+1,) traced,
+    S static) for the order-0 compare-select fast path (S-wide instead of
+    256-wide)."""
     lane_start = jnp.cumsum(lane_counts) - lane_counts
     s0 = lane_start
     state = (
@@ -171,12 +257,17 @@ def rans_decode_device(payload: jnp.ndarray, lane_counts: jnp.ndarray,
             [cum_lut.astype(jnp.int32),
              jnp.full(1, SCALE, dtype=jnp.int32)]
         )
+        if compact is not None:
+            c_syms, c_bounds, c_S = compact
 
     def step(carry, _):
         state, ptr, prev = carry
         slot = (state & mask).astype(jnp.int32)
         if order == 0:
-            sym, f, c = _cmp_lookup(slot, cum257)
+            if compact is not None:
+                sym, f, c = _cmp_lookup_compact(slot, c_bounds, c_syms, c_S)
+            else:
+                sym, f, c = _cmp_lookup(slot, cum257)
         else:
             sym = sym_lut[prev, slot].astype(jnp.int32)
             f = freq_lut[prev, sym].astype(jnp.uint32)
@@ -192,7 +283,7 @@ def rans_decode_device(payload: jnp.ndarray, lane_counts: jnp.ndarray,
         return (state, ptr, sym), sym.astype(jnp.uint8)
 
     (_s, _p, _pr), grid = jax.lax.scan(
-        step, (state, ptr, prev0), None, length=steps
+        step, (state, ptr, prev0), None, length=steps, unroll=8
     )
     return grid  # (steps, lanes)
 
@@ -234,10 +325,22 @@ def build_luts_grid(grid: np.ndarray, order: int):
     return bytes(head), freqs.astype(np.int32), cum.astype(np.int32), sym
 
 
+_FAST_CACHE: dict = {}
+
+
+def _bucket_pow2(x: int, lo: int = 16) -> int:
+    c = lo
+    while c < x:
+        c *= 2
+    return c
+
+
 def encode_section_device(data, order: int = 0,
                           lanes: int = rans_np.DEFAULT_LANES) -> bytes:
     """Drop-in for rans_np.encode_section (same bytes) running the scan on
-    the accelerator. Falls back to the host oracle for ragged tails."""
+    the accelerator. Falls back to the host oracle for ragged tails.
+    Order-0 sections with a small alphabet take the compare-select +
+    column-sort fast path (rans_encode_o0_image)."""
     arr = (
         np.frombuffer(data, dtype=np.uint8)
         if isinstance(data, (bytes, bytearray, memoryview))
@@ -254,6 +357,13 @@ def encode_section_device(data, order: int = 0,
     head += int(lanes).to_bytes(2, "little")
     tbl, freqs, cum, _sym = build_luts_grid(grid, order)
     head += tbl
+
+    syms_np = np.flatnonzero(freqs) if order == 0 else None
+    if order == 0 and 1 <= syms_np.shape[0] <= 32:
+        body = _encode_o0_fast(arr, freqs, cum, syms_np, lanes)
+        if body is not None:
+            return bytes(head) + body
+
     out_cap = 2 * n + 4 * lanes + 8  # true worst case: one word per symbol
     payload, lane_bytes, total = jax.jit(
         rans_encode_payload_device,
@@ -267,6 +377,57 @@ def encode_section_device(data, order: int = 0,
     body += counts.tobytes()
     body += np.asarray(payload[:total]).tobytes()
     return bytes(head) + bytes(body)
+
+
+def _encode_o0_fast(arr: np.ndarray, freqs: np.ndarray, cum: np.ndarray,
+                    syms_np: np.ndarray, lanes: int) -> bytes | None:
+    """Order-0 fast path: device emits per-lane word images in decode
+    order; host concatenates the spans (trivial memcpy work). Returns the
+    section body, or None when the word-cap guess was exceeded (caller
+    takes the general path)."""
+    from ..codec.blocks import gather_slices
+
+    n = arr.shape[0]
+    S = int(syms_np.shape[0])
+    steps = n // lanes
+    # expected words/lane from the exact entropy of the quantized model;
+    # pad generously — a miss only means one retry via the general path
+    p = freqs[syms_np] / SCALE
+    bits = float(-(p * np.log2(p)).sum()) * n
+    avg_w = bits / 16.0 / lanes
+    maxw_cap = min(_bucket_pow2(int(avg_w * 1.7) + 24), steps)
+    key = ("o0img", n, lanes, S, maxw_cap)
+    fn = _FAST_CACHE.get(key)
+    if fn is None:
+        fn = jax.jit(
+            lambda d, s, f, c: rans_encode_o0_image(
+                d, s, f, c, lanes, maxw_cap, S
+            )
+        )
+        _FAST_CACHE[key] = fn
+    f_present = freqs[syms_np].astype(np.int32)
+    c_present = cum[syms_np].astype(np.int32)
+    state_img, word_img, wcount = fn(
+        jnp.asarray(arr), jnp.asarray(syms_np.astype(np.int32)),
+        jnp.asarray(f_present), jnp.asarray(c_present),
+    )
+    # 1-D D2H is pathological on tunneled backends: fetch 2-D
+    wcount = np.asarray(wcount.reshape(-1, 128) if lanes % 128 == 0
+                        else wcount).reshape(-1)
+    if int(wcount.max(initial=0)) > maxw_cap:
+        return None
+    state_img = np.asarray(state_img)
+    word_img = np.asarray(word_img)
+    img = np.concatenate([state_img, word_img], axis=1)
+    row = img.shape[1]
+    lens = 4 + 2 * wcount.astype(np.int64)
+    starts = np.arange(lanes, dtype=np.int64) * row
+    payload = gather_slices(img.reshape(-1), starts, lens)
+    body = bytearray()
+    body += int(payload.shape[0]).to_bytes(4, "little")
+    body += lens.astype("<u4").tobytes()
+    body += payload.tobytes()
+    return bytes(body)
 
 
 def decode_section_device(buf, off: int = 0) -> tuple[bytes, int]:
@@ -316,14 +477,46 @@ def decode_section_device(buf, off: int = 0) -> tuple[bytes, int]:
         ((lane_counts - 4) % 2) != 0
     ).any():
         raise ValueError("rANS section lane table corrupt")
-    payload_pad = np.concatenate([payload, np.zeros(2, np.uint8)])
+    # bucket the payload length so every section of a shape class reuses
+    # one compiled decode executable
+    pcap = _bucket_pow2(payload.shape[0] + 2, lo=4096)
+    payload_pad = np.zeros(pcap, np.uint8)
+    payload_pad[: payload.shape[0]] = payload
     steps = n // lanes
-    grid = jax.jit(
-        rans_decode_device,
-        static_argnames=("lanes", "steps", "order"),
-    )(
-        jnp.asarray(payload_pad), jnp.asarray(lane_counts),
-        jnp.asarray(sym_d), jnp.asarray(freqs_d), jnp.asarray(cum_d),
-        lanes=lanes, steps=steps, order=order,
-    )
+    syms_np = np.flatnonzero(freqs) if order == 0 else None
+    if order == 0 and 1 <= syms_np.shape[0] <= 32:
+        # compact compare-select decode: S-wide instead of 256-wide
+        S = int(syms_np.shape[0])
+        key = ("o0dec", pcap, lanes, steps, S)
+        fn = _FAST_CACHE.get(key)
+        if fn is None:
+            dummy = jnp.zeros(1, jnp.int32)
+
+            def make(lanes=lanes, steps=steps, S=S):
+                def run(payload, counts, syms, bounds):
+                    return rans_decode_device(
+                        payload, counts, dummy, dummy, dummy,
+                        lanes=lanes, steps=steps, order=0,
+                        compact=(syms, bounds, S),
+                    )
+                return jax.jit(run)
+
+            fn = make()
+            _FAST_CACHE[key] = fn
+        bounds = np.concatenate(
+            [cum[syms_np], np.array([SCALE])]
+        ).astype(np.int32)
+        grid = fn(
+            jnp.asarray(payload_pad), jnp.asarray(lane_counts),
+            jnp.asarray(syms_np.astype(np.int32)), jnp.asarray(bounds),
+        )
+    else:
+        grid = jax.jit(
+            rans_decode_device,
+            static_argnames=("lanes", "steps", "order"),
+        )(
+            jnp.asarray(payload_pad), jnp.asarray(lane_counts),
+            jnp.asarray(sym_d), jnp.asarray(freqs_d), jnp.asarray(cum_d),
+            lanes=lanes, steps=steps, order=order,
+        )
     return np.asarray(grid).T.reshape(-1).tobytes(), off
