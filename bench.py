@@ -377,6 +377,82 @@ def bench_device_engine(f1: str, f2: str, total_bytes: int, tmp: str):
     return enc_mbps, dec_mbps
 
 
+def bench_device_rans() -> None:
+    """Resident (compute-only) device rANS rates for one 16MB order-0
+    section — the second stage's per-chip numbers; sections scale across
+    chips (parallel/mesh.make_sharded_rans_step)."""
+    import jax
+    import jax.numpy as jnp
+
+    if jax.devices()[0].platform == "cpu":
+        return
+    from repaq_tpu.codec import rans_np
+    from repaq_tpu.ops import rans_device as RD
+
+    n = 16 << 20
+    lanes = 4096
+    rng = np.random.default_rng(0)
+    data = rng.choice(np.frombuffer(b"FFFFFFFFFF:,#", np.uint8), size=n)
+    grid = data.reshape(lanes, n // lanes).T
+    _tbl, freqs, cum, _sym = RD.build_luts_grid(grid, 0)
+    syms = np.flatnonzero(freqs)
+    S = len(syms)
+    fp = jnp.asarray(freqs[syms].astype(np.int32))
+    cp = jnp.asarray(cum[syms].astype(np.int32))
+    sy = jnp.asarray(syms.astype(np.int32))
+    dd = jax.device_put(data)
+    maxw = 512
+    enc = jax.jit(
+        lambda d, s, f, c: RD.rans_encode_o0_image(d, s, f, c, lanes, maxw, S)
+    )
+    out = enc(dd, sy, fp, cp)
+    _ = int(jnp.sum(out[2][:1]))
+    t0 = time.time()
+    outs = [enc(dd, sy, fp, cp) for _ in range(4)]
+    for o in outs:
+        _ = int(jnp.sum(o[2][:1]))
+    enc_dt = (time.time() - t0) / 4
+
+    sec = RD.encode_section_device(data, order=0)
+    raw, _end = rans_np.decode_section(sec, 0)
+    assert raw == data.tobytes(), "device rANS section roundtrip"
+    buf = memoryview(sec)
+    off = 7
+    fr, off = rans_np.parse_table(buf, off)
+    pl = int.from_bytes(buf[off : off + 4], "little")
+    off += 4
+    lc = np.frombuffer(buf, dtype="<u4", count=lanes, offset=off).astype(
+        np.int32
+    )
+    off += 4 * lanes
+    pcap = 1 << 22
+    pp = np.zeros(pcap, np.uint8)
+    pp[:pl] = np.frombuffer(buf, dtype=np.uint8, count=pl, offset=off)
+    bounds = np.concatenate([cum[syms], np.array([4096])]).astype(np.int32)
+    steps = n // lanes
+    dummy = jnp.zeros(1, jnp.int32)
+    dec = jax.jit(
+        lambda p, l, s, b: RD.rans_decode_device(
+            p, l, dummy, dummy, dummy, lanes=lanes, steps=steps, order=0,
+            compact=(s, b, S),
+        )
+    )
+    args = (jax.device_put(pp), jax.device_put(lc), sy,
+            jax.device_put(bounds))
+    g = dec(*args)
+    _ = int(jnp.sum(g[0][:1].astype(jnp.int32)))
+    t0 = time.time()
+    gs = [dec(*args) for _ in range(4)]
+    for g in gs:
+        _ = int(jnp.sum(g[0][:1].astype(jnp.int32)))
+    dec_dt = (time.time() - t0) / 4
+    log(
+        "device rANS (16MB o0 section, resident): encode %.0f MB/s/chip, "
+        "decode %.0f MB/s/chip (host native: 58/155)"
+        % (n / 1e6 / enc_dt, n / 1e6 / dec_dt)
+    )
+
+
 def bench_device_kernels() -> float | None:
     """Per-chip on-device encode-kernel throughput (MB of seq+qual bytes per
     second), with a byte-exactness check of the produced streams against the
@@ -616,6 +692,11 @@ def main() -> None:
         dev_mbps = bench_device_kernels()
     except Exception as e:  # never lose the host result to a device hiccup
         log("device bench unavailable: %r" % (e,))
+
+    try:
+        bench_device_rans()
+    except Exception as e:
+        log("device rANS bench unavailable: %r" % (e,))
 
     # Headline: honest end-to-end PE encode throughput on this machine
     # (same quantity as the reference's published <1min/3408MB single-core

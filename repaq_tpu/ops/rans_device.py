@@ -248,6 +248,17 @@ def rans_decode_device(payload: jnp.ndarray, lane_counts: jnp.ndarray,
         | (payload[s0 + 2].astype(jnp.uint32) << jnp.uint32(16))
         | (payload[s0 + 3].astype(jnp.uint32) << jnp.uint32(24))
     )
+    # every lane span is 4 + 2w bytes, so every word read is 2-aligned:
+    # gather ONE u16 per renorm instead of two bytes (the per-step payload
+    # gather is the decode scan's dominant cost)
+    pad = (-payload.shape[0]) % 2
+    p_even = (
+        jnp.concatenate([payload, jnp.zeros(pad, jnp.uint8)]) if pad
+        else payload
+    )
+    p16 = jax.lax.bitcast_convert_type(
+        p_even.reshape(-1, 2), jnp.uint16
+    ).reshape(-1)
     ptr = (s0 + 4).astype(jnp.int32)
     prev0 = (state * 0).astype(jnp.int32)  # data-derived: shard_map vma
     mask = jnp.uint32(SCALE - 1)
@@ -274,10 +285,8 @@ def rans_decode_device(payload: jnp.ndarray, lane_counts: jnp.ndarray,
             c = cum_lut[prev, sym].astype(jnp.uint32)
         state = f * (state >> jnp.uint32(SCALE_BITS)) + (state & mask) - c
         need = state < jnp.uint32(RANS_L)
-        word = (
-            (payload[ptr].astype(jnp.uint32) << jnp.uint32(8))
-            | payload[ptr + 1].astype(jnp.uint32)
-        )
+        w16 = p16[ptr >> 1].astype(jnp.uint32)  # LE view; stream is hi,lo
+        word = ((w16 & 0xFF) << jnp.uint32(8)) | (w16 >> jnp.uint32(8))
         state = jnp.where(need, (state << jnp.uint32(16)) | word, state)
         ptr = jnp.where(need, ptr + 2, ptr)
         return (state, ptr, sym), sym.astype(jnp.uint8)
@@ -291,6 +300,25 @@ def rans_decode_device(payload: jnp.ndarray, lane_counts: jnp.ndarray,
 # ---------------------------------------------------------------------------
 # section-level drivers, byte-compatible with rans_np.encode_section
 # ---------------------------------------------------------------------------
+
+
+def decode_sections_o0_batch(payloads, lane_counts, syms, bounds,
+                             lanes: int, steps: int, S: int):
+    """vmap-batched order-0 decode of K equal-shape sections: the decode
+    scan is latency-bound on its per-step renorm gather, and batching K
+    sections turns K small gathers into one K-times-wider gather per step
+    — near-linear speedup in K. payloads (K, pcap) u8 (even pcap),
+    lane_counts (K, lanes) i32, syms (K, S) i32, bounds (K, S+1) i32.
+    Returns (K, steps, lanes) u8 symbol grids."""
+    dummy = jnp.zeros(1, jnp.int32)
+
+    def one(p, lc, s, b):
+        return rans_decode_device(
+            p, lc, dummy, dummy, dummy, lanes=lanes, steps=steps,
+            order=0, compact=(s, b, S),
+        )
+
+    return jax.vmap(one)(payloads, lane_counts, syms, bounds)
 
 
 def build_luts_grid(grid: np.ndarray, order: int):

@@ -243,3 +243,47 @@ def test_device_quality_stats_nbasequal_policy(eng):
     assert not want.encode_n_pos() and want.n_base_qual == ord("#")
     got = vectorized.make_header_se(block2, stats_fn=eng.quality_stats)
     assert got.to_bytes() == want.to_bytes()
+
+
+def test_oversized_many_bin_chunk_never_aborts():
+    """VERDICT r1 item 10: a chunk past the device-size limit (the
+    emission sort's 2^23 dest packing) with many quality bins must take
+    the host path transparently — byte-identical output, no assert."""
+    eng2 = DeviceEngine(min_bases=0, max_bases=50_000)  # tiny limit
+    rng = np.random.default_rng(41)
+    n, L = 1200, 60  # 72k bases > max_bases
+    quals64 = np.arange(33, 33 + 60, dtype=np.uint8)  # ~60 distinct bins
+    block = _mk_block(n, L, seed=41)
+    q = rng.choice(quals64, size=n * L).astype(np.uint8)
+    big = ReadBlock(
+        block.n, block.name_flat, block.name_off, block.seq_flat,
+        block.seq_off, block.strand_flat, block.strand_off, q,
+        block.qual_off,
+    )
+    header = vectorized.make_header_se(big)
+    before = eng2.stats["host_chunks"]
+    want = vectorized.encode_chunk(header, big, False)
+    got = eng2.encode_chunk(header, big, False)
+    assert eng2.stats["host_chunks"] == before + 1  # fell back, no abort
+    assert got.to_bytes() == want.to_bytes()
+    # decode side same boundary
+    dec = eng2.decode_chunk(header, got)
+    assert np.array_equal(dec.qual_flat, big.qual_flat)
+
+
+def test_device_boundary_chunk_exact():
+    """A chunk exactly at the device eligibility boundary encodes on
+    device; one base over goes host — both byte-identical."""
+    eng2 = DeviceEngine(min_bases=0, max_bases=30_000)
+    at = _mk_block(300, 100, seed=42)       # exactly 30k bases
+    over = _mk_block(301, 100, seed=42)     # 30.1k
+    header = vectorized.make_header_se(at)
+    d0 = eng2.stats["device_chunks"]
+    got_at = eng2.encode_chunk(header, at, False)
+    assert eng2.stats["device_chunks"] == d0 + 1
+    h0 = eng2.stats["host_chunks"]
+    header2 = vectorized.make_header_se(over)
+    got_over = eng2.encode_chunk(header2, over, False)
+    assert eng2.stats["host_chunks"] == h0 + 1
+    assert got_at.to_bytes() == vectorized.encode_chunk(header, at, False).to_bytes()
+    assert got_over.to_bytes() == vectorized.encode_chunk(header2, over, False).to_bytes()
