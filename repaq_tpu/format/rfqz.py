@@ -43,7 +43,7 @@ MODE_SEQLZ = 3  # LZ over UNPACKED bases of a 2-bit seq stream (phase-free)
 MODE_STORED = 255
 
 _LZ_MIN_BYTES = 16  # min match (bytes) for MODE_LZ
-_LZ_MIN_BASES = 32  # min match (bases) for MODE_SEQLZ
+_LZ_MIN_BASES = 24  # min match (bases) for MODE_SEQLZ
 _LZ_TRY_MIN = 64 << 10  # don't bother below this section size
 
 
@@ -168,22 +168,24 @@ def _encode_lz(arr: np.ndarray, mode: int, lanes: int) -> bytes | None:
     else:
         stream, minm = arr, _LZ_MIN_BYTES
     # probe parse: data without cross-record redundancy (e.g. reads of a
-    # random or unshared genome) finds no matches — detect that on a small
-    # prefix before paying the full hash-chain walk
-    probe_n = 4 << 20
+    # random or unshared genome) finds no matches — detect that on a
+    # prefix before paying the full hash-chain walk (the full parse runs
+    # at ~28M bytes/s; an always-on quarter-length probe caps the wasted
+    # work on incompressible streams at 25%)
+    probe_n = min(4 << 20, max(256 << 10, stream.shape[0] // 4))
     if stream.shape[0] > 2 * probe_n:
         _pl, pml, _pd = _native.lz_parse(stream[:probe_n], minm)
         if int(pml.sum()) * 8 < probe_n:
             return None
     ll, ml, dd = _native.lz_parse(stream, minm)
+    if ml.shape[0] <= 1 or int(ml.sum()) * 2 < n // 8:
+        return None  # too few matches to beat plain rANS — skip the work
     if mode == MODE_SEQLZ:
         lits = _native.pack_2bit(
             gather_slices(base_stream, _lz_lit_starts(ll, ml), ll)
         )
     else:
         lits = gather_slices(arr, _lz_lit_starts(ll, ml), ll)
-    if ml.shape[0] <= 1 or int(ml.sum()) * 2 < n // 8:
-        return None  # too few matches to beat plain rANS — skip the work
     fields, oraw = _lz_fields_bytes(ll, ml, dd)
     ntok = ll.shape[0]
     head = bytearray([mode])
@@ -306,7 +308,9 @@ def encode_block(data: bytes | np.ndarray, lanes: int = rans_np.DEFAULT_LANES,
             )
         else:
             best = enc
-    if arr.shape[0] >= _LZ_TRY_MIN and label in ("seq", "qual", "tail", None):
+    # qual is deliberately absent: order-1 rANS beats byte-LZ on quality
+    # streams in every measurement, so the parse there was pure overhead
+    if arr.shape[0] >= _LZ_TRY_MIN and label in ("seq", "tail", None):
         lz_mode = MODE_SEQLZ if label == "seq" else MODE_LZ
         try:
             lz = _encode_lz(arr, lz_mode, lanes)

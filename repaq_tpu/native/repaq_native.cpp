@@ -607,6 +607,7 @@ int64_t lz_parse(const uint8_t* data, int64_t n, int64_t min_match,
 
     int64_t ntok = 0;
     int64_t i = 0, lit_start = 0;
+    int64_t miss_run = 0;  // LZ4-style skip acceleration through deserts
     while (i + HB <= n) {
         uint32_t h = hash_at(i);
         int64_t cand = head[h];
@@ -641,8 +642,12 @@ int64_t lz_parse(const uint8_t* data, int64_t n, int64_t min_match,
             }
             i = end;
             lit_start = i;
+            miss_run = 0;
         } else {
-            i++;
+            // long literal deserts step faster; resets on any match so
+            // compressible regions keep full resolution
+            int64_t sk = miss_run++ >> 7;
+            i += 1 + (sk > 3 ? 3 : sk);
         }
     }
     if (lit_start < n || ntok == 0) {

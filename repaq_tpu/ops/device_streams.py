@@ -555,7 +555,7 @@ def token_start_mask(lens: jnp.ndarray, force_start: jnp.ndarray | None = None):
     # shard_map (a replicated literal carry fails lax.scan's vma check)
     ident = bmaps[:, 0, :] * 0 + jnp.arange(4, dtype=jnp.int32)[None, :]
     block_map, _ = jax.lax.scan(
-        comp_step, ident, jnp.moveaxis(bmaps, 1, 0)
+        comp_step, ident, jnp.moveaxis(bmaps, 1, 0), unroll=8
     )
 
     def compose(a, b):  # tiny: runs over nb elements only
@@ -573,7 +573,9 @@ def token_start_mask(lens: jnp.ndarray, force_start: jnp.ndarray | None = None):
         starts_col = state == 0
         return _apply_map4(mk, state), starts_col
 
-    _, cols = jax.lax.scan(replay_step, entry, jnp.moveaxis(bmaps, 1, 0))
+    _, cols = jax.lax.scan(
+        replay_step, entry, jnp.moveaxis(bmaps, 1, 0), unroll=8
+    )
     starts = jnp.moveaxis(cols, 0, 1).reshape(-1)[:n]
     if force_start is not None:
         starts = starts | force_start
