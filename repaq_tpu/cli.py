@@ -317,7 +317,15 @@ def main(argv: list[str] | None = None) -> int:
             if out1.endswith(".rfqz"):
                 from .format.rfqz import RfqzWriter
 
-                w = RfqzWriter(out1)
+                enc_sec = None
+                if args.engine == "device":
+                    # second stage on the chip too: sections entropy-coded
+                    # by the device rANS kernels (334 MB/s/chip resident;
+                    # transfer-bound over a tunnel, built for co-located)
+                    from .ops.rans_device import encode_section_device
+
+                    enc_sec = encode_section_device
+                w = RfqzWriter(out1, encode_section=enc_sec)
                 _run_compress(args, in1, "", chunk_size, engine, w)
                 w.close()
             elif out1.endswith(".xz"):

@@ -287,3 +287,30 @@ def test_device_boundary_chunk_exact():
     assert eng2.stats["host_chunks"] == h0 + 1
     assert got_at.to_bytes() == vectorized.encode_chunk(header, at, False).to_bytes()
     assert got_over.to_bytes() == vectorized.encode_chunk(header2, over, False).to_bytes()
+
+
+def test_cli_device_engine_rfqz(tmp_path):
+    """--engine device with a .rfqz target runs the device rANS for the
+    second stage too; roundtrip must be lossless."""
+    import gzip
+
+    fx = os.path.join(REPO, "tests", "fixtures")
+    env = dict(os.environ, JAX_PLATFORMS="cpu", REPAQ_DEVICE_MIN_BASES="0",
+               PYTHONPATH=REPO)
+    f1 = tmp_path / "in.fq"
+    f1.write_bytes(gzip.open(os.path.join(fx, "se_big.fq.gz")).read())
+    out = tmp_path / "o.rfqz"
+    r = subprocess.run(
+        [sys.executable, "-m", "repaq_tpu.cli", "-c", "-i", str(f1), "-o",
+         str(out), "--engine", "device"],
+        env=env, capture_output=True, text=True,
+    )
+    assert r.returncode == 0, r.stderr
+    back = tmp_path / "b.fq"
+    r = subprocess.run(
+        [sys.executable, "-m", "repaq_tpu.cli", "-d", "-i", str(out), "-o",
+         str(back)],
+        env=env, capture_output=True, text=True,
+    )
+    assert r.returncode == 0, r.stderr
+    assert back.read_bytes() == f1.read_bytes()
