@@ -110,6 +110,8 @@ def _load():
                                 _u8p, _i32, _u8p]
     lib.atoi_spans.restype = None
     lib.atoi_spans.argtypes = [_u8p, _i64p, _i64p, _i64, _i64p]
+    lib.parse_names_batch.restype = None
+    lib.parse_names_batch.argtypes = [_u8p, _i64p, _i64, _i64p]
     lib.lz_parse.restype = _i64
     lib.lz_parse.argtypes = [_u8p, _i64, _i64, _i64p, _i64p, _i64p, _i64]
     lib.lz_expand.restype = _i64
@@ -301,6 +303,20 @@ def rans_decode(payload: np.ndarray, lane_counts: np.ndarray,
         _ptr(payload, _u8p), _ptr(lane_counts, _i64p), lanes,
         _ptr(lane_off, _i64p), _ptr(freq, _i32p), _ptr(cum, _i32p),
         _ptr(sym_lut, _u8p), order, _ptr(out, _u8p),
+    )
+    return out
+
+
+def parse_names_batch(flat: np.ndarray, off: np.ndarray) -> np.ndarray:
+    """(n, 9) int64 rows: illumina, lane, tile, x, y, name1_start,
+    name1_len, name2_start, name2_len (exact meta.py state machine)."""
+    lib = _load()
+    n = off.shape[0] - 1
+    out = np.empty((n, 9), dtype=np.int64)
+    off = np.ascontiguousarray(off, dtype=np.int64)
+    flat = np.ascontiguousarray(flat, dtype=np.uint8)
+    lib.parse_names_batch(
+        _ptr(flat, _u8p), _ptr(off, _i64p), n, _ptr(out, _i64p)
     )
     return out
 

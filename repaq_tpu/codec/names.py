@@ -80,6 +80,23 @@ def parse_names(flat: np.ndarray, off: np.ndarray) -> dict:
     """Parse n names. Returns dict of per-read arrays:
     illumina, lane(u8-masked), tile(u16), x(u32), y(u32),
     name1_start/name1_len, name2_start/name2_len (absolute into flat)."""
+    from . import _native
+
+    if _native.available():
+        # one tight pass per name (the numpy event algebra below is the
+        # cross-checked fallback; both mirror meta.py exactly)
+        m = _native.parse_names_batch(flat, off)
+        return {
+            "illumina": m[:, 0].astype(bool),
+            "lane": m[:, 1],
+            "tile": m[:, 2],
+            "x": m[:, 3],
+            "y": m[:, 4],
+            "name1_start": m[:, 5],
+            "name1_len": m[:, 6],
+            "name2_start": m[:, 7],
+            "name2_len": m[:, 8],
+        }
     n = off.shape[0] - 1
     starts = off[:-1].astype(np.int64)
     ends = off[1:].astype(np.int64)

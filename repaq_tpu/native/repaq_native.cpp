@@ -690,3 +690,109 @@ int64_t lz_expand(const int64_t* lit_lens, const int64_t* match_lens,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Illumina name parsing (reference fastqmeta.cpp:22-80), one pass per name.
+// Exact port of the scalar state machine in repaq_tpu/meta.py (including
+// the overwrite behaviors for 4-6 colons followed by a space); cross-
+// checked against both the scalar and the numpy event-algebra parsers in
+// tests/test_vectorized.py.
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+static int64_t atoi_span_one(const uint8_t* flat, int64_t i, int64_t e) {
+    const int64_t I64MAX = 0x7FFFFFFFFFFFFFFFLL;
+    while (i < e) {
+        uint8_t c = flat[i];
+        if (c == ' ' || (c >= '\t' && c <= '\r')) i++;
+        else break;
+    }
+    int sign = 1;
+    if (i < e && (flat[i] == '+' || flat[i] == '-')) {
+        if (flat[i] == '-') sign = -1;
+        i++;
+    }
+    uint64_t acc = 0;
+    unsigned __int128 mag = 0;
+    const unsigned __int128 CLAMP = ((unsigned __int128)1) << 70;
+    while (i < e && flat[i] >= '0' && flat[i] <= '9') {
+        uint32_t d = flat[i] - '0';
+        acc = acc * 10u + d;
+        if (mag < CLAMP) mag = mag * 10 + d;
+        i++;
+    }
+    uint32_t low;
+    if (sign > 0 && mag > (unsigned __int128)I64MAX) {
+        low = 0xFFFFFFFFu;  // INT64_MAX truncated to int32 = -1
+    } else if (sign > 0) {
+        low = (uint32_t)acc;
+    } else {
+        low = (uint32_t)(0u - (uint32_t)acc);
+    }
+    return (int64_t)(int32_t)low;
+}
+
+// out: (n, 9) int64 rows =
+//   [illumina, lane, tile, x, y, name1_start, name1_len, name2_start,
+//    name2_len]; starts absolute into flat.
+void parse_names_batch(const uint8_t* flat, const int64_t* off, int64_t n,
+                       int64_t* out) {
+    for (int64_t k = 0; k < n; k++) {
+        int64_t s = off[k], e = off[k + 1];
+        int64_t len = e - s;
+        int colon = 0;
+        int64_t last_colon_pos = 0;
+        int64_t coords_start_at = 0, coords_end_at = 0;
+        int64_t lane = 0, tile = 0, x = 0, y = 0;
+        for (int64_t i = 0; i < len; i++) {
+            uint8_t c = flat[s + i];
+            int is_colon = c == ':';
+            int is_space = c == ' ';
+            if (is_colon) colon++;
+            if (is_colon || is_space) {
+                if (colon >= 4 && colon <= 7) {
+                    int64_t val = atoi_span_one(
+                        flat, s + last_colon_pos + 1, s + i);
+                    if (colon == 4) {
+                        lane = val;
+                        coords_start_at = last_colon_pos + 1;
+                    } else if (colon == 5) {
+                        tile = val;
+                    } else if (colon == 6) {
+                        if (is_colon) x = val;
+                    } else if (colon == 7) {
+                        y = val;
+                    }
+                    if (is_space && colon == 6) y = val;
+                }
+            }
+            if (is_colon) last_colon_pos = i;
+            if (is_space || (is_colon && colon == 7)) {
+                coords_end_at = i;
+                break;
+            }
+        }
+        int64_t* row = out + 9 * k;
+        if (coords_start_at > 0 && coords_end_at > 0) {
+            row[0] = 1;
+            row[1] = lane & 0xFF;
+            row[2] = tile & 0xFFFF;
+            row[3] = x & 0xFFFFFFFFLL;
+            row[4] = y & 0xFFFFFFFFLL;
+            row[5] = s;
+            row[6] = coords_start_at - 1;
+            row[7] = s + coords_end_at;
+            row[8] = e - (s + coords_end_at);
+        } else {
+            row[0] = 0;
+            row[1] = row[2] = row[3] = row[4] = 0;
+            row[5] = s;
+            row[6] = len;
+            row[7] = e;
+            row[8] = 0;
+        }
+    }
+}
+
+}  // extern "C"

@@ -248,3 +248,43 @@ def test_parse_names_block_fuzz():
         assert flat[s : s + ln].tobytes() == m.name_part1, c
         s, ln = int(res["name2_start"][i]), int(res["name2_len"][i])
         assert flat[s : s + ln].tobytes() == m.name_part2, c
+
+
+def test_parse_names_native_equals_numpy():
+    """The native batch parser and the numpy event algebra must agree on
+    every field for adversarial name shapes."""
+    from repaq_tpu.codec import _native
+    from repaq_tpu.codec import names as N
+
+    if not _native.available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+    rng = random.Random(77)
+    alph = b"@ABC:0123456789 /x-+::  "
+    cases = [
+        bytes(rng.choice(alph) for _ in range(rng.randint(0, 60)))
+        for _ in range(2000)
+    ] + [
+        b"@A00251:28:H3YV7DSXX:4:1101:5284:1000 1:N:0:TAAGTGGC",
+        b"@a:b:c:d:5:6 tail",
+        b"@a:b:c:d:5:6:7:8:9",
+        b"@::::::",
+        b"@x y",
+        b"",
+        b"@a:b:c:-99999999999999999999:5:6:7 z",
+    ]
+    lens = np.array([len(c) for c in cases], dtype=np.int64)
+    flat = np.frombuffer(b"".join(cases), dtype=np.uint8)
+    off = lens_to_offsets(lens)
+    got = N.parse_names(flat, off)  # native path
+    # force the numpy algebra
+    import unittest.mock as mock
+
+    with mock.patch.object(_native, "available", lambda: False):
+        want = N.parse_names(flat, off)
+    for k in got:
+        assert np.array_equal(
+            np.asarray(got[k], dtype=np.int64),
+            np.asarray(want[k], dtype=np.int64),
+        ), k
