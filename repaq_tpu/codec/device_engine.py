@@ -617,6 +617,8 @@ class DeviceEngine:
     # ------------------------------------------------------------------
 
     def decode_chunk(self, header: RfqHeader, chunk: RfqChunk) -> ReadBlock:
+        from ..constants import BIT_PE_INTERLEAVED
+
         n = chunk.reads
         if n == 0:
             return ReadBlock.from_reads([])
@@ -624,21 +626,112 @@ class DeviceEngine:
         L = int(read_lens[0])
         uniform = bool((read_lens == L).all())
         n_total = int(read_lens.sum())
+        pe = bool(chunk.flags & BIT_PE_INTERLEAVED)
+        # ragged chunks are fine on device when no PE interleave is in
+        # play: the flat streams need no per-read geometry (only the PE
+        # revcomp/expansion works in a (reads, L) grid)
         eligible = (
             header.encode_qual_by_col()
-            and uniform
-            and L > 0
+            and (uniform if pe else True)
+            and n_total > 0
             and self.min_bases <= n_total <= self.max_bases
         )
         if not eligible:
             self.stats["host_decodes"] += 1
             return vectorized.decode_chunk(header, chunk)
-        block = self._decode_device(header, chunk, n, L)
+        if pe:
+            block = self._decode_device(header, chunk, n, L)
+        else:
+            block = self._decode_device_flat(header, chunk, n, read_lens)
         if block is None:
             self.stats["host_decodes"] += 1
             return vectorized.decode_chunk(header, chunk)
         self.stats["device_decodes"] += 1
         return block
+
+    def _decode_device_flat(self, header, chunk, b, read_lens) -> ReadBlock | None:
+        """Non-interleaved decode (uniform OR ragged read lengths): the
+        streams are position-addressed, so the flat kernels need only the
+        total length; per-read offsets stay host-side for assembly
+        (reference rfqcodec.cpp:1049-1260 minus the PE branches)."""
+        jax = self._jax
+        import jax.numpy as jnp
+
+        n_total = int(read_lens.sum())
+        if (n_total + 3) // 4 != len(chunk.seq_buf):
+            return None  # corrupt container: let the host path error out
+        nbins = int(header.normal_qual_bins())
+        n_cap = _bucket(n_total, lo=4096)
+        qual_len = len(chunk.qual_buf)
+        qb_cap = _bucket(qual_len + 8, lo=1024)
+        npos_len = len(chunk.npos_buf) if header.encode_n_pos() else 0
+        nb_cap = _bucket(npos_len + 8, lo=64)
+        np_cap = _bucket(min(32 * npos_len + 8, n_cap), lo=64)
+        if 4 * nbins + qb_cap > (1 << 23):
+            return None
+
+        key = ("decflat", n_cap, nbins, qb_cap, nb_cap, np_cap,
+               bool(header.encode_n_pos()), int(header.n_base_qual))
+        step = self._dec_cache.get(key)
+        if step is None:
+            step = self._build_decode_flat(key)
+            self._dec_cache[key] = step
+
+        pk_cap = n_cap // 4
+        packed = np.zeros(pk_cap, dtype=np.uint8)
+        packed[: len(chunk.seq_buf)] = np.frombuffer(
+            chunk.seq_buf, dtype=np.uint8
+        )
+        qual_buf = np.zeros(qb_cap, dtype=np.uint8)
+        qual_buf[:qual_len] = np.frombuffer(chunk.qual_buf, dtype=np.uint8)
+        npos_buf = np.zeros(nb_cap, dtype=np.uint8)
+        if npos_len:
+            npos_buf[:npos_len] = np.frombuffer(
+                chunk.npos_buf, dtype=np.uint8
+            )
+        bins_dev, major, _table = self._palette_for(header)
+        payload = step(
+            jax.device_put(packed), jax.device_put(qual_buf),
+            jnp.int32(qual_len), jax.device_put(npos_buf),
+            jnp.int32(npos_len), bins_dev, jnp.uint8(major),
+        )
+        raw = self._fetch(payload)
+        seq = raw[:n_total].copy()
+        qual = raw[n_cap : n_cap + n_total].copy()
+        seq_off = lens_to_offsets(read_lens)
+        return vectorized.assemble_block(
+            header, chunk, b, read_lens, seq_off, seq, qual
+        )
+
+    def _build_decode_flat(self, key):
+        (_tag, n_cap, nbins, qb_cap, nb_cap, np_cap, has_npos, nbq) = key
+        jax = self._jax
+        import jax.numpy as jnp
+
+        from ..ops.device_streams import (
+            decode_positions_device,
+            qualcol_decode_device,
+        )
+        from ..ops.pallas_tpu import unpack_bases_pallas
+
+        def step(packed, qual_buf, qual_len, npos_buf, npos_len, bins,
+                 major):
+            seq = unpack_bases_pallas(packed)[:n_cap]
+            if has_npos:
+                pos, _cnt = decode_positions_device(
+                    npos_buf, npos_len, np_cap
+                )
+                tgt = jnp.where(pos >= 0, pos, n_cap)
+                seq = jnp.concatenate([seq, jnp.zeros(1, jnp.uint8)])
+                seq = seq.at[tgt].set(_N, mode="drop")[:n_cap]
+            qual = qualcol_decode_device(
+                qual_buf, nbins, bins, major, n_cap, qual_len
+            )
+            if not has_npos and nbq < 128:
+                seq = jnp.where(qual == nbq, jnp.uint8(_N), seq)
+            return self._pack_payload([seq, qual])
+
+        return jax.jit(step)
 
     def _decode_device(self, header, chunk, b, L) -> ReadBlock | None:
         jax = self._jax

@@ -314,3 +314,26 @@ def test_cli_device_engine_rfqz(tmp_path):
     )
     assert r.returncode == 0, r.stderr
     assert back.read_bytes() == f1.read_bytes()
+
+
+def test_ragged_decode_on_device(eng):
+    """Non-interleaved chunks with ragged read lengths decode on device
+    (flat streams need no per-read geometry)."""
+    rng = np.random.default_rng(51)
+    reads = []
+    from repaq_tpu.codec.oracle import FastqRead
+
+    for i in range(400):
+        L = int(rng.integers(40, 160))
+        seq = bytes(rng.choice(np.frombuffer(b"ACGTN", np.uint8), size=L, p=[0.24, 0.24, 0.24, 0.24, 0.04]))
+        qual = bytes(rng.choice(np.frombuffer(b"FF:,#", np.uint8), size=L))
+        reads.append(FastqRead(b"@SIM:1:F:2:1101:%d:%d 1:N:0:AT" % (i, i), seq, b"+", qual))
+    block = ReadBlock.from_reads(reads)
+    header = vectorized.make_header_se(block)
+    chunk = vectorized.encode_chunk(header, block, False)
+    before = eng.stats["device_decodes"]
+    got = eng.decode_chunk(header, chunk)
+    assert eng.stats["device_decodes"] == before + 1
+    want = vectorized.decode_chunk(header, chunk)
+    for f in ("name_flat", "seq_flat", "qual_flat", "seq_off"):
+        assert np.array_equal(getattr(got, f), getattr(want, f)), f
