@@ -306,6 +306,62 @@ class FastqReader:
                 return block, self._flag_visible(e)
             want = total + max(4, total // 2)
 
+    def _consume_skip(self, k: int) -> int:
+        """Advance past the first k available records WITHOUT building
+        arrays — identical consumption arithmetic to _consume_block;
+        returns the global offset e after the k-th record. Powers the
+        multi-host chunk planner, which needs boundaries + flags only."""
+        nl = self._nl_all()
+        lpr = self._lpr
+        count_term = min(k, nl.shape[0] // lpr)
+        if k > count_term:
+            new_used = len(self._buf) + 1  # unterminated final record
+        else:
+            new_used = int(nl[lpr * count_term - 1]) + 1
+        self._buf_used = new_used
+        self._nl = self._nl[np.searchsorted(self._nl, new_used) :]
+        e = self._gbase + min(new_used, len(self._buf))
+        self._compact()
+        return e
+
+    def skip_block(
+        self, budget_bases: Optional[int] = None,
+        max_records: Optional[int] = None,
+    ) -> tuple[int, bool]:
+        """Plan-only twin of read_block: same record selection and
+        consumption, no field gathers. Returns (record_count, flag)."""
+        if self._dead:
+            return 0, self.has_no_line_break_at_end()
+        if self._scalar_mode:
+            block, flag = self._read_block_scalar(budget_bases, max_records)
+            return (block.n if block is not None else 0), flag
+        want = max_records if max_records is not None else 4
+        while True:
+            avail = self.ensure_available(want)
+            if avail < 0:
+                block, flag = self._read_block_scalar(
+                    budget_bases, max_records
+                )
+                return (block.n if block is not None else 0), flag
+            if avail == 0:
+                return 0, self.has_no_line_break_at_end()
+            total, seq_lens, _ = self._available()
+            if max_records is not None:
+                if total >= max_records or self._eof:
+                    k = min(total, max_records)
+                    return k, self._flag_visible(self._consume_skip(k))
+                want = max_records
+                continue
+            cum = np.cumsum(seq_lens)
+            cut = int(np.searchsorted(cum, budget_bases, side="left"))
+            if cut < total:
+                return cut + 1, self._flag_visible(
+                    self._consume_skip(cut + 1)
+                )
+            if self._eof:
+                return total, self._flag_visible(self._consume_skip(total))
+            want = total + max(4, total // 2)
+
     def _read_block_scalar(self, budget_bases, max_records):
         reads = []
         bases = 0
@@ -480,6 +536,70 @@ class FastqReaderPair:
             self.left._flag_visible(e1),
             self.right._flag_visible(e2),
         )
+
+    def skip_pair_block(self, budget_bases: int) -> tuple[int, bool, bool]:
+        """Plan-only twin of read_pair_block: same pair selection, no
+        array building. Returns (n_pairs, flag_r1, flag_r2)."""
+        if self.interleaved:
+            r = self.left
+            while True:
+                if r.ensure_available(2) < 0:
+                    block, f1, f2 = self._read_pair_block_scalar(budget_bases)
+                    return (block.n // 2 if block is not None else 0), f1, f2
+                total, seq_lens, _ = r._available()
+                pairs = total // 2
+                if pairs > 0:
+                    psum = (
+                        seq_lens[0 : 2 * pairs : 2]
+                        + seq_lens[1 : 2 * pairs : 2]
+                    )
+                    cum = np.cumsum(psum)
+                    cut = int(np.searchsorted(cum, budget_bases, side="left"))
+                    if cut < pairs:
+                        f = r._flag_visible(r._consume_skip(2 * (cut + 1)))
+                        return cut + 1, f, f
+                if r._eof:
+                    if pairs == 0:
+                        f = r.has_no_line_break_at_end()
+                        return 0, f, f
+                    f = r._flag_visible(r._consume_skip(2 * pairs))
+                    return pairs, f, f
+                r._fetch_block()
+        r1, r2 = self.left, self.right
+        while True:
+            if r1.ensure_available(1) < 0 or r2.ensure_available(1) < 0:
+                block, f1, f2 = self._read_pair_block_scalar(budget_bases)
+                return (block.n // 2 if block is not None else 0), f1, f2
+            t1, l1, _ = r1._available()
+            t2, l2, _ = r2._available()
+            m = min(t1, t2)
+            if m > 0:
+                cum = np.cumsum(l1[:m] + l2[:m])
+                cut = int(np.searchsorted(cum, budget_bases, side="left"))
+                if cut < m:
+                    k = cut + 1
+                    return (
+                        k,
+                        r1._flag_visible(r1._consume_skip(k)),
+                        r2._flag_visible(r2._consume_skip(k)),
+                    )
+            grew = False
+            if t1 == m and not r1._eof:
+                r1._fetch_block()
+                grew = True
+            if t2 == m and not r2._eof:
+                r2._fetch_block()
+                grew = True
+            if not grew:
+                if m == 0:
+                    return 0, r1.has_no_line_break_at_end(), (
+                        r2.has_no_line_break_at_end()
+                    )
+                return (
+                    m,
+                    r1._flag_visible(r1._consume_skip(m)),
+                    r2._flag_visible(r2._consume_skip(m)),
+                )
 
     def _read_pair_block_interleaved(self, budget_bases: int):
         r = self.left

@@ -46,16 +46,21 @@ class ChunkSpec:
 
 
 def plan_chunks(path: str, chunk_size: int = 1_000_000) -> list[ChunkSpec]:
-    """One scanning pass: chunk boundaries + per-chunk flag state."""
+    """One scanning pass: chunk boundaries + per-chunk flag state.
+
+    Uses the reader's plan-only skip path (identical record selection, no
+    field gathers) — every rank re-plans independently, so the planner's
+    cost is the serial fraction of multi-host scaling and must stay far
+    below the encode cost."""
     reader = FastqReader(path)
     plan: list[ChunkSpec] = []
     offset = 0
     while True:
-        block, flag = reader.read_block(budget_bases=chunk_size)
-        if block is None or block.n == 0:
+        n, flag = reader.skip_block(budget_bases=chunk_size)
+        if n == 0:
             break
         end = reader._gbase + min(reader._buf_used, len(reader._buf))
-        plan.append(ChunkSpec(offset, end, block.n, flag))
+        plan.append(ChunkSpec(offset, end, n, flag))
         offset = end
     reader.close()
     return plan
@@ -182,8 +187,8 @@ def plan_pair_chunks(
     plan: list[PairChunkSpec] = []
     off1 = off2 = 0
     while True:
-        block, f1, f2 = pair.read_pair_block(chunk_size)
-        if block is None or block.n == 0:
+        n_pairs, f1, f2 = pair.skip_pair_block(chunk_size)
+        if n_pairs == 0:
             break
         r1 = pair.left
         end1 = r1._gbase + min(r1._buf_used, len(r1._buf))
@@ -192,7 +197,7 @@ def plan_pair_chunks(
         else:
             r2 = pair.right
             end2 = r2._gbase + min(r2._buf_used, len(r2._buf))
-        plan.append(PairChunkSpec(off1, end1, off2, end2, block.n // 2, f1, f2))
+        plan.append(PairChunkSpec(off1, end1, off2, end2, n_pairs, f1, f2))
         off1, off2 = end1, end2
     pair.close()
     return plan
