@@ -593,7 +593,7 @@ def _stream_lens_device(buf: jnp.ndarray) -> jnp.ndarray:
 
 def decode_positions_device(buf: jnp.ndarray, valid_len: jnp.ndarray,
                             max_positions: int, force_start=None,
-                            valid_begin=0):
+                            valid_begin=0, starts=None):
     """Decode a gap/run stream (reference rfqcodec.cpp:957-1007) on device.
 
     buf: (m,) uint8 stream padded with >=4 zero bytes beyond valid_len;
@@ -601,12 +601,15 @@ def decode_positions_device(buf: jnp.ndarray, valid_len: jnp.ndarray,
     (max_positions,) int32 padded with -1, count). Restart semantics:
     positions/state reset wherever force_start is True (used to decode all
     per-bin streams in one pass; each segment's `last` restarts at -1).
+    starts: optional precomputed token-start mask (the FSM is the dominant
+    cost; qualcol decode shares one mask across its two uses).
     """
     m = buf.shape[0]
     idx = jnp.arange(m, dtype=jnp.int32)
     in_range = (idx >= valid_begin) & (idx < valid_len)
-    lens = jnp.where(in_range, _stream_lens_device(buf), 1)
-    starts = token_start_mask(lens, force_start) & in_range
+    if starts is None:
+        lens = jnp.where(in_range, _stream_lens_device(buf), 1)
+        starts = token_start_mask(lens, force_start) & in_range
 
     b0 = buf.astype(jnp.int32)
     nxt1 = jnp.roll(buf, -1).astype(jnp.int32)
@@ -695,14 +698,15 @@ def qualcol_decode_device(buf: jnp.ndarray, nbins: int, bins: jnp.ndarray,
     force = force.at[jnp.minimum(stream_begin, m)].set(True, mode="drop")
     force = force[:m] & in_streams
 
-    positions, _cnt = decode_positions_device(
-        buf, stream_end, length, force_start=force, valid_begin=4 * nbins
-    )
-
-    # per-position bin id: count positions per bin, then bucket the output
-    # slots by the per-bin cumulative position counts
+    # ONE token-FSM pass serves both the position decode and the per-bin
+    # accounting below (the FSM is the dominant decode cost)
     lens_dev = jnp.where(in_streams, _stream_lens_device(buf), 1)
     starts = token_start_mask(lens_dev, force) & in_streams
+
+    positions, _cnt = decode_positions_device(
+        buf, stream_end, length, force_start=force, valid_begin=4 * nbins,
+        starts=starts,
+    )
     b0 = buf.astype(jnp.int32)
     is_run = (b0 >= 0xC0) & (b0 < 0xE0)
     npos_tok = jnp.where(starts, jnp.where(is_run, (b0 & 0x1F) + 1, 1), 0)
