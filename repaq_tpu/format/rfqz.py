@@ -45,10 +45,17 @@ MODE_STORED = 255
 _LZ_MIN_BYTES = 16  # min match (bytes) for MODE_LZ
 _LZ_MIN_BASES = 24  # min match (bases) for MODE_SEQLZ
 _LZ_TRY_MIN = 64 << 10  # don't bother below this section size
+# decoder-side sanity cap on a section's declared uncompressed size: far
+# above any real section (DEFAULT_BLOCK is 16MB) but small enough that a
+# crafted header can't force a multi-GB allocation before validation
+_LZ_MAX_OUT = 1 << 28
 
 
 class RfqzFormatError(RfqFormatError):
     """Subclasses RfqFormatError so the CLI's error path covers it."""
+
+
+_LZ_WARNED = False
 
 
 def _entropy_bits_order0(counts: np.ndarray) -> float:
@@ -213,6 +220,10 @@ def _decode_lz(buf: memoryview, off: int, decode_section) -> tuple[bytes, int]:
     n = int.from_bytes(buf[off + 1 : off + 5], "little")
     ntok = int.from_bytes(buf[off + 5 : off + 9], "little")
     nover = int.from_bytes(buf[off + 9 : off + 13], "little")
+    # bound header fields BEFORE any allocation: a corrupt/crafted archive
+    # must raise, not OOM the decoder (out_len can be 4*n for MODE_SEQLZ)
+    if n > _LZ_MAX_OUT or ntok > n + 1 or nover > 3 * ntok + 4:
+        raise RfqzFormatError("LZ rfqz section header corrupt")
     off += 13
     fields_b, off = decode_block(buf, off, decode_section)
     if len(buf) - off < 8 * nover:
@@ -314,7 +325,17 @@ def encode_block(data: bytes | np.ndarray, lanes: int = rans_np.DEFAULT_LANES,
         lz_mode = MODE_SEQLZ if label == "seq" else MODE_LZ
         try:
             lz = _encode_lz(arr, lz_mode, lanes)
-        except Exception:
+        except (OSError, ValueError) as e:
+            # only expected unavailability errors; anything else (a real
+            # defect in the native parse/pack path) must propagate, not be
+            # silently read as "LZ not profitable"
+            global _LZ_WARNED
+            if not _LZ_WARNED:
+                import sys
+
+                print("repaq_tpu: LZ stage unavailable (%s); "
+                      "continuing without it" % e, file=sys.stderr)
+                _LZ_WARNED = True
             lz = None
         if lz is not None and len(lz) < len(best):
             best = lz

@@ -628,7 +628,10 @@ int64_t lz_parse(const uint8_t* data, int64_t n, int64_t min_match,
         int walked = 0;
         while (cand >= 0 && walked < MAXCHAIN) {
             // extend only if it beats best: check the byte at best_len
-            if (cand + best_len < i && data[cand + best_len] == data[i + best_len]) {
+            // (i + best_len < n guards the probe when a prior candidate
+            // already matched to end-of-stream — reading data[n] is UB)
+            if (i + best_len < n && cand + best_len < i &&
+                data[cand + best_len] == data[i + best_len]) {
                 int64_t l = 0;
                 int64_t lim = n - i;
                 while (l < lim && data[cand + l] == data[i + l]) l++;

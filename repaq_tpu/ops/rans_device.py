@@ -353,7 +353,31 @@ def build_luts_grid(grid: np.ndarray, order: int):
     return bytes(head), freqs.astype(np.int32), cum.astype(np.int32), sym
 
 
-_FAST_CACHE: dict = {}
+class _LruCache:
+    """Bounded jit-executable cache: a long-running process over
+    heterogeneous section shapes must not grow XLA compile memory without
+    bound (round-2 advisor). 32 entries covers every shape a normal run
+    mints (shapes are pow2-bucketed); eviction only costs a recompile."""
+
+    def __init__(self, cap: int = 32):
+        self.cap = cap
+        self._d: dict = {}
+
+    def get(self, key):
+        v = self._d.get(key)
+        if v is not None:  # refresh recency
+            self._d.pop(key)
+            self._d[key] = v
+        return v
+
+    def __setitem__(self, key, v):
+        self._d.pop(key, None)
+        while len(self._d) >= self.cap:
+            self._d.pop(next(iter(self._d)))
+        self._d[key] = v
+
+
+_FAST_CACHE = _LruCache()
 
 
 def _bucket_pow2(x: int, lo: int = 16) -> int:

@@ -148,16 +148,39 @@ def is_reference_truncation(orig, got):
         return False
     if a.startswith(b):
         return True
-    ra = a.split(b"\n")
-    rb = b.split(b"\n")
+    # match whole 4-line RECORDS, not lines (round-2 advisor: line-level
+    # matching could classify genuine corruption — e.g. only a qual line
+    # dropped — as the known leak), and require the drops to form at most
+    # two contiguous runs of records (the leak drops one lookahead chunk,
+    # plus possibly the final partial chunk).
+    def records(data):
+        lines = data.split(b"\n")
+        if lines and lines[-1] == b"":
+            lines.pop()
+        if len(lines) % 4 != 0:
+            return None
+        return [tuple(lines[j : j + 4]) for j in range(0, len(lines), 4)]
+
+    ra = records(a)
+    rb = records(b)
+    if ra is None or rb is None:
+        return False
     i = 0
-    for line in rb:
-        while i < len(ra) and ra[i] != line:
+    gap_runs = 0
+    in_gap = False
+    for rec in rb:
+        skipped = 0
+        while i < len(ra) and ra[i] != rec:
             i += 1
+            skipped += 1
         if i >= len(ra):
             return False
+        if skipped:
+            gap_runs += 1
         i += 1
-    return True
+    if i < len(ra):
+        gap_runs += 1  # trailing drop
+    return gap_runs <= 2
 
 
 def main(trials: int) -> int:
