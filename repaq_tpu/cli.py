@@ -65,8 +65,9 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument(
         "--workers", "-w", type=int, default=1,
-        help="encoder worker threads (chunks are data-parallel; output is "
-        "identical for any worker count). Extension over the reference.",
+        help="codec worker threads for compress AND decompress (chunks are "
+        "data-parallel; output is identical for any worker count). "
+        "Extension over the reference.",
     )
     p.add_argument(
         "--profile", action="store_true",
@@ -74,10 +75,12 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument(
         "--num_shards", type=int, default=0,
-        help="multi-host data-parallel compress: total process count. Each "
-        "process encodes a contiguous chunk range to <out1>.part<shard>; "
-        "shard 0 assembles the parts in order once all exist. Extension "
-        "over the reference (plain non-gz inputs, .rfq output).",
+        help="multi-host data-parallel compress OR decompress: total "
+        "process count. Each process codes a contiguous chunk range to "
+        "<out1>.part<shard>; shard 0 assembles the parts in order once "
+        "all exist. Extension over the reference (compress: plain non-gz "
+        "inputs, .rfq/.rfqz output; decompress: .rfq input, plain "
+        "non-gz FASTQ output).",
     )
     p.add_argument(
         "--shard", type=int, default=0,
@@ -312,6 +315,46 @@ def main(argv: list[str] | None = None) -> int:
             return -1
         return 0
 
+    if args.num_shards > 0 and mode == "decompress":
+        if not (0 <= args.shard < args.num_shards):
+            _die("--shard must be in [0, num_shards)")
+        if not in1.endswith(".rfq") or args.stdin:
+            _die("--num_shards decompress requires a plain .rfq input file "
+                 "(chunk-index scan; .xz/.rfqz streams are serial)")
+        if args.stdout or out1.endswith(".gz") or (
+            args.out2 and args.out2.endswith(".gz")
+        ):
+            _die("--num_shards decompress requires plain (non-gz) FASTQ "
+                 "output files")
+        from .parallel import distributed as dist
+
+        try:
+            dist.decompress_distributed(
+                in1, out1, args.out2, num_processes=args.num_shards,
+                process_id=args.shard, engine=engine, workers=args.workers,
+                assemble=False,
+            )
+            if args.shard == 0 and not args.no_assemble:
+                import time as _time
+
+                deadline = _time.time() + 3600
+                parts = ["%s.part%d" % (out1, pid)
+                         for pid in range(args.num_shards)]
+                if args.out2:
+                    parts += ["%s.part%d" % (args.out2, pid)
+                              for pid in range(args.num_shards)]
+                while not all(os.path.exists(p) for p in parts):
+                    if _time.time() > deadline:
+                        _die("timed out waiting for shard part files")
+                    _time.sleep(0.2)
+                dist.assemble_fastq_parts(out1, args.num_shards)
+                if args.out2:
+                    dist.assemble_fastq_parts(args.out2, args.num_shards)
+        except RfqFormatError as e:
+            print("ERROR: %s" % e, file=sys.stderr)
+            return -1
+        return 0
+
     try:
         if mode == "compress":
             if out1.endswith(".rfqz"):
@@ -407,9 +450,11 @@ def _run_compress(args, in1, out1, chunk_size, engine, out_stream):
 
 def _run_decompress(args, in1, out1, engine, in_stream):
     if args.out2:
-        pipeline.decompress_pe(in1, out1, args.out2, engine=engine, in_stream=in_stream)
+        pipeline.decompress_pe(in1, out1, args.out2, engine=engine,
+                               in_stream=in_stream, workers=args.workers)
     else:
-        pipeline.decompress(in1, out1, engine=engine, in_stream=in_stream)
+        pipeline.decompress(in1, out1, engine=engine, in_stream=in_stream,
+                            workers=args.workers)
 
 
 def _run_compare(args, in1, rfq, engine, in_stream):

@@ -199,11 +199,27 @@ class RfqChunk:
         stream.write(self.to_bytes())
 
     @classmethod
-    def read(cls, stream, header: RfqHeader) -> "RfqChunk":
+    def read(cls, stream, header: RfqHeader,
+             skip_payload: bool = False) -> "RfqChunk":
         """Parse one chunk. At EOF all fields read as 0 (like the reference's
         failed istream reads, rfqchunk.cpp:161-171), yielding the reads==0
-        terminator chunk."""
+        terminator chunk.
+
+        skip_payload=True is the chunk-INDEX pass for parallel decompress:
+        the frame fields and length arrays are parsed (they determine the
+        payload sizes — the wire ``size`` field is unreliable, see module
+        docstring) but the payload buffers are seeked over, not read, so a
+        scan of an N-GB container touches only the small metadata. The
+        returned chunk has valid reads/flags/sizes and empty payloads."""
         c = cls(header)
+
+        if skip_payload and stream.seekable():
+            def _payload(n: int) -> bytes:
+                stream.seek(n, 1)
+                return b""
+        else:
+            def _payload(n: int) -> bytes:
+                return read_exact(stream, n)
 
         def _u32() -> int:
             raw = read_exact(stream, 4)
@@ -246,29 +262,29 @@ class RfqChunk:
             c.strand_buf_size *= c.reads
 
         if header.has_lane():
-            c.lane_buf = read_exact(stream, c._lane_count())
+            c.lane_buf = _payload(c._lane_count())
         if header.has_tile():
-            c.tile_buf = read_exact(stream, 2 * c._tile_count())
+            c.tile_buf = _payload(2 * c._tile_count())
 
         if header.has_x():
             c.x_buf_size = _u32()
-            c.x_buf = read_exact(stream, c.x_buf_size)
+            c.x_buf = _payload(c.x_buf_size)
         if header.has_y():
             c.y_buf_size = _u32()
-            c.y_buf = read_exact(stream, c.y_buf_size)
+            c.y_buf = _payload(c.y_buf_size)
 
-        c.name1_buf = read_exact(stream, c.name1_buf_size)
+        c.name1_buf = _payload(c.name1_buf_size)
         if header.has_name2():
-            c.name2_buf = read_exact(stream, c.name2_buf_size)
-        c.strand_buf = read_exact(stream, c.strand_buf_size)
+            c.name2_buf = _payload(c.name2_buf_size)
+        c.strand_buf = _payload(c.strand_buf_size)
 
-        c.seq_buf = read_exact(stream, c.seq_buf_size)
-        c.qual_buf = read_exact(stream, c.qual_buf_size)
+        c.seq_buf = _payload(c.seq_buf_size)
+        c.qual_buf = _payload(c.qual_buf_size)
 
         if (c.flags & BIT_PE_INTERLEAVED) and (
             header.flags & BIT_ENCODE_PE_BY_OVERLAP
         ):
-            c.overlap_buf = read_exact(stream, c.reads // 2)
+            c.overlap_buf = _payload(c.reads // 2)
         if header.encode_n_pos():
-            c.npos_buf = read_exact(stream, c.npos_buf_size)
+            c.npos_buf = _payload(c.npos_buf_size)
         return c

@@ -32,9 +32,21 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from ..format.header import RfqFormatError
+from ..constants import (
+    BIT_HAS_NO_LINE_BREAK_AT_END,
+    BIT_HAS_NO_LINE_BREAK_AT_END_R2,
+)
+from ..format.chunk import RfqChunk
+from ..format.header import RfqFormatError, RfqHeader
 from ..io.fastq import FastqReader, FastqReaderPair
-from ..pipeline import EngineConfig, _Compressor, get_engine
+from ..pipeline import (
+    EngineConfig,
+    _Compressor,
+    _decoded_fastq_stream,
+    _pe_decode_job,
+    _se_decode_job,
+    get_engine,
+)
 
 
 @dataclass
@@ -372,6 +384,116 @@ def compress_se_distributed(
     if assemble and process_id == 0:
         assemble_parts(out1, header_bytes, num_processes, rfqz=rfqz)
     return part
+
+
+@dataclass
+class RfqChunkSpec:
+    offset: int  # byte offset of the chunk record within the container
+    reads: int
+    flags: int
+
+
+def plan_rfq_chunks(path: str) -> tuple[RfqHeader, list[RfqChunkSpec]]:
+    """Chunk index of an .rfq container: one metadata-only pass.
+
+    Chunks are self-delimiting (reference rfqchunk.cpp:161-227) but the
+    wire ``size`` field is unreliable (format/chunk.py module docstring),
+    so the scan parses each chunk's frame + length arrays and SEEKS over
+    the payload buffers — an N-GB container costs only its metadata bytes.
+    Every rank re-runs this independently: like the compress-side
+    plan_chunks, the index is the (small) serial fraction of scaling."""
+    with open(path, "rb") as f:
+        header = RfqHeader.read(f)
+        specs: list[RfqChunkSpec] = []
+        while True:
+            off = f.tell()
+            c = RfqChunk.read(f, header, skip_payload=True)
+            if c.reads == 0:
+                break
+            specs.append(RfqChunkSpec(off, c.reads, c.flags))
+    return header, specs
+
+
+def decompress_distributed(
+    in1: str,
+    out1: str,
+    out2: str = "",
+    num_processes: int = 1,
+    process_id: int = 0,
+    engine: EngineConfig | None = None,
+    workers: int = 1,
+    assemble: bool = True,
+) -> str:
+    """Multi-process decompress: this rank decodes its contiguous chunk
+    range of the .rfq container to ``<out>.part<pid>`` FASTQ file(s);
+    rank 0 (with assemble=True) concatenates the parts in order. Output
+    bytes are identical to serial decompress for any process count.
+
+    The decompress mirror of compress_se/pe_distributed — the reference
+    has no parallel decompress, but the format makes it free: chunks
+    decode independently, and the only cross-chunk state is the final
+    chunk's no-trailing-newline trim, which the chunk index resolves
+    up front (reference repaq.cpp:301-331)."""
+    engine = engine or get_engine()
+    header, specs = plan_rfq_chunks(in1)
+    if out2 and not header.paired_end():
+        raise RfqFormatError(
+            "The input RFQ file was encoded by single-end FASTQ, you should "
+            "not specify <out2>"
+        )
+    ranges = partition(len(specs), num_processes)
+    lo, hi = ranges[process_id]
+    owns_final = hi == len(specs) and hi > lo
+    part1 = "%s.part%d" % (out1, process_id)
+    part2 = "%s.part%d" % (out2, process_id) if out2 else ""
+    job = (
+        _pe_decode_job(engine, header) if out2
+        else _se_decode_job(engine, header)
+    )
+    with open(part1 + ".tmp", "wb") as f1, (
+        open(part2 + ".tmp", "wb") if out2 else open(os.devnull, "wb")
+    ) as f2:
+        if hi > lo:
+            with open(in1, "rb") as src:
+                src.seek(specs[lo].offset)
+                for flags, n, strs, is_last in _decoded_fastq_stream(
+                    src, header, job, workers, max_chunks=hi - lo
+                ):
+                    if n == 0:
+                        break
+                    final = is_last and owns_final
+                    s1 = strs[0]
+                    if final and (flags & BIT_HAS_NO_LINE_BREAK_AT_END):
+                        s1 = s1[:-1]
+                    f1.write(s1)
+                    if out2:
+                        s2 = strs[1]
+                        if final and (flags & BIT_HAS_NO_LINE_BREAK_AT_END_R2):
+                            s2 = s2[:-1]
+                        f2.write(s2)
+    os.replace(part1 + ".tmp", part1)  # completion is atomic for waiters
+    if part2:
+        os.replace(part2 + ".tmp", part2)
+    if assemble and process_id == 0:
+        assemble_fastq_parts(out1, num_processes)
+        if out2:
+            assemble_fastq_parts(out2, num_processes)
+    return part1
+
+
+def assemble_fastq_parts(out: str, num_processes: int) -> None:
+    """Ordered concatenation of decompressed FASTQ parts (rank order ==
+    chunk order); parts are removed after assembly."""
+    with open(out, "wb") as dst:
+        for pid in range(num_processes):
+            part = "%s.part%d" % (out, pid)
+            with open(part, "rb") as f:
+                while True:
+                    buf = f.read(1 << 20)
+                    if not buf:
+                        break
+                    dst.write(buf)
+            os.remove(part)
 
 
 def assemble_parts(out1: str, header_bytes: bytes, num_processes: int,

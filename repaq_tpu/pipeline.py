@@ -339,11 +339,86 @@ def _open_in(in1: str, in_stream):
     return open(in1, "rb"), True
 
 
+def _decoded_fastq_stream(stream, header: RfqHeader, job, workers: int,
+                          max_chunks: int = -1):
+    """Yield ``(flags, n, strs, is_last)`` per chunk in container order.
+
+    ``job(chunk)`` decodes one chunk to ``(n_reads, strs)`` — chunks are
+    independent once the header is parsed (reference rfqchunk.cpp:161-171
+    self-delimiting records), so with workers > 1 the jobs run on a thread
+    pool (numpy + native kernels release the GIL) while the chunk parse
+    and ordered emission stay serial: output bytes are identical for any
+    worker count — the decode mirror of _Compressor. The reference has no
+    parallel decompress at all; BASELINE's metric is encode+decode.
+
+    A one-chunk lookahead is always held so ``is_last`` is exact — the
+    trailing-newline trim (reference repaq.cpp:301-331) applies only to
+    the container's final chunk. ``max_chunks`` bounds the scan for the
+    sharded range decoder."""
+    from collections import deque
+
+    pool = None
+    depth = 1
+    if workers > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(max_workers=workers)
+        depth = workers + 2
+    pending: deque = deque()
+
+    def result(item):
+        chunk, fut = item
+        n, strs = fut.result() if fut is not None else job(chunk)
+        return chunk.flags, n, strs
+
+    try:
+        read_count = 0
+        while max_chunks < 0 or read_count < max_chunks:
+            chunk = RfqChunk.read(stream, header)
+            if chunk.reads == 0:
+                break
+            read_count += 1
+            pending.append(
+                (chunk, pool.submit(job, chunk) if pool else None)
+            )
+            while len(pending) > depth:
+                flags, n, strs = result(pending.popleft())
+                yield flags, n, strs, False
+        while pending:
+            item = pending.popleft()
+            flags, n, strs = result(item)
+            yield flags, n, strs, not pending
+    finally:
+        if pool is not None:
+            pool.shutdown()
+
+
+def _se_decode_job(engine: EngineConfig, header: RfqHeader):
+    def job(chunk):
+        block = engine.decode_chunk(header, chunk)
+        return block.n, (block.to_fastq_bytes(),)
+
+    return job
+
+
+def _pe_decode_job(engine: EngineConfig, header: RfqHeader):
+    def job(chunk):
+        block = engine.decode_chunk(header, chunk)
+        idx = np.arange(block.n)
+        return block.n, (
+            block.take(idx[0::2]).to_fastq_bytes(),
+            block.take(idx[1::2]).to_fastq_bytes(),
+        )
+
+    return job
+
+
 def decompress(
     in1: str,
     out1: str,
     engine: Optional[EngineConfig] = None,
     in_stream=None,
+    workers: int = 1,
 ) -> None:
     """Single-output decompress; PE containers produce interleaved FASTQ
     (reference repaq.cpp:262-333)."""
@@ -352,22 +427,14 @@ def decompress(
     writer = Writer(out1)
     header = RfqHeader.read(stream)
 
-    carried: Optional[RfqChunk] = None
-    while True:
-        chunk = carried if carried is not None else RfqChunk.read(stream, header)
-        carried = None
-        if chunk.reads == 0:
+    job = _se_decode_job(engine, header)
+    for flags, n, (outstr,), is_last in _decoded_fastq_stream(
+        stream, header, job, workers
+    ):
+        if n == 0:
             break
-        block = engine.decode_chunk(header, chunk)
-        if block.n == 0:
-            break
-        outstr = block.to_fastq_bytes()
-        if chunk.flags & BIT_HAS_NO_LINE_BREAK_AT_END:
-            lookahead = RfqChunk.read(stream, header)
-            if lookahead.reads == 0:
-                writer.write(outstr[:-1])
-                break
-            carried = lookahead
+        if is_last and (flags & BIT_HAS_NO_LINE_BREAK_AT_END):
+            outstr = outstr[:-1]
         writer.write(outstr)
     writer.close()
     if own:
@@ -380,6 +447,7 @@ def decompress_pe(
     out2: str,
     engine: Optional[EngineConfig] = None,
     in_stream=None,
+    workers: int = 1,
 ) -> None:
     engine = engine or get_engine()
     stream, own = _open_in(in1, in_stream)
@@ -392,27 +460,14 @@ def decompress_pe(
             "not specify <out2>"
         )
 
-    carried: Optional[RfqChunk] = None
-    while True:
-        chunk = carried if carried is not None else RfqChunk.read(stream, header)
-        carried = None
-        if chunk.reads == 0:
+    job = _pe_decode_job(engine, header)
+    for flags, n, (outstr1, outstr2), is_last in _decoded_fastq_stream(
+        stream, header, job, workers
+    ):
+        if n == 0:
             break
-        block = engine.decode_chunk(header, chunk)
-        if block.n == 0:
-            break
-        idx = np.arange(block.n)
-        outstr1 = block.take(idx[0::2]).to_fastq_bytes()
-        outstr2 = block.take(idx[1::2]).to_fastq_bytes()
-        no_break1 = bool(chunk.flags & BIT_HAS_NO_LINE_BREAK_AT_END)
-        no_break2 = bool(chunk.flags & BIT_HAS_NO_LINE_BREAK_AT_END_R2)
-        is_last = False
-        if no_break1 or no_break2:
-            lookahead = RfqChunk.read(stream, header)
-            if lookahead.reads == 0:
-                is_last = True
-            else:
-                carried = lookahead
+        no_break1 = bool(flags & BIT_HAS_NO_LINE_BREAK_AT_END)
+        no_break2 = bool(flags & BIT_HAS_NO_LINE_BREAK_AT_END_R2)
         writer1.write(outstr1[:-1] if (no_break1 and is_last) else outstr1)
         writer2.write(outstr2[:-1] if (no_break2 and is_last) else outstr2)
     writer1.close()

@@ -222,3 +222,123 @@ def test_sharded_rfqz_compose(tmp_path):
     rfq_bytes = RfqzReader(out).read()
     with open(os.path.join(fx, "se_big.ref.k100.rfq"), "rb") as f:
         assert rfq_bytes == f.read()
+
+
+# ---- parallel decompress (round 3: the decode mirror) ----
+
+
+def test_plan_rfq_chunks(fixtures_dir):
+    """The metadata-only chunk index must agree with a full parse."""
+    import io
+
+    from repaq_tpu.format.chunk import RfqChunk
+    from repaq_tpu.format.header import RfqHeader
+
+    path = str(fixtures_dir / "se_big.ref.k100.rfq")
+    header, specs = dist.plan_rfq_chunks(path)
+    raw = open(path, "rb").read()
+    stream = io.BytesIO(raw)
+    h2 = RfqHeader.read(stream)
+    i = 0
+    while True:
+        off = stream.tell()
+        c = RfqChunk.read(stream, h2)
+        if c.reads == 0:
+            break
+        assert specs[i].offset == off
+        assert specs[i].reads == c.reads
+        assert specs[i].flags == c.flags
+        i += 1
+    assert i == len(specs) == 3
+
+
+@pytest.mark.parametrize("nproc", [1, 2, 3, 5])
+def test_decompress_distributed_se(fixtures_dir, tmp_path, nproc):
+    out = tmp_path / "out.fq"
+    for pid in range(nproc):
+        dist.decompress_distributed(
+            str(fixtures_dir / "se_big.ref.k100.rfq"), str(out),
+            num_processes=nproc, process_id=pid, assemble=False,
+        )
+    dist.assemble_fastq_parts(str(out), nproc)
+    assert out.read_bytes() == (fixtures_dir / "se_big.fq").read_bytes()
+
+
+@pytest.mark.parametrize("nproc", [2, 3])
+def test_decompress_distributed_pe(fixtures_dir, tmp_path, nproc):
+    o1 = tmp_path / "r1.fq"
+    o2 = tmp_path / "r2.fq"
+    for pid in range(nproc):
+        dist.decompress_distributed(
+            str(fixtures_dir / "pe_big.ref.k100.rfq"), str(o1), str(o2),
+            num_processes=nproc, process_id=pid, assemble=False,
+        )
+    dist.assemble_fastq_parts(str(o1), nproc)
+    dist.assemble_fastq_parts(str(o2), nproc)
+    assert o1.read_bytes() == (fixtures_dir / "pe_big_R1.fq").read_bytes()
+    assert o2.read_bytes() == (fixtures_dir / "pe_big_R2.fq").read_bytes()
+
+
+def test_decompress_distributed_no_trailing_newline(fixtures_dir, tmp_path):
+    """The final-chunk trim must land on the rank owning the LAST chunk."""
+    for nproc in (2, 3):
+        out = tmp_path / ("nl%d.fq" % nproc)
+        for pid in range(nproc):
+            dist.decompress_distributed(
+                str(fixtures_dir / "se_big_nonl.ref.k100.rfq"), str(out),
+                num_processes=nproc, process_id=pid, assemble=False,
+            )
+        dist.assemble_fastq_parts(str(out), nproc)
+        assert out.read_bytes() == (
+            fixtures_dir / "se_big_nonl.fq"
+        ).read_bytes()
+
+
+def test_decompress_workers_identical(fixtures_dir, tmp_path):
+    """-d --workers N: same bytes for any worker count (threaded decode
+    mirror of the compress-side worker pool)."""
+    from repaq_tpu import pipeline
+
+    for name, fq in (
+        ("se_big.ref.k100.rfq", "se_big.fq"),
+        ("se_big_nonl.ref.k100.rfq", "se_big_nonl.fq"),
+    ):
+        o1 = tmp_path / ("w1_" + fq)
+        o3 = tmp_path / ("w3_" + fq)
+        pipeline.decompress(str(fixtures_dir / name), str(o1), workers=1)
+        pipeline.decompress(str(fixtures_dir / name), str(o3), workers=3)
+        want = (fixtures_dir / fq).read_bytes()
+        assert o1.read_bytes() == want
+        assert o3.read_bytes() == want
+
+
+def test_decompress_workers_pe(fixtures_dir, tmp_path):
+    from repaq_tpu import pipeline
+
+    o1 = tmp_path / "r1.fq"
+    o2 = tmp_path / "r2.fq"
+    pipeline.decompress_pe(
+        str(fixtures_dir / "pe_big.ref.k100.rfq"), str(o1), str(o2),
+        workers=4,
+    )
+    assert o1.read_bytes() == (fixtures_dir / "pe_big_R1.fq").read_bytes()
+    assert o2.read_bytes() == (fixtures_dir / "pe_big_R2.fq").read_bytes()
+
+
+def test_decompress_sharded_cli(fixtures_dir, tmp_path):
+    """End-to-end: -d --num_shards over real OS processes."""
+    out = str(tmp_path / "out.fq")
+    rfq = str(fixtures_dir / "se_big.ref.k100.rfq")
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=str(REPO))
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-m", "repaq_tpu.cli", "-d", "-i", rfq, "-o",
+             out, "--num_shards", "3", "--shard", str(i), "--workers", "2"],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        )
+        for i in range(3)
+    ]
+    for p in procs:
+        _o, err = p.communicate(timeout=300)
+        assert p.returncode == 0, err.decode()[-1500:]
+    assert open(out, "rb").read() == (fixtures_dir / "se_big.fq").read_bytes()
