@@ -564,9 +564,31 @@ def bench_device_kernels() -> float | None:
                   out["qual"].shape[0])
     ncap = bucket(max(int(o["npos_len"]) for o in outs) + 8,
                   out["npos"].shape[0])
+
+    # tight static caps exactly as the production engine computes them
+    # host-side (device_engine._qualcol_caps): token/position/escape
+    # counts from one host FSM walk over the compressed stream
+    def qual_caps(outs_list, nbins=3):
+        t = c = e = 0
+        for o in outs_list:
+            tt, cc, ee = K.qualcol_decode_counts(
+                np.asarray(o["qual"][: int(o["qual_len"])]), nbins
+            )
+            t, c, e = max(t, tt), max(c, cc), max(e, ee)
+        tok = bucket(t, n_elems)
+        pos = bucket(c, n_elems)
+        if pos == tok:
+            pos += 4096  # equal shapes fuse catastrophically (r3)
+        return tok, pos, (0 if e == 0 else bucket(e, n_elems))
+
+    qc = qual_caps(outs)
+    npc = bucket(
+        max(32 * int(o["npos_len"]) for o in outs) + 8, B * L
+    )
     g = jax.jit(
         lambda p, qb, ql, nb, nl: device_decode_block(
-            p, qb, ql, nb, nl, bd, jnp.uint8(ord("F")), B, L
+            p, qb, ql, nb, nl, bd, jnp.uint8(ord("F")), B, L,
+            np_cap=npc, qualcol_caps=qc,
         )
     )
     sq, qq = g(out["packed"], out["qual"][:qcap], out["qual_len"],
@@ -621,6 +643,39 @@ def bench_device_kernels() -> float | None:
         "device encode, realistic qual profile: %.4fs/step -> %.0f MB/s "
         "per chip (through the ~31ms/dispatch tunnel floor)"
         % (r_dt / n_steps, r_mbps)
+    )
+
+    # realistic-profile DECODE (round 3: compact-space qualcol decode) —
+    # the headline decode number; tight caps as the engine computes them
+    o = outs_r[-1]
+    qcap_r = bucket(int(o["qual_len"]) + 8, out["qual"].shape[0])
+    ncap_r = bucket(int(o["npos_len"]) + 8, out["npos"].shape[0])
+    qc_r = qual_caps([o])
+    npc_r = bucket(32 * int(o["npos_len"]) + 8, B * L)
+    gr = jax.jit(
+        lambda p, qb, ql, nb, nl: device_decode_block(
+            p, qb, ql, nb, nl, bd, jnp.uint8(ord("F")), B, L,
+            np_cap=npc_r, qualcol_caps=qc_r,
+        )
+    )
+    sq, qq = gr(o["packed"], o["qual"][:qcap_r], o["qual_len"],
+                o["npos"][:ncap_r], o["npos_len"])
+    _ = int(jnp.sum(sq[0].astype(jnp.int32)))
+    assert np.array_equal(np.asarray(qq), rq), "realistic decode qual mismatch"
+    assert np.array_equal(np.asarray(sq), rs), "realistic decode seq mismatch"
+    t0 = time.time()
+    decs_r = []
+    for _i in range(n_steps):
+        sq, qq = gr(o["packed"], o["qual"][:qcap_r], o["qual_len"],
+                    o["npos"][:ncap_r], o["npos_len"])
+        decs_r.append(sq)
+    for sq in decs_r:
+        _ = int(jnp.sum(sq[0].astype(jnp.int32)))
+    rd_dt = time.time() - t0
+    rd_mbps = B * L * 2 / 1e6 * n_steps / rd_dt
+    log(
+        "device decode, realistic qual profile: %.4fs/step -> %.0f MB/s "
+        "per chip" % (rd_dt / n_steps, rd_mbps)
     )
     return max(mbps, r_mbps)
 

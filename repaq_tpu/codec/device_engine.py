@@ -669,8 +669,9 @@ class DeviceEngine:
         np_cap = _bucket(min(32 * npos_len + 8, n_cap), lo=64)
         if 4 * nbins + qb_cap > (1 << 23):
             return None
+        qcaps = self._qualcol_caps(chunk, nbins)
 
-        key = ("decflat", n_cap, nbins, qb_cap, nb_cap, np_cap,
+        key = ("decflat", n_cap, nbins, qb_cap, nb_cap, np_cap, qcaps,
                bool(header.encode_n_pos()), int(header.n_base_qual))
         step = self._dec_cache.get(key)
         if step is None:
@@ -703,8 +704,28 @@ class DeviceEngine:
             header, chunk, b, read_lens, seq_off, seq, qual
         )
 
+    def _qualcol_caps(self, chunk, nbins) -> tuple[int, int, int]:
+        """Exact token/position/escape counts of the chunk's qual stream
+        (one cheap host FSM walk over the COMPRESSED bytes), bucketed to
+        static caps: the device decode's compact spaces scale with the
+        stream, not the chunk. tok and pos caps are kept UNEQUAL — equal
+        shapes let XLA fuse the token- and slot-space pipelines into one
+        catastrophic loop (180 ms vs 45 ms at 1M, measured r3)."""
+        from . import kernels_np as K
+
+        t, c, esc = K.qualcol_decode_counts(
+            np.frombuffer(chunk.qual_buf, dtype=np.uint8), nbins
+        )
+        tok_cap = _bucket(t, lo=512)
+        pos_cap = _bucket(c, lo=512)
+        if pos_cap == tok_cap:
+            pos_cap += 4096
+        esc_cap = 0 if esc == 0 else _bucket(esc, lo=8)
+        return tok_cap, pos_cap, esc_cap
+
     def _build_decode_flat(self, key):
-        (_tag, n_cap, nbins, qb_cap, nb_cap, np_cap, has_npos, nbq) = key
+        (_tag, n_cap, nbins, qb_cap, nb_cap, np_cap, qcaps, has_npos,
+         nbq) = key
         jax = self._jax
         import jax.numpy as jnp
 
@@ -713,6 +734,8 @@ class DeviceEngine:
             qualcol_decode_device,
         )
         from ..ops.pallas_tpu import unpack_bases_pallas
+
+        tok_cap, pos_cap, esc_cap = qcaps
 
         def step(packed, qual_buf, qual_len, npos_buf, npos_len, bins,
                  major):
@@ -725,7 +748,8 @@ class DeviceEngine:
                 seq = jnp.concatenate([seq, jnp.zeros(1, jnp.uint8)])
                 seq = seq.at[tgt].set(_N, mode="drop")[:n_cap]
             qual = qualcol_decode_device(
-                qual_buf, nbins, bins, major, n_cap, qual_len
+                qual_buf, nbins, bins, major, n_cap, qual_len,
+                tok_cap=tok_cap, pos_cap=pos_cap, esc_cap=esc_cap,
             )
             if not has_npos and nbq < 128:
                 seq = jnp.where(qual == nbq, jnp.uint8(_N), seq)
@@ -770,9 +794,11 @@ class DeviceEngine:
         np_cap = _bucket(min(32 * npos_len + 8, flat_cap), lo=64)
         if 4 * nbins + qb_cap > (1 << 23):
             return None
+        qcaps = self._qualcol_caps(chunk, nbins)
 
-        key = ("dec", b_cap, L, nbins, qb_cap, nb_cap, np_cap, expand, pe,
-               bool(header.encode_n_pos()), int(header.n_base_qual))
+        key = ("dec", b_cap, L, nbins, qb_cap, nb_cap, np_cap, qcaps,
+               expand, pe, bool(header.encode_n_pos()),
+               int(header.n_base_qual))
         step = self._dec_cache.get(key)
         if step is None:
             step = self._build_decode(key)
@@ -822,8 +848,9 @@ class DeviceEngine:
         )
 
     def _build_decode(self, key):
-        (_tag, b_cap, L, nbins, qb_cap, nb_cap, np_cap, expand, pe,
+        (_tag, b_cap, L, nbins, qb_cap, nb_cap, np_cap, qcaps, expand, pe,
          has_npos, nbq) = key
+        tok_cap, pos_cap, esc_cap = qcaps
         jax = self._jax
         import jax.numpy as jnp
 
@@ -876,7 +903,8 @@ class DeviceEngine:
             else:
                 seq = seq[:n_cap]
             qual = qualcol_decode_device(
-                qual_buf, nbins, bins, major, n_cap, qual_len
+                qual_buf, nbins, bins, major, n_cap, qual_len,
+                tok_cap=tok_cap, pos_cap=pos_cap, esc_cap=esc_cap,
             )
             if not has_npos and nbq < 128:
                 seq = jnp.where(qual == nbq, jnp.uint8(_N), seq)

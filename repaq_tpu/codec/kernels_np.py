@@ -239,6 +239,28 @@ def encode_qual_by_col(
     return np.concatenate(parts)
 
 
+def qualcol_decode_counts(buf: np.ndarray, nbins: int) -> tuple[int, int, int]:
+    """Exact (tokens, positions, escape_records) of a by-col qual stream:
+    the host-side cap pass for the device decode kernels (one cheap token
+    walk over the COMPRESSED bytes — native FSM when available). Tight
+    static caps keep the device kernel's compact spaces proportional to
+    the stream, not the chunk."""
+    if buf.shape[0] < 4 * nbins:
+        return 0, 0, 0
+    lens = buf[: 4 * nbins].view("<u4").astype(np.int64)
+    end = 4 * nbins + int(lens.sum())
+    if end > buf.shape[0]:
+        return 0, 0, 0  # corrupt; device path will bail to host
+    stream = buf[4 * nbins : end]
+    if stream.shape[0] == 0:
+        return 0, 0, (buf.shape[0] - end) // 5
+    starts = _token_starts(stream, _stream_token_lens(stream))
+    b0 = stream[starts].astype(np.int64)
+    is_run = (b0 >= 0xC0) & (b0 < 0xE0)
+    npos = int(np.where(is_run, (b0 & 0x1F) + 1, 1).sum())
+    return int(starts.shape[0]), npos, (buf.shape[0] - end) // 5
+
+
 def decode_qual_by_col(
     buf: np.ndarray, normal_bins: np.ndarray, major_qual: int, length: int
 ) -> np.ndarray:

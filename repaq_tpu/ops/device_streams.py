@@ -582,6 +582,40 @@ def token_start_mask(lens: jnp.ndarray, force_start: jnp.ndarray | None = None):
     return starts
 
 
+def token_start_mask_auto(lens: jnp.ndarray,
+                          force_start: jnp.ndarray | None = None):
+    """token_start_mask with the Pallas lane-block FSM when the stream is
+    big enough to amortize it. The 3-level lax.scan version spends ~36 ms
+    at 1M bytes (128 tiny sequential scan iterations are launch-overhead
+    bound, measured r3); the Pallas kernel walks 128-byte stretches
+    serially per lane with all lanes in parallel and tracks all four entry
+    states at once, so the whole FSM is one data pass + a tiny cross-block
+    scan (~2 ms at 1M)."""
+    n = lens.shape[0]
+    from .pallas_tpu import _FSM_K, _LANES, token_fsm_pallas
+
+    group = _FSM_K * _LANES
+    if n < 4 * group:
+        return token_start_mask(lens, force_start)
+    code = jnp.clip(lens, 1, 4).astype(jnp.uint8)
+    if force_start is not None:
+        code = code | (force_start.astype(jnp.uint8) << 3)
+    pad = (-n) % group
+    if pad:  # padded tail: 1-byte tokens, trimmed from the mask
+        code = jnp.concatenate([code, jnp.ones(pad, jnp.uint8)])
+    maps, mask4 = token_fsm_pallas(code)  # (nblk, 4) i32, (K, nblk) u8
+
+    def compose(a, b):
+        return jnp.stack(
+            [_apply_map4(b, a[..., j]) for j in range(4)], axis=-1
+        )
+
+    prefix = jax.lax.associative_scan(compose, maps)
+    entry = jnp.concatenate([jnp.zeros(1, jnp.int32), prefix[:-1, 0]])
+    starts = ((mask4 >> entry[None, :].astype(jnp.uint8)) & 1) == 1
+    return starts.T.reshape(-1)[:n]
+
+
 def _stream_lens_device(buf: jnp.ndarray) -> jnp.ndarray:
     """Per-byte token length for the gap/run stream grammar (valid only at
     token starts): 0xxxxxxx=1, 10xxxxxx=2, 110xxxxx=1, 111xxxxx=4."""
@@ -609,7 +643,7 @@ def decode_positions_device(buf: jnp.ndarray, valid_len: jnp.ndarray,
     in_range = (idx >= valid_begin) & (idx < valid_len)
     if starts is None:
         lens = jnp.where(in_range, _stream_lens_device(buf), 1)
-        starts = token_start_mask(lens, force_start) & in_range
+        starts = token_start_mask_auto(lens, force_start) & in_range
 
     b0 = buf.astype(jnp.int32)
     nxt1 = jnp.roll(buf, -1).astype(jnp.int32)
@@ -671,17 +705,54 @@ def decode_positions_device(buf: jnp.ndarray, valid_len: jnp.ndarray,
 
 def qualcol_decode_device(buf: jnp.ndarray, nbins: int, bins: jnp.ndarray,
                           major: jnp.ndarray, length: int,
-                          total_len: jnp.ndarray):
+                          total_len: jnp.ndarray,
+                          tok_cap: int | None = None,
+                          pos_cap: int | None = None,
+                          esc_cap: int | None = None):
     """By-column quality decode (reference rfqcodec.cpp:1009-1047) on
-    device: ONE FSM pass over all per-bin streams (boundaries force token
-    restarts), segmented position reconstruction, scatter of bin chars,
-    then escape records.
+    device, in COMPACT token/slot space (round 3 — the decode dual of the
+    encode side's sort-based emission):
 
-    buf: (m,) uint8 (4*nbins length table + streams + escapes), padded with
-    >=5 zero bytes; total_len: scalar true qual_buf size (escape records
-    end there). Returns qual (length,) uint8.
+    1. one token-FSM pass over the concatenated per-bin streams (Pallas
+       lane-block kernel for big streams; boundaries force restarts),
+    2. token compaction by a payload-carrying sort (the sorted stream
+       index doubles as wire order == slot order),
+    3. all per-token work (type, gap distance, run coverage, bin id,
+       segmented position arithmetic) in (tok_cap,)-space,
+    4. slot-space position reconstruction WITHOUT per-position scatter
+       chains: each token's covered positions are affine in the slot
+       index, so scattering the per-token DELTA of the packed
+       ((first_pos - slot_start + length) << 6 | bin) value at each
+       token's first slot and running one cumsum rebuilds every
+       position+bin pair (piecewise-constant fill-forward == cumsum of
+       boundary deltas),
+    5. ONE scatter of (position -> bin char) plus the escape records into
+       the major-filled output.
+
+    The previous formulation did its rebuild in (length,)-space: a delta
+    scatter, several cumsums, a searchsorted and the qual scatter all over
+    n (~80 ms at n=5M measured r3); this one's big-space work is one fill
+    and one scatter (~15 ms).
+
+    buf: (m,) uint8 (4*nbins length table + streams + escapes), padded
+    with >=5 zero bytes; total_len: scalar true qual_buf size. tok_cap /
+    pos_cap / esc_cap: static TRUE bounds on token / emitted-position /
+    escape-record counts (the engine computes them exactly host-side; the
+    defaults are safe structural bounds). Returns qual (length,) uint8.
     """
     m = buf.shape[0]
+    if tok_cap is None:
+        tok_cap = m
+    if pos_cap is None:
+        pos_cap = min(length, 32 * m)
+    if esc_cap is None:
+        esc_cap = m // 5 + 1
+    tok_cap = max(1, min(tok_cap, m))
+    pos_cap = max(1, min(pos_cap, length))
+    assert length < (1 << 23) and nbins < 64, (
+        "qualcol decode packs (pos_delta + length) << 6 | bin into int32; "
+        "length %d / nbins %d out of range" % (length, nbins)
+    )
     lens_table = (
         buf[0 : 4 * nbins : 4].astype(jnp.int32)
         | (buf[1 : 4 * nbins + 1 : 4].astype(jnp.int32) << 8)
@@ -698,48 +769,104 @@ def qualcol_decode_device(buf: jnp.ndarray, nbins: int, bins: jnp.ndarray,
     force = force.at[jnp.minimum(stream_begin, m)].set(True, mode="drop")
     force = force[:m] & in_streams
 
-    # ONE token-FSM pass serves both the position decode and the per-bin
-    # accounting below (the FSM is the dominant decode cost)
     lens_dev = jnp.where(in_streams, _stream_lens_device(buf), 1)
-    starts = token_start_mask(lens_dev, force) & in_streams
+    starts = token_start_mask_auto(lens_dev, force) & in_streams
 
-    positions, _cnt = decode_positions_device(
-        buf, stream_end, length, force_start=force, valid_begin=4 * nbins,
-        starts=starts,
+    # dense 4-byte little-endian window per byte (tokens are <= 4 bytes);
+    # carried through the compaction sort as payload — no gather
+    w32 = (
+        buf.astype(jnp.int32)
+        | (jnp.roll(buf, -1).astype(jnp.int32) << 8)
+        | (jnp.roll(buf, -2).astype(jnp.int32) << 16)
+        | (jnp.roll(buf, -3).astype(jnp.int32) << 24)
     )
-    b0 = buf.astype(jnp.int32)
+    inf = jnp.int32(2**31 - 1)
+    keys = jnp.where(starts, idx, inf)
+    tok_i, tok_w = jax.lax.sort((keys, w32), num_keys=1)
+    tok_i = tok_i[:tok_cap]
+    tok_w = tok_w[:tok_cap]
+    valid = tok_i < inf
+
+    # token classification (reference rfqcodec.cpp:957-1007 grammar)
+    b0 = tok_w & 0xFF
+    b1 = (tok_w >> 8) & 0xFF
+    b2 = (tok_w >> 16) & 0xFF
+    b3 = (tok_w >> 24) & 0xFF
+    is_gap1 = b0 < 0x80
+    is_gap2 = (b0 >= 0x80) & (b0 < 0xC0)
     is_run = (b0 >= 0xC0) & (b0 < 0xE0)
-    npos_tok = jnp.where(starts, jnp.where(is_run, (b0 & 0x1F) + 1, 1), 0)
-    tok_bin = jnp.searchsorted(stream_begin, idx, side="right") - 1
-    per_bin_npos = jax.ops.segment_sum(
-        npos_tok, jnp.clip(tok_bin, 0, nbins - 1), num_segments=nbins
+    is_gap4 = b0 >= 0xE0
+    dist = jnp.where(
+        is_gap1, b0 + 1,
+        jnp.where(
+            is_gap2, (((b0 & 0x3F) << 8) | b1) + 1,
+            jnp.where(
+                is_gap4,
+                (((b0 & 0x1F) << 24) | (b1 << 16) | (b2 << 8) | b3) + 1,
+                1,  # run tokens advance by 1 per covered position
+            ),
+        ),
     )
-    cum_bin_pos = jnp.cumsum(per_bin_npos)
-    k = jnp.arange(length, dtype=jnp.int32)
-    pos_bin = jnp.minimum(
-        jnp.searchsorted(cum_bin_pos, k, side="right"), nbins - 1
+    npos = jnp.where(valid, jnp.where(is_run, (b0 & 0x1F) + 1, 1), 0)
+    adv = jnp.where(valid, dist + npos - 1, 0)
+
+    # bin id per token + segment starts (per-bin `last` restarts at -1)
+    tok_bin = jnp.clip(
+        jnp.searchsorted(stream_begin, tok_i, side="right") - 1, 0, nbins - 1
+    ).astype(jnp.int32)
+    seg_start = jnp.concatenate(
+        [jnp.ones(1, bool), tok_bin[1:] != tok_bin[:-1]]
     )
+    raw = jnp.cumsum(adv)
+    seg_base = jax.lax.cummax(jnp.where(seg_start, raw - adv, 0))
+    pos_end = raw - seg_base - 1
+    pos_first = pos_end - npos + 1
+
+    cum_np = jnp.cumsum(npos)
+    slot_start = cum_np - npos
+    c_total = cum_np[-1] if tok_cap else jnp.int32(0)
+
+    # packed per-token constant: positions covered by token j are
+    # pos_first + (k - slot_start) for slot k, so (pos_first - slot_start)
+    # is constant per token; pack the bin id into the low 6 bits
+    a2 = ((pos_first - slot_start + length) << 6) | tok_bin
+    d = a2 - jnp.concatenate([jnp.zeros(1, jnp.int32), a2[:-1]])
+    sidx = jnp.where(valid & (npos >= 1),
+                     jnp.minimum(slot_start, pos_cap), jnp.int32(pos_cap))
+    dslots = jnp.zeros(pos_cap + 1, dtype=jnp.int32)
+    dslots = dslots.at[sidx].set(d, mode="drop")[:pos_cap]
+    a2_k = jnp.cumsum(dslots)
+    k = jnp.arange(pos_cap, dtype=jnp.int32)
+    pos_k = (a2_k >> 6) - length + k
+    bin_k = a2_k & 63
+    if nbins <= 16:
+        val_k = jnp.full(pos_cap, bins[0], dtype=jnp.uint8)
+        for j in range(1, nbins):
+            val_k = jnp.where(bin_k == j, bins[j], val_k)
+    else:
+        val_k = bins[bin_k]
+    ok_k = (k < c_total) & (pos_k >= 0) & (pos_k < length)
+    tgt = jnp.where(ok_k, pos_k, length)
 
     qual = jnp.full(length, major, dtype=jnp.uint8)
-    tgt = jnp.where(positions >= 0, positions, length)  # OOB -> dropped
-    qual = qual.at[tgt].set(bins[pos_bin], mode="drop")
+    qual = qual.at[tgt].set(val_k, mode="drop")
 
-    # escapes: 5-byte records in [stream_end, total_len)
-    esc_idx = jnp.arange(m // 5 + 1, dtype=jnp.int32)
-    rec = stream_end + 5 * esc_idx
-    rec_ok = (rec + 4) < total_len
-    recc = jnp.minimum(rec, m - 5)
-    ch = buf[recc]
-    pos = (
-        buf[recc + 1].astype(jnp.int32)
-        | (buf[recc + 2].astype(jnp.int32) << 8)
-        | (buf[recc + 3].astype(jnp.int32) << 16)
-        | (buf[recc + 4].astype(jnp.int32) << 24)
-    )
-    ok = rec_ok & (pos < length)
-    qual = qual.at[jnp.where(ok, pos, length)].set(
-        jnp.where(ok, ch, 0), mode="drop"
-    )
+    # escapes: 5-byte records in [stream_end, total_len); positions are
+    # disjoint from the streams', so order doesn't matter
+    if esc_cap > 0:
+        esc_idx = jnp.arange(esc_cap, dtype=jnp.int32)
+        rec = stream_end + 5 * esc_idx
+        rec_ok = (rec + 4) < total_len
+        recc = jnp.minimum(rec, m - 5)
+        we = jnp.concatenate([w32, jnp.zeros(3, jnp.int32)])[recc]
+        ch = (we & 0xFF).astype(jnp.uint8)
+        pos = ((we >> 8) & 0xFFFFFF) | (
+            buf[jnp.minimum(recc + 4, m - 1)].astype(jnp.int32) << 24
+        )
+        ok = rec_ok & (pos < length)
+        qual = qual.at[jnp.where(ok, pos, length)].set(
+            jnp.where(ok, ch, 0), mode="drop"
+        )
     return qual
 
 

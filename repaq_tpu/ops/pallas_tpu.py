@@ -158,6 +158,83 @@ def unpack_bases_pallas(packed: jnp.ndarray) -> jnp.ndarray:
     return chars[: 4 * m]
 
 
+_FSM_K = 128  # serial bytes per lane-block in the FSM kernel
+
+
+def _fsm_kernel(code_ref, map_ref, mask4_ref):
+    """Token-grammar FSM over lane-blocks: each of the 128-aligned lanes
+    walks its own contiguous K-byte stretch serially while the VPU runs
+    all lanes in parallel. Tracks the walk from ALL FOUR possible entry
+    states at once, so one pass yields both the block's composed map and,
+    per byte, a 4-bit "token starts here" mask indexed by entry state —
+    the cross-block entry state is resolved afterwards by a tiny XLA scan
+    and a bit-select, not a second data pass.
+
+    code byte layout: bits 0-2 token length (1/2/4) minus nothing (raw
+    value), bit 3 = forced restart (per-bin stream boundary)."""
+    nlanes = code_ref.shape[1]
+
+    def init(v):
+        return jnp.full((1, nlanes), v, dtype=jnp.int32)
+
+    s0, s1, s2, s3 = init(0), init(1), init(2), init(3)
+    # static unroll with 2-D (1, lanes) rows throughout: dynamic sublane
+    # indices on i8 blocks fail Mosaic's alignment proof, and 1-D vectors
+    # crash its layout pass; 128 static steps compile fine
+    for i in range(_FSM_K):
+        c = code_ref[i : i + 1, :].astype(jnp.int32)
+        f = (c >> 3) & 1
+        nl = (c & 7) - 1  # state after a token start here
+
+        def step(s):
+            start = (f == 1) | (s == 0)
+            return jnp.where(start, nl, s - 1), start
+
+        s0, st0 = step(s0)
+        s1, st1 = step(s1)
+        s2, st2 = step(s2)
+        s3, st3 = step(s3)
+        mask4_ref[i : i + 1, :] = (
+            st0.astype(jnp.int32)
+            | (st1.astype(jnp.int32) << 1)
+            | (st2.astype(jnp.int32) << 2)
+            | (st3.astype(jnp.int32) << 3)
+        ).astype(jnp.uint8)  # shifts in i32: u8 shli has no Mosaic lowering
+    map_ref[0:1, :] = s0
+    map_ref[1:2, :] = s1
+    map_ref[2:3, :] = s2
+    map_ref[3:4, :] = s3
+
+
+def token_fsm_pallas(code: jnp.ndarray):
+    """(m,) u8 code stream (len 1/2/4 in bits 0-2, force-restart bit 3) ->
+    (block_maps (nblk, 4) i32, mask4 (m,) u8). m must be a multiple of
+    _FSM_K * 128. The caller composes entry states across blocks (tiny)
+    and selects bit entry_state from mask4."""
+    m = code.shape[0]
+    assert m % (_FSM_K * _LANES) == 0, m
+    nblk = m // _FSM_K
+    # lane-major layout: row i holds byte i of every block
+    code_t = code.reshape(nblk, _FSM_K).T  # (K, nblk)
+    lane_tile = min(nblk, 4096)
+    grid = pl.cdiv(nblk, lane_tile)
+    maps, mask4 = pl.pallas_call(
+        _fsm_kernel,
+        grid=(grid,),
+        in_specs=[pl.BlockSpec((_FSM_K, lane_tile), lambda i: (0, i))],
+        out_specs=[
+            pl.BlockSpec((4, lane_tile), lambda i: (0, i)),
+            pl.BlockSpec((_FSM_K, lane_tile), lambda i: (0, i)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((4, nblk), jnp.int32),
+            jax.ShapeDtypeStruct((_FSM_K, nblk), jnp.uint8),
+        ],
+        interpret=_interpret(),
+    )(code_t)
+    return maps.T, mask4
+
+
 def _frontend_kernel(nbins, seq_ref, qual_ref, bins_ref, major_ref,
                      packed_ref, nmask_ref, bid_ref):
     s0, s1, s2, s3 = _byte_shifts()

@@ -124,11 +124,16 @@ def device_encode_block(seqs, quals, xs, ys, bins, major, in_table,
 
 def device_decode_block(packed, qual_buf, qual_len, npos_buf, npos_len,
                         bins, major, reads, read_len,
-                        use_pallas: bool | None = None):
+                        use_pallas: bool | None = None,
+                        np_cap: int | None = None,
+                        qualcol_caps: tuple | None = None):
     """Decode one fixed-shape block on one device: 2-bit unpack, by-column
     quality reconstruction, N restoration from the position stream
     (reference rfqcodec.cpp:826-916 fixed-length path; overlap-elided PE
-    blocks take the host path)."""
+    blocks take the host path). np_cap / qualcol_caps: optional tight
+    static caps (N positions; qual (tok, pos, esc) counts) as the
+    production engine computes host-side — defaults are safe structural
+    bounds sized by the buffers."""
     n = reads * read_len
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
@@ -138,12 +143,16 @@ def device_decode_block(packed, qual_buf, qual_len, npos_buf, npos_len,
         seq = unpack_bases_pallas(packed)[:n]
     else:
         seq = unpack_2bit_device(packed)[:n]
-    npos, _cnt = decode_positions_device(npos_buf, npos_len, n)
+    if np_cap is None:
+        np_cap = min(n, 32 * npos_buf.shape[0])
+    npos, _cnt = decode_positions_device(npos_buf, npos_len, np_cap)
     tgt = jnp.where(npos >= 0, npos, n)
     seq = jnp.concatenate([seq, jnp.zeros(1, dtype=jnp.uint8)])
     seq = seq.at[tgt].set(ord("N"), mode="drop")[:n]
+    tok_cap, pos_cap, esc_cap = qualcol_caps or (None, None, None)
     qual = qualcol_decode_device(
-        qual_buf, bins.shape[0], bins, major, n, qual_len
+        qual_buf, bins.shape[0], bins, major, n, qual_len,
+        tok_cap=tok_cap, pos_cap=pos_cap, esc_cap=esc_cap,
     )
     return seq.reshape(reads, read_len), qual.reshape(reads, read_len)
 
