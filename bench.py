@@ -628,6 +628,10 @@ def bench_device_kernels() -> float | None:
         lambda s, q, x, y, b, t: device_encode_block(
             s, q, x, y, b, jnp.uint8(ord("F")), t,
             esc_cap=0, nonmajor_cap=nmr, npos_cap=npr,
+            qual_out_size=bucket(12 + 4 * int((rq != ord("F")).sum()) + 8,
+                                 n_elems),
+            npos_out_size=bucket(4 * int(rnm.sum()) + 16, n_elems),
+            check_counts=False,  # caps are exact: the engine's mode
         )
     )
     rsd, rqd = jax.device_put(rs), jax.device_put(rq)
@@ -677,7 +681,45 @@ def bench_device_kernels() -> float | None:
         "device decode, realistic qual profile: %.4fs/step -> %.0f MB/s "
         "per chip" % (rd_dt / n_steps, rd_mbps)
     )
-    return max(mbps, r_mbps)
+
+    # SUSTAINED rates: the serial loops above pay the ~31 ms tunnel RPC
+    # floor per dispatch; concurrent dispatch threads overlap it (measured
+    # r3: 4 threads cut a floor-bound 31 ms step to 11 ms), which is how
+    # the production engine runs under --workers N. This is the number a
+    # co-located pipeline sees.
+    import threading
+
+    def sustained(fn, sync, nthreads=4, per=4):
+        done = [None] * nthreads
+
+        def work(t):
+            outs_t = [fn() for _ in range(per)]
+            for ot in outs_t:
+                done[t] = sync(ot)
+
+        ths = [threading.Thread(target=work, args=(t,))
+               for t in range(nthreads)]
+        t0 = time.time()
+        for th in ths:
+            th.start()
+        for th in ths:
+            th.join()
+        return (time.time() - t0) / (nthreads * per)
+
+    dt = sustained(lambda: fr(rsd, rqd, xd, yd, bd, td),
+                   lambda o2: int(o2["qual_len"]))
+    enc_sus = B * L * 2 / 1e6 / dt
+    log("device encode sustained (4 dispatch threads, realistic): "
+        "%.4fs/step -> %.0f MB/s per chip" % (dt, enc_sus))
+    dt = sustained(
+        lambda: gr(o["packed"], o["qual"][:qcap_r], o["qual_len"],
+                   o["npos"][:ncap_r], o["npos_len"]),
+        lambda t2: int(jnp.sum(t2[0][0].astype(jnp.int32))),
+    )
+    dec_sus = B * L * 2 / 1e6 / dt
+    log("device decode sustained (4 dispatch threads, realistic): "
+        "%.4fs/step -> %.0f MB/s per chip" % (dt, dec_sus))
+    return max(mbps, r_mbps, enc_sus, dec_sus)
 
 
 def main() -> None:

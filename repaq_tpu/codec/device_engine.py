@@ -383,7 +383,7 @@ class DeviceEngine:
             packed, nmask, bid = encode_frontend_pallas(seq, qual, bins, major)
             qual_out, qual_len = qualcol_encode_device(
                 qual, bins, major, in_table, esc_cap=esc_cap, bid=bid,
-                nonmajor_cap=nm_cap,
+                nonmajor_cap=nm_cap, out_size=qfetch,
             )
             if want_npos:
                 npos_out, npos_len = encode_positions_from_mask(
@@ -581,7 +581,7 @@ class DeviceEngine:
             )
             qual_out, qual_len = qualcol_encode_device(
                 qual_flat, bins, major, in_table, esc_cap=esc_cap,
-                bid=bid, nonmajor_cap=nm_cap,
+                bid=bid, nonmajor_cap=nm_cap, out_size=qfetch,
             )
             if want_npos:
                 npos_out, npos_len = encode_positions_from_mask(

@@ -265,8 +265,24 @@ def encode_positions_from_mask(mask: jnp.ndarray, out_size: int,
         pos_cap = n
     pos_cap = max(1, min(pos_cap, n))
     i = jnp.arange(pos_cap, dtype=jnp.int32)
-    i_n = jnp.arange(n, dtype=jnp.int32)
-    g_pos = jnp.sort(jnp.where(mask, i_n, jnp.int32(n)))[:pos_cap]
+    if n % 4 == 0 and pos_cap * 8 < n:
+        # sparse mask: compact at 4-byte WORD granularity first, so the
+        # big sort runs over n/4 keys instead of n (the N mask is ~0.1%
+        # dense on real data — the full-n sort was ~9 ms of the encode
+        # step at 5M, measured r3). Each set byte lands in a distinct
+        # word at worst, so pos_cap words cover pos_cap positions.
+        m4 = mask.reshape(-1, 4)
+        nw = m4.shape[0]
+        i_w = jnp.arange(nw, dtype=jnp.int32)
+        widx = jnp.sort(jnp.where(m4.any(axis=1), i_w, jnp.int32(nw)))
+        widx = widx[:pos_cap]
+        mb = jnp.concatenate([m4, jnp.zeros((1, 4), m4.dtype)])[widx]
+        cand = widx[:, None] * 4 + jnp.arange(4, dtype=jnp.int32)[None, :]
+        keys = jnp.where(mb, cand, jnp.int32(n)).reshape(-1)
+        g_pos = jnp.sort(keys)[:pos_cap]
+    else:
+        i_n = jnp.arange(n, dtype=jnp.int32)
+        g_pos = jnp.sort(jnp.where(mask, i_n, jnp.int32(n)))[:pos_cap]
     is_stream = g_pos < n
     seg_start = i == 0
     delta, emits_run, covered, g1, g2, g4 = _classify_stream_positions(
@@ -283,7 +299,8 @@ def encode_positions_from_mask(mask: jnp.ndarray, out_size: int,
 def qualcol_encode_device(qual: jnp.ndarray, bins: jnp.ndarray, major: jnp.ndarray,
                           in_table: jnp.ndarray, esc_cap: int | None = None,
                           bid: jnp.ndarray | None = None,
-                          nonmajor_cap: int | None = None):
+                          nonmajor_cap: int | None = None,
+                          out_size: int | None = None):
     """Full by-column quality encode (reference rfqcodec.cpp:712-765):
     u32le per-bin lengths, concatenated per-bin streams, 5-byte escape
     records — compacted on device in one gather pass.
@@ -415,7 +432,10 @@ def qualcol_encode_device(qual: jnp.ndarray, bins: jnp.ndarray, major: jnp.ndarr
     # escapes (5-byte) are bounded by esc_cap (exact count known host-side;
     # defaults to n = fully general)
     multi_cap = min(nonmajor_cap, nbins * (n // 64 + 4) + esc_cap)
-    out_size = 4 * nbins + n + 8
+    if out_size is None:
+        out_size = 4 * nbins + n + 8
+    # callers with an exact host-side stream-size bound (the engine's
+    # qfetch) shrink the emission buffer from ~n to the compressed size
     out, _ = _emit_sort_lazy(
         b0, counts, out_size, dest, total, multi_cap, tail, w=5,
         extra_keys=jnp.concatenate([hdr_keys, esc_keys]),

@@ -236,33 +236,35 @@ def token_fsm_pallas(code: jnp.ndarray):
 
 
 def _frontend_kernel(nbins, seq_ref, qual_ref, bins_ref, major_ref,
-                     packed_ref, nmask_ref, bid_ref):
+                     packed_ref, meta_ref):
     s0, s1, s2, s3 = _byte_shifts()
     shifts = (s0, s1, s2, s3)
     sq = seq_ref[:]
     qq = qual_ref[:]
     major = major_ref[0]
 
+    # one combined meta byte per char: bid in bits 0-6 (nbins <= 63 so
+    # ids 0..B+1 fit 7 bits), N-mask in bit 7 — halves the kernel's HBM
+    # writes vs separate nmask/bid outputs; consumers unpack with fused
+    # elementwise ops
     packed = jnp.zeros_like(sq)
-    nmask = jnp.zeros_like(sq)
+    meta = jnp.zeros_like(sq)
     for k, sh in enumerate(shifts):
         b = (sq >> sh) & 0xFF
         packed = packed | (_base_code(b) << (2 * k))
-        nmask = nmask | (jnp.where(b == _N, jnp.uint32(1), 0) << sh)
+        meta = meta | (jnp.where(b == _N, jnp.uint32(0x80), 0) << sh)
     packed_ref[:] = packed.astype(jnp.uint8)
-    nmask_ref[:] = nmask
 
     # qual byte -> bin ordinal: 0..B-1 table bins, B escape, B+1 major
     # (same ids as device_streams.qualcol_encode_device)
-    bid = jnp.zeros_like(qq)
     for k, sh in enumerate(shifts):
         q = (qq >> sh) & 0xFF
         ib = jnp.full_like(q, nbins)  # escape by default
         for j in range(nbins):
             ib = jnp.where(q == bins_ref[j], jnp.uint32(j), ib)
         ib = jnp.where(q == major, jnp.uint32(nbins + 1), ib)
-        bid = bid | (ib << sh)
-    bid_ref[:] = bid
+        meta = meta | (ib << sh)
+    meta_ref[:] = meta
 
 
 def encode_frontend_pallas(seq: jnp.ndarray, qual: jnp.ndarray,
@@ -284,9 +286,10 @@ def encode_frontend_pallas(seq: jnp.ndarray, qual: jnp.ndarray,
     assert rows == qrows
     bins_pad = jnp.asarray(bins, dtype=jnp.uint32)
     major_arr = jnp.asarray(major, dtype=jnp.uint32).reshape(1)
+    assert nbins <= 63, nbins  # bid ids 0..B+1 must fit the 7 meta bits
     grid = pl.cdiv(rows, _TILE_ROWS)
     kernel = functools.partial(_frontend_kernel, nbins)
-    packed, nmask, bid = pl.pallas_call(
+    packed, meta = pl.pallas_call(
         kernel,
         grid=(grid,),
         in_specs=[
@@ -302,20 +305,20 @@ def encode_frontend_pallas(seq: jnp.ndarray, qual: jnp.ndarray,
         out_specs=[
             pl.BlockSpec((_TILE_ROWS, _LANES), lambda i: (i, 0)),
             pl.BlockSpec((_TILE_ROWS, _LANES), lambda i: (i, 0)),
-            pl.BlockSpec((_TILE_ROWS, _LANES), lambda i: (i, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((rows, _LANES), jnp.uint8),
-            jax.ShapeDtypeStruct((rows, _LANES), jnp.uint32),
             jax.ShapeDtypeStruct((rows, _LANES), jnp.uint32),
         ],
         interpret=_interpret(),
     )(seq_rows, qual_rows, bins_pad, major_arr)
     packed_flat = packed.reshape(-1)[: (n + 3) // 4]
-    nmask_b = jax.lax.bitcast_convert_type(
-        nmask.reshape(-1)[:, None], jnp.uint8
+    meta_b = jax.lax.bitcast_convert_type(
+        meta.reshape(-1)[:, None], jnp.uint8
     ).reshape(-1)[:n]
-    bid_b = jax.lax.bitcast_convert_type(
-        bid.reshape(-1)[:, None], jnp.uint8
-    ).reshape(-1)[:n]
-    return packed_flat, nmask_b.astype(bool), bid_b.astype(jnp.int32)
+    # unpack ops fuse into the consumers (sort-key builds / reductions)
+    return (
+        packed_flat,
+        meta_b >= 0x80,
+        (meta_b & 0x7F).astype(jnp.int32),
+    )

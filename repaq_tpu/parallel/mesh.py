@@ -41,7 +41,10 @@ def device_encode_block(seqs, quals, xs, ys, bins, major, in_table,
                         esc_cap: int | None = None,
                         use_pallas: bool | None = None,
                         nonmajor_cap: int | None = None,
-                        npos_cap: int | None = None):
+                        npos_cap: int | None = None,
+                        qual_out_size: int | None = None,
+                        npos_out_size: int | None = None,
+                        check_counts: bool = True):
     """Encode one fixed-shape block on one device.
 
     seqs/quals: (B, L) uint8 (read-major, matching the chunk concat order);
@@ -87,10 +90,10 @@ def device_encode_block(seqs, quals, xs, ys, bins, major, in_table,
         bid = None
     qual_out, qual_len = qualcol_encode_device(
         flat_qual, bins, major, in_table, esc_cap=esc_cap, bid=bid,
-        nonmajor_cap=nonmajor_cap,
+        nonmajor_cap=nonmajor_cap, out_size=qual_out_size,
     )
     npos_out, npos_len = encode_positions_from_mask(
-        nmask, n // 2 + 8, pos_cap=npos_cap
+        nmask, npos_out_size or (n // 2 + 8), pos_cap=npos_cap
     )
     x_out, x_len = coords_encode_device(xs, 3 * b + 8)
     y_out, y_len = coords_encode_device(ys, 3 * b + 8)
@@ -99,13 +102,18 @@ def device_encode_block(seqs, quals, xs, ys, bins, major, in_table,
     # truncated stream (ADVICE r1). bid (when the pallas front end ran)
     # avoids a 256-LUT gather: escape = nbins, major = nbins + 1.
     nbins = bins.shape[0]
-    if bid is not None:
+    if not check_counts:
+        # caller proved the caps exact host-side (the production engine's
+        # mode): skip three full-n reductions
+        n_esc = n_nonmajor = n_npos = jnp.int32(-1)
+    elif bid is not None:
         n_esc = jnp.sum(bid == nbins).astype(jnp.int32)
         n_nonmajor = jnp.sum(bid <= nbins).astype(jnp.int32)
+        n_npos = jnp.sum(nmask).astype(jnp.int32)
     else:
         n_esc = jnp.sum(~in_table[flat_qual]).astype(jnp.int32)
         n_nonmajor = jnp.sum(flat_qual != major).astype(jnp.int32)
-    n_npos = jnp.sum(nmask).astype(jnp.int32)
+        n_npos = jnp.sum(nmask).astype(jnp.int32)
     return {
         "n_esc": n_esc,
         "n_nonmajor": n_nonmajor,

@@ -183,3 +183,39 @@ def test_num_shards_concurrent(fixtures_dir, tmp_path):
         fixtures_dir / "se_big.ref.k100.rfq"
     ).read_bytes()
     assert not list(tmp_path.glob("*.part*"))
+
+
+def test_auto_engine_selection(monkeypatch):
+    """get_engine('auto') picks the device engine only for a co-located
+    accelerator (low dispatch floor, high D2H); REPAQ_ENGINE pins it."""
+    from repaq_tpu import pipeline
+
+    # co-located probe -> device engine
+    monkeypatch.setattr(pipeline, "_PROBE",
+                        {"floor_ms": 0.8, "d2h_mbps": 4000.0})
+    assert pipeline.get_engine("auto").name == "device"
+    # tunneled probe (this machine's measured class) -> host engine
+    monkeypatch.setattr(pipeline, "_PROBE",
+                        {"floor_ms": 31.0, "d2h_mbps": 30.0})
+    assert pipeline.get_engine("auto").name == "vectorized"
+    # no accelerator -> host engine
+    monkeypatch.setattr(pipeline, "_PROBE", None)
+    assert pipeline.get_engine("auto").name == "vectorized"
+    # env override wins over the probe
+    monkeypatch.setattr(pipeline, "_PROBE",
+                        {"floor_ms": 0.8, "d2h_mbps": 4000.0})
+    monkeypatch.setenv("REPAQ_ENGINE", "vectorized")
+    assert pipeline.get_engine("auto").name == "vectorized"
+    monkeypatch.setenv("REPAQ_ENGINE", "device")
+    monkeypatch.setattr(pipeline, "_PROBE", None)
+    assert pipeline.get_engine("auto").name == "device"
+
+
+def test_probe_cpu_pinned(monkeypatch):
+    """JAX_PLATFORMS=cpu (the test environment itself) probes to None
+    without importing jax."""
+    from repaq_tpu import pipeline
+
+    monkeypatch.setattr(pipeline, "_PROBE", pipeline._UNSET)
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    assert pipeline._probe_accelerator() is None
