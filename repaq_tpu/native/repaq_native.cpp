@@ -11,6 +11,10 @@
 #include <cstdint>
 #include <cstring>
 #include <vector>
+#include <thread>
+#include <atomic>
+#include <algorithm>
+#include <cstdlib>
 
 extern "C" {
 
@@ -592,68 +596,76 @@ void rans_decode(const uint8_t* payload, const int64_t* lane_counts,
 // match_len == 0. Greedy longest-match with a bounded chain walk.
 // ---------------------------------------------------------------------------
 
-extern "C" {
+namespace lz {
 
-// data: n bytes; emits up to cap tokens. Returns token count, or -1 when
-// the token arrays would overflow (caller retries with bigger arrays).
-int64_t lz_parse(const uint8_t* data, int64_t n, int64_t min_match,
-                 int64_t* lit_lens, int64_t* match_lens, int64_t* dists,
-                 int64_t cap) {
-    const int HASH_BITS = 21;
-    const int64_t HSIZE = (int64_t)1 << HASH_BITS;
-    const int MAXCHAIN = 32;
-    const int64_t HB = 12;  // bytes hashed
-    static thread_local std::vector<int32_t> head_v, prev_v;
-    head_v.assign(HSIZE, -1);
-    prev_v.resize(n > 0 ? n : 1);
+constexpr int HASH_BITS = 21;
+constexpr int64_t HSIZE = (int64_t)1 << HASH_BITS;
+constexpr int MAXCHAIN = 32;
+constexpr int64_t HB = 12;        // bytes hashed
+constexpr int64_t WINDOW = 8 << 20;  // fixed parse-window size (see below)
+
+static inline uint32_t hash_at(const uint8_t* data, int64_t i) {
+    uint64_t h = 0;
+    memcpy(&h, data + i, 8);
+    uint32_t h2;
+    memcpy(&h2, data + i + 8, 4);
+    h = h * 0x9E3779B185EBCA87ull ^ (uint64_t)h2 * 0xC2B2AE3D27D4EB4Full;
+    return (uint32_t)(h >> (64 - HASH_BITS));
+}
+
+struct Tok { int64_t lit, ml, dist; };
+
+// Parse one fixed window [w_begin, w_end). The candidate tables are the
+// full-prefix GRID chain (prev_shared: every position j < w_begin,
+// inserted in ascending order — deterministic) entered through this
+// window's head snapshot, plus the window's own incremental inserts in a
+// private overlay. Matches never extend past w_end. Everything here is a
+// pure function of (data, w_begin, w_end), so the token stream is
+// byte-identical for ANY thread count or schedule.
+static void parse_window(const uint8_t* data, int64_t n, int64_t min_match,
+                         int64_t w_begin, int64_t w_end,
+                         const int32_t* snapshot_head,
+                         const int32_t* prev_shared,
+                         std::vector<Tok>& out) {
+    std::vector<int32_t> head_v(snapshot_head, snapshot_head + HSIZE);
+    std::vector<int32_t> prev_own(w_end - w_begin, -1);
     int32_t* head = head_v.data();
-    int32_t* prev = prev_v.data();
 
-    auto hash_at = [&](int64_t i) -> uint32_t {
-        uint64_t h = 0;
-        memcpy(&h, data + i, 8);
-        uint32_t h2;
-        memcpy(&h2, data + i + 8, 4);
-        h = h * 0x9E3779B185EBCA87ull ^ (uint64_t)h2 * 0xC2B2AE3D27D4EB4Full;
-        return (uint32_t)(h >> (64 - HASH_BITS));
+    auto prev_of = [&](int64_t c) -> int64_t {
+        return c >= w_begin ? prev_own[c - w_begin] : prev_shared[c];
     };
 
-    int64_t ntok = 0;
-    int64_t i = 0, lit_start = 0;
+    int64_t i = w_begin, lit_start = w_begin;
     int64_t miss_run = 0;  // LZ4-style skip acceleration through deserts
-    while (i + HB <= n) {
-        uint32_t h = hash_at(i);
+    while (i < w_end && i + HB <= n) {
+        uint32_t h = hash_at(data, i);
         int64_t cand = head[h];
         int64_t best_len = 0, best_pos = -1;
         int walked = 0;
+        int64_t lim = (w_end < n ? w_end : n) - i;  // no cross-window tail
         while (cand >= 0 && walked < MAXCHAIN) {
             // extend only if it beats best: check the byte at best_len
-            // (i + best_len < n guards the probe when a prior candidate
-            // already matched to end-of-stream — reading data[n] is UB)
-            if (i + best_len < n && cand + best_len < i &&
+            // (best_len < lim guards the probe when a prior candidate
+            // already matched to the limit — reading past it is UB)
+            if (best_len < lim && cand + best_len < i &&
                 data[cand + best_len] == data[i + best_len]) {
                 int64_t l = 0;
-                int64_t lim = n - i;
                 while (l < lim && data[cand + l] == data[i + l]) l++;
                 if (l > best_len) { best_len = l; best_pos = cand; }
             }
-            cand = prev[cand];
+            cand = prev_of(cand);
             walked++;
         }
-        prev[i] = head[h];
+        prev_own[i - w_begin] = head[h];
         head[h] = (int32_t)i;
         if (best_len >= min_match) {
-            if (ntok >= cap) return -1;
-            lit_lens[ntok] = i - lit_start;
-            match_lens[ntok] = best_len;
-            dists[ntok] = i - best_pos;
-            ntok++;
+            out.push_back({i - lit_start, best_len, i - best_pos});
             // sparse insertion inside the match keeps the chain useful
             // without quadratic insert cost
             int64_t end = i + best_len;
             for (int64_t j = i + 1; j + HB <= n && j < end; j += 5) {
-                uint32_t hj = hash_at(j);
-                prev[j] = head[hj];
+                uint32_t hj = hash_at(data, j);
+                prev_own[j - w_begin] = head[hj];
                 head[hj] = (int32_t)j;
             }
             i = end;
@@ -666,12 +678,106 @@ int64_t lz_parse(const uint8_t* data, int64_t n, int64_t min_match,
             i += 1 + (sk > 3 ? 3 : sk);
         }
     }
-    if (lit_start < n || ntok == 0) {
-        if (ntok >= cap) return -1;
-        lit_lens[ntok] = n - lit_start;
-        match_lens[ntok] = 0;
-        dists[ntok] = 0;
-        ntok++;
+    if (lit_start < w_end || (w_begin == 0 && out.empty() && w_end >= n)) {
+        out.push_back({w_end - lit_start, 0, 0});
+    }
+}
+
+}  // namespace lz
+
+extern "C" {
+
+// data: n bytes; emits up to cap tokens. Returns token count, or -1 when
+// the token arrays would overflow (caller retries with bigger arrays).
+//
+// Round 3: the parse is WINDOWED and multi-threaded. One serial pass
+// builds the full-data grid chain (prev_shared, ascending insertion) and
+// snapshots the head table at each fixed 8M window boundary; each window
+// then parses independently against its snapshot (full-prefix match
+// reach) with matches capped at the window end. The window structure is
+// fixed — 1 thread and 16 threads produce byte-identical token streams —
+// and windows run on std::thread workers (REPAQ_LZ_THREADS overrides the
+// hardware count). The serial fraction is the grid pass (~3 ns/byte).
+int64_t lz_parse(const uint8_t* data, int64_t n, int64_t min_match,
+                 int64_t* lit_lens, int64_t* match_lens, int64_t* dists,
+                 int64_t cap) {
+    using namespace lz;
+    if (n <= 0) {
+        if (cap < 1) return -1;
+        lit_lens[0] = 0; match_lens[0] = 0; dists[0] = 0;
+        return 1;
+    }
+    int64_t nwin = (n + WINDOW - 1) / WINDOW;
+
+    // serial grid pass: shared prev chain + head snapshot per window
+    std::vector<int32_t> prev_shared(n, -1);
+    std::vector<int32_t> head_v(HSIZE, -1);
+    std::vector<std::vector<int32_t>> snapshots(nwin);
+    {
+        int32_t* head = head_v.data();
+        int64_t next_snap = 0;
+        // stride-3 grid: every-position insertion makes chains ~2-5x
+        // denser than the old parse-policy ones and the MAXCHAIN walks
+        // proportionally slower (23 -> 10 MB/s measured) for ~0.1% token
+        // gain; stride 3 restores the speed at negligible ratio cost
+        for (int64_t j = 0; j + HB <= n; j += 3) {
+            while (next_snap < nwin && j >= next_snap * WINDOW) {
+                snapshots[next_snap].assign(head, head + HSIZE);
+                next_snap++;
+            }
+            uint32_t h = hash_at(data, j);
+            prev_shared[j] = head[h];
+            head[h] = (int32_t)j;
+        }
+        while (next_snap < nwin) {
+            snapshots[next_snap].assign(head, head + HSIZE);
+            next_snap++;
+        }
+    }
+
+    std::vector<std::vector<Tok>> toks(nwin);
+    int nthreads = (int)std::thread::hardware_concurrency();
+    if (const char* env = getenv("REPAQ_LZ_THREADS")) {
+        int v = atoi(env);
+        if (v > 0) nthreads = v;
+    }
+    if (nthreads < 1) nthreads = 1;
+    if (nthreads > 16) nthreads = 16;
+    if ((int64_t)nthreads > nwin) nthreads = (int)nwin;
+
+    std::atomic<int64_t> next_w(0);
+    auto worker = [&]() {
+        for (;;) {
+            int64_t w = next_w.fetch_add(1);
+            if (w >= nwin) return;
+            int64_t b = w * WINDOW;
+            int64_t e = std::min(n, b + WINDOW);
+            parse_window(data, n, min_match, b, e,
+                         snapshots[w].data(), prev_shared.data(), toks[w]);
+        }
+    };
+    if (nthreads == 1) {
+        worker();
+    } else {
+        std::vector<std::thread> ths;
+        for (int t = 0; t < nthreads; t++) ths.emplace_back(worker);
+        for (auto& t : ths) t.join();
+    }
+
+    int64_t ntok = 0;
+    for (int64_t w = 0; w < nwin; w++) {
+        for (const auto& t : toks[w]) {
+            if (ntok >= cap) return -1;
+            lit_lens[ntok] = t.lit;
+            match_lens[ntok] = t.ml;
+            dists[ntok] = t.dist;
+            ntok++;
+        }
+    }
+    if (ntok == 0) {
+        if (cap < 1) return -1;
+        lit_lens[0] = n; match_lens[0] = 0; dists[0] = 0;
+        ntok = 1;
     }
     return ntok;
 }

@@ -1,6 +1,9 @@
 """Property tests for the token coders in the scalar oracle."""
 
 import random
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
 
 import pytest
 
@@ -145,3 +148,39 @@ def test_qual_runlen_roundtrip():
         dec = bytearray(n)
         oracle.decode_qual_runlen(header, enc, dec)
         assert bytes(dec) == qual
+
+
+def test_lz_parse_thread_invariance():
+    """The windowed MT parse must emit byte-identical token streams for
+    any REPAQ_LZ_THREADS (the window structure, not the schedule, defines
+    the output)."""
+    import os
+    import subprocess
+    import sys
+
+    prog = (
+        "import sys; sys.path.insert(0, %r)\n"
+        "import numpy as np\n"
+        "from repaq_tpu.codec import _native\n"
+        "if not _native.available():\n"
+        "    print('skip'); raise SystemExit\n"
+        "rng = np.random.default_rng(3)\n"
+        "g = rng.integers(0, 4, 400_000).astype(np.uint8)\n"
+        "parts = [g[rng.integers(0, 399_000):][:1000].copy()"
+        " for _ in range(900)]\n"
+        "data = np.concatenate(parts)\n"
+        "ll, ml, dd = _native.lz_parse(data, 24)\n"
+        "import hashlib\n"
+        "print(hashlib.sha256(ll.tobytes()+ml.tobytes()+dd.tobytes())"
+        ".hexdigest())\n" % str(REPO)
+    )
+    outs = set()
+    for t in ("1", "3", "8"):
+        r = subprocess.run(
+            [sys.executable, "-c", prog],
+            env=dict(os.environ, REPAQ_LZ_THREADS=t, JAX_PLATFORMS="cpu"),
+            capture_output=True, text=True, timeout=120,
+        )
+        assert r.returncode == 0, r.stderr[-1000:]
+        outs.add(r.stdout.strip())
+    assert len(outs) == 1, outs
