@@ -32,7 +32,7 @@ from ..codec import rans_np
 from .header import RfqFormatError
 
 MAGIC = b"RFQZ"
-VERSION = 1
+VERSION = 2  # v2: LZ token fields are per-plane sections
 # 16MB sections: ~4 ratio points better than 4MB (table amortization +
 # stabler order-1 statistics) while keeping per-section parallelism
 DEFAULT_BLOCK = 16 << 20
@@ -200,10 +200,25 @@ def _encode_lz(arr: np.ndarray, mode: int, lanes: int) -> bytes | None:
     head += ntok.to_bytes(4, "little")
     head += (len(oraw) // 8).to_bytes(4, "little")
     body = bytearray()
-    body += encode_block(fields, lanes=lanes, label="inner")
+    # each token-field byte PLANE gets its own section (container v2):
+    # the dist low bytes are near-uniform (stored wins), the length hi
+    # bytes are near-constant, the length lo bytes are peaky — one mixed
+    # model over all eight planes cost ~7.1 B/token vs a ~4 B/token
+    # entropy floor (measured r3, 9x-coverage corpus)
+    for p in range(8):
+        body += encode_block(
+            fields[p * ntok : (p + 1) * ntok], lanes=lanes, label="inner"
+        )
     body += oraw
     body += encode_block(lits, lanes=lanes, label="inner")
     return bytes(head) + bytes(body)
+
+
+def _auto_lanes(n: int, cap: int) -> int:
+    lanes = 16
+    while lanes < cap and lanes * 2048 < n:
+        lanes *= 2
+    return lanes
 
 
 def _lz_lit_starts(ll: np.ndarray, ml: np.ndarray) -> np.ndarray:
@@ -225,13 +240,16 @@ def _decode_lz(buf: memoryview, off: int, decode_section) -> tuple[bytes, int]:
     if n > _LZ_MAX_OUT or ntok > n + 1 or nover > 3 * ntok + 4:
         raise RfqzFormatError("LZ rfqz section header corrupt")
     off += 13
-    fields_b, off = decode_block(buf, off, decode_section)
+    planes = []
+    for _p in range(8):
+        pb, off = decode_block(buf, off, decode_section)
+        planes.append(np.frombuffer(pb, dtype=np.uint8))
     if len(buf) - off < 8 * nover:
         raise rans_np.RansTruncated("LZ rfqz section truncated (overflow)")
     oraw = bytes(buf[off : off + 8 * nover])
     off += 8 * nover
     lits_b, off = decode_block(buf, off, decode_section)
-    fields = np.frombuffer(fields_b, dtype=np.uint8)
+    fields = np.concatenate(planes) if ntok else np.zeros(0, np.uint8)
     if fields.shape[0] != 8 * ntok:
         raise ValueError("LZ token fields corrupt")
     ll, ml, dd = _lz_fields_parse(fields, oraw, ntok)
@@ -302,6 +320,12 @@ def encode_block(data: bytes | np.ndarray, lanes: int = rans_np.DEFAULT_LANES,
         if isinstance(data, (bytes, bytearray, memoryview))
         else np.asarray(data, dtype=np.uint8)
     )
+    # lane count adapts to the section size: every lane costs 8 fixed
+    # bytes (u32 length + final state), so 4096 lanes = 32 KB — fine for
+    # a 16 MB section (0.2%), ruinous for the ~200 KB LZ field planes.
+    # `lanes` acts as the cap (the TPU decode parallelism for big
+    # sections); small sections drop to ~one lane per 2 KB.
+    lanes = _auto_lanes(arr.shape[0], lanes)
     mode, counts0, pair = choose_mode(arr)
     if mode == MODE_STORED:
         best = bytes([MODE_STORED]) + len(arr).to_bytes(4, "little") + arr.tobytes()
