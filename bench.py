@@ -116,22 +116,31 @@ def make_dataset(tmp: str) -> tuple[str, str, int]:
     return f1, f2, total
 
 
-def make_realistic_dataset(tmp: str, pairs: int = 150_000):
+def make_realistic_dataset(tmp: str, pairs: int = 150_000,
+                           genome_bases: int = 5_000_000,
+                           errors: bool = True):
     """PE corpus with REAL-DATA structure the synthetic one lacks
     (VERDICT r1: ratio claims need realistic quality autocorrelation):
 
-    - reads sampled from a shared 5 Mb genome (=> cross-read repeats that
-      LZ-class coders exploit; ~9x coverage at the default size)
+    - reads sampled from a shared genome (=> cross-read repeats that
+      LZ-class coders exploit; ~9x coverage at the defaults, pass
+      genome_bases=1_125_000 for the 40x nova-class point)
     - proper fragment model: R2 = revcomp of the fragment end, insert
       250-450 => natural overlap distribution for the PE elision
     - NovaSeq RTA3-style 4-bin qualities from a per-cycle Markov chain:
       quality degrades with cycle, errors come in bursts (long F runs,
       correlated dips) — the autocorrelation xz and order-1 models feed on
+    - (r3) a sequencing-error model: per-base substitutions at the rate
+      the quality bin claims (F 0.05%, ':' 0.5%, ',' 2%, '#' 10%) and
+      rare 1-3 bp indels (~0.1% of reads) — errors break exact repeats,
+      which is precisely what the LZ stage has to survive on real data
     Returns (f1, f2, total_bytes).
     """
     rng = np.random.default_rng(7)
     L = 150
-    genome = rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8), size=5_000_000)
+    genome = rng.choice(
+        np.frombuffer(b"ACGT", dtype=np.uint8), size=genome_bases
+    )
     comp = np.zeros(256, dtype=np.uint8)
     for a, b in zip(b"ACGTN", b"TGCAN"):
         comp[a] = b
@@ -166,6 +175,39 @@ def make_realistic_dataset(tmp: str, pairs: int = 150_000):
 
     q1 = qual_markov(pairs)
     q2 = qual_markov(pairs)
+
+    if errors:
+        err_rate = np.zeros(256)
+        for ch, r in zip(b"F:,#", (0.0005, 0.005, 0.02, 0.10)):
+            err_rate[ch] = r
+        alt = np.frombuffer(b"ACGT", dtype=np.uint8)
+
+        def substitute(s, q):
+            m = rng.random(s.shape) < err_rate[q]
+            subs = alt[rng.integers(0, 4, size=int(m.sum()))]
+            s[m] = subs  # may coincide with the original base: fine
+
+        def indels(s):
+            # ~0.1% of reads get one 1-3 bp ins/del mid-read; the tail
+            # shifts and the read is refilled from its own end (length
+            # stays L — real pipelines trim to length)
+            hit = np.flatnonzero(rng.random(s.shape[0]) < 0.001)
+            for r in hit:
+                k = int(rng.integers(1, 4))
+                at = int(rng.integers(10, L - 10))
+                if rng.random() < 0.5:  # deletion
+                    s[r, at : L - k] = s[r, at + k : L]
+                else:  # insertion of random bases
+                    s[r, at + k : L] = s[r, at : L - k]
+                    s[r, at : at + k] = alt[rng.integers(0, 4, size=k)]
+
+        s1 = s1.copy()
+        s2 = s2.copy()
+        substitute(s1, q1)
+        substitute(s2, q2)
+        indels(s1)
+        indels(s2)
+
     nmask1 = rng.random((pairs, L)) < 0.001
     nmask2 = rng.random((pairs, L)) < 0.001
     s1 = s1.copy()
@@ -256,6 +298,38 @@ def bench_realistic_ratio(tmp: str) -> None:
         % (100.0 * rfq_b / total, total / 1e6 / enc_s,
            100.0 * z_b / total, 100.0 * z_b / rfq_b,
            total / 1e6 / z_s, xz_line)
+    )
+    for p in (f1, f2, rfq, zpath):
+        if os.path.exists(p):
+            os.unlink(p)
+
+    # 40x-coverage point (nova-class deep sequencing, same error model):
+    # smaller corpus, genome shrunk to keep coverage at ~40x
+    f1, f2, total = make_realistic_dataset(
+        tmp, pairs=75_000, genome_bases=560_000
+    )
+    zpath = os.path.join(tmp, "real40.rfqz")
+    t0 = time.time()
+    w = RfqzWriter(zpath)
+    pipeline.compress_pe(f1, f2, "", out_stream=w, chunk_size=16_000_000)
+    w.close()
+    z_s = time.time() - t0
+    z_b = os.path.getsize(zpath)
+    rfq = os.path.join(tmp, "real40.rfq")
+    pipeline.compress_pe(f1, f2, rfq, chunk_size=16_000_000)
+    xz_line = ""
+    if shutil.which("xz"):
+        for lvl in (9,):
+            subprocess.run(
+                ["xz", "-%d" % lvl, "-T", "1", "-k", "-f", rfq], check=True
+            )
+            xz_line += " xz-%d %.2f%%" % (
+                lvl, 100.0 * os.path.getsize(rfq + ".xz") / total
+            )
+            os.unlink(rfq + ".xz")
+    log(
+        "realistic 40x coverage: .rfqz %.2f%% of FASTQ (%.0f MB/s) |%s"
+        % (100.0 * z_b / total, total / 1e6 / z_s, xz_line)
     )
     for p in (f1, f2, rfq, zpath):
         if os.path.exists(p):

@@ -113,10 +113,13 @@ def _load():
     lib.parse_names_batch.restype = None
     lib.parse_names_batch.argtypes = [_u8p, _i64p, _i64, _i64p]
     lib.lz_parse.restype = _i64
-    lib.lz_parse.argtypes = [_u8p, _i64, _i64, _i64p, _i64p, _i64p, _i64]
+    lib.lz_parse.argtypes = [_u8p, _i64, _i64, _i64p, _i64p, _i64p, _i64,
+                             _i64]
     lib.lz_expand.restype = _i64
     lib.lz_expand.argtypes = [_i64p, _i64p, _i64p, _i64, _u8p, _i64, _u8p,
-                              _i64]
+                              _i64, _i64]
+    lib.lz_dist_mtf.restype = None
+    lib.lz_dist_mtf.argtypes = [_i64p, _i64p, _i64, ctypes.c_int]
     _LIB = lib
     return _LIB
 
@@ -321,20 +324,22 @@ def parse_names_batch(flat: np.ndarray, off: np.ndarray) -> np.ndarray:
     return out
 
 
-def lz_parse(data: np.ndarray, min_match: int):
+def lz_parse(data: np.ndarray, min_match: int, parse_from: int = 0):
     """Greedy hash-chain LZ tokens over bytes: (lit_lens, match_lens,
-    dists) int64 arrays; the final token may have match_len == 0."""
+    dists) int64 arrays; the final token may have match_len == 0.
+    parse_from: bytes before it are dictionary — match source only, no
+    token coverage (the SEQLZ cross-section history)."""
     lib = _load()
     data = np.ascontiguousarray(data, dtype=np.uint8)
     n = data.shape[0]
-    cap = max(1024, n // max(min_match, 1) + 16)
+    cap = max(1024, (n - parse_from) // max(min_match, 1) + 16)
     while True:
         ll = np.empty(cap, dtype=np.int64)
         ml = np.empty(cap, dtype=np.int64)
         dd = np.empty(cap, dtype=np.int64)
         ntok = lib.lz_parse(
             _ptr(data, _u8p), n, min_match, _ptr(ll, _i64p),
-            _ptr(ml, _i64p), _ptr(dd, _i64p), cap,
+            _ptr(ml, _i64p), _ptr(dd, _i64p), cap, parse_from,
         )
         if ntok >= 0:
             return ll[:ntok], ml[:ntok], dd[:ntok]
@@ -342,19 +347,54 @@ def lz_parse(data: np.ndarray, min_match: int):
 
 
 def lz_expand(lit_lens: np.ndarray, match_lens: np.ndarray,
-              dists: np.ndarray, lits: np.ndarray, out_len: int) -> np.ndarray:
+              dists: np.ndarray, lits: np.ndarray, out_len: int,
+              hist: np.ndarray | None = None) -> np.ndarray:
+    """Token expansion; hist (optional) is a dictionary prefix match
+    distances may reach into. Returns only the new out_len bytes."""
     lib = _load()
-    out = np.empty(out_len, dtype=np.uint8)
+    start = 0 if hist is None else int(hist.shape[0])
+    out = np.empty(start + out_len, dtype=np.uint8)
+    if start:
+        out[:start] = hist
     got = lib.lz_expand(
         _ptr(np.ascontiguousarray(lit_lens, np.int64), _i64p),
         _ptr(np.ascontiguousarray(match_lens, np.int64), _i64p),
         _ptr(np.ascontiguousarray(dists, np.int64), _i64p),
         lit_lens.shape[0],
         _ptr(np.ascontiguousarray(lits, np.uint8), _u8p), lits.shape[0],
-        _ptr(out, _u8p), out_len,
+        _ptr(out, _u8p), start + out_len, start,
     )
     if got != out_len:
         raise ValueError("LZ stream corrupt (expanded %d of %d)" % (got, out_len))
+    return out[start:]
+
+
+def lz_dist_mtf(dd: np.ndarray, ml: np.ndarray, encode: bool) -> np.ndarray:
+    """4-slot MTF rep-distance transform (in both directions); returns a
+    new array. Falls back to a pure-python loop without the library —
+    decode must work everywhere."""
+    out = np.ascontiguousarray(dd, np.int64).copy()
+    mlc = np.ascontiguousarray(ml, np.int64)
+    lib = _load()
+    if lib is not None:
+        lib.lz_dist_mtf(_ptr(out, _i64p), _ptr(mlc, _i64p), out.shape[0],
+                        1 if encode else 0)
+        return out
+    slots = [0, 0, 0, 0]
+    for t in range(out.shape[0]):
+        if mlc[t] == 0:
+            continue
+        if encode:
+            d = int(out[t])
+            out[t] = slots.index(d) if d in slots else d + 4
+        else:
+            v = int(out[t])
+            d = slots[v] if v < 4 else v - 4
+            out[t] = d
+        if d in slots:
+            slots.remove(d)
+        slots.insert(0, d)
+        del slots[4:]
     return out
 
 

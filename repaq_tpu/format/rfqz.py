@@ -158,7 +158,51 @@ def _lz_fields_parse(fields: np.ndarray, oraw: bytes, ntok: int):
     return ll, ml, dd
 
 
-def _encode_lz(arr: np.ndarray, mode: int, lanes: int) -> bytes | None:
+class SeqLzHistory:
+    """Rolling cross-section dictionary for MODE_SEQLZ (round 3): later
+    seq sections match into the unpacked bases of earlier ones, closing
+    the window gap vs whole-file LZMA (sections are ~16 Mbase; coverage
+    redundancy spans the whole run). Sections are stored PACKED (2 bit)
+    and unpacked on demand. The usable history is the newest whole
+    sections totalling <= cap bases — a pure function of the preceding
+    MODE_SEQLZ sections, so encoder and decoder stay in lockstep; ranks
+    of a sharded compress start empty, which only FORGOES matches (their
+    backward distances still resolve identically at decode, where the
+    history may be longer)."""
+
+    def __init__(self, cap_bases: int = 96 << 20):
+        self.cap = cap_bases
+        self._packed: list[np.ndarray] = []
+
+    def add_packed(self, packed: np.ndarray, nbases: int) -> None:
+        self._packed.append(np.ascontiguousarray(packed[: (nbases + 3) // 4]))
+        # drop sections that can never be usable again
+        while len(self._packed) > 1 and sum(
+            4 * p.shape[0] for p in self._packed[1:]
+        ) >= self.cap:
+            self._packed.pop(0)
+
+    def bases(self) -> np.ndarray | None:
+        """Newest whole sections totalling <= cap bases, in stream order."""
+        take: list[np.ndarray] = []
+        total = 0
+        for p in reversed(self._packed):
+            nb = 4 * p.shape[0]
+            if total + nb > self.cap:
+                break
+            take.append(p)
+            total += nb
+        if not take:
+            return None
+        from ..codec import _native
+
+        parts = [_native.unpack_2bit(p, 4 * p.shape[0])
+                 for p in reversed(take)]
+        return parts[0] if len(parts) == 1 else np.concatenate(parts)
+
+
+def _encode_lz(arr: np.ndarray, mode: int, lanes: int,
+               hist_bases: np.ndarray | None = None) -> bytes | None:
     """MODE_LZ / MODE_SEQLZ record, or None when LZ does not apply (no
     native library) — never larger-than-raw gating here; the caller
     compares against the rANS/store candidate."""
@@ -174,17 +218,32 @@ def _encode_lz(arr: np.ndarray, mode: int, lanes: int) -> bytes | None:
         stream, minm = base_stream, _LZ_MIN_BASES
     else:
         stream, minm = arr, _LZ_MIN_BYTES
+        hist_bases = None
     # probe parse: data without cross-record redundancy (e.g. reads of a
     # random or unshared genome) finds no matches — detect that on a
     # prefix before paying the full hash-chain walk (the full parse runs
     # at ~28M bytes/s; an always-on quarter-length probe caps the wasted
-    # work on incompressible streams at 25%)
+    # work on incompressible streams at 25%). With history the probe
+    # includes its tail as dictionary, else coverage spread across
+    # sections would read as incompressible.
     probe_n = min(4 << 20, max(256 << 10, stream.shape[0] // 4))
     if stream.shape[0] > 2 * probe_n:
-        _pl, pml, _pd = _native.lz_parse(stream[:probe_n], minm)
+        if hist_bases is not None:
+            ht = hist_bases[-(4 << 20):]
+            _pl, pml, _pd = _native.lz_parse(
+                np.concatenate([ht, stream[:probe_n]]), minm,
+                parse_from=ht.shape[0],
+            )
+        else:
+            _pl, pml, _pd = _native.lz_parse(stream[:probe_n], minm)
         if int(pml.sum()) * 8 < probe_n:
             return None
-    ll, ml, dd = _native.lz_parse(stream, minm)
+    if hist_bases is not None:
+        full = np.concatenate([hist_bases, stream])
+        ll, ml, dd = _native.lz_parse(full, minm,
+                                      parse_from=hist_bases.shape[0])
+    else:
+        ll, ml, dd = _native.lz_parse(stream, minm)
     if ml.shape[0] <= 1 or int(ml.sum()) * 2 < n // 8:
         return None  # too few matches to beat plain rANS — skip the work
     if mode == MODE_SEQLZ:
@@ -193,6 +252,10 @@ def _encode_lz(arr: np.ndarray, mode: int, lanes: int) -> bytes | None:
         )
     else:
         lits = gather_slices(arr, _lz_lit_starts(ll, ml), ll)
+    # MTF rep-distance transform: errors chop genome matches into
+    # same-distance runs; slot codes 0-3 turn the ~3 uniform dist bytes
+    # of each resumed match into a near-free spike at 0
+    dd = _native.lz_dist_mtf(dd, ml, True)
     fields, oraw = _lz_fields_bytes(ll, ml, dd)
     ntok = ll.shape[0]
     head = bytearray([mode])
@@ -228,7 +291,8 @@ def _lz_lit_starts(ll: np.ndarray, ml: np.ndarray) -> np.ndarray:
     return starts
 
 
-def _decode_lz(buf: memoryview, off: int, decode_section) -> tuple[bytes, int]:
+def _decode_lz(buf: memoryview, off: int, decode_section,
+               seq_hist: SeqLzHistory | None = None) -> tuple[bytes, int]:
     mode = buf[off]
     if len(buf) - off < 13:
         raise rans_np.RansTruncated("LZ rfqz section truncated (header)")
@@ -256,14 +320,23 @@ def _decode_lz(buf: memoryview, off: int, decode_section) -> tuple[bytes, int]:
     lits = np.frombuffer(lits_b, dtype=np.uint8)
     from ..codec import _native
 
+    dd = _native.lz_dist_mtf(dd, ml, False)
+
     if mode == MODE_SEQLZ:
-        out_bases = _lz_expand_py(ll, ml, dd, _np_unpack(lits, None), 4 * n)
+        hb = seq_hist.bases() if seq_hist is not None else None
+        out_bases = _lz_expand_py(
+            ll, ml, dd, _np_unpack(lits, None), 4 * n, hist=hb
+        )
         if _native.available():
             packed = _native.pack_2bit(out_bases)
         else:
             from ..codec import kernels_np as K
 
             packed = K.pack_2bit(out_bases)
+        if seq_hist is not None:
+            seq_hist.add_packed(
+                np.frombuffer(packed.tobytes(), np.uint8), 4 * n
+            )
         return packed.tobytes(), off
     out = _lz_expand_py(ll, ml, dd, lits, n)
     return out.tobytes(), off
@@ -279,17 +352,22 @@ def _np_unpack(packed: np.ndarray, _):
     return K.unpack_2bit(packed, 4 * packed.shape[0])
 
 
-def _lz_expand_py(ll, ml, dd, lits: np.ndarray, out_len: int) -> np.ndarray:
+def _lz_expand_py(ll, ml, dd, lits: np.ndarray, out_len: int,
+                  hist: np.ndarray | None = None) -> np.ndarray:
     from ..codec import _native
 
     if _native.available():
-        return _native.lz_expand(ll, ml, dd, lits, out_len)
+        return _native.lz_expand(ll, ml, dd, lits, out_len, hist=hist)
     # pure-python fallback (decode must work everywhere)
-    out = np.empty(out_len, dtype=np.uint8)
-    o = lp = 0
+    start = 0 if hist is None else hist.shape[0]
+    out = np.empty(start + out_len, dtype=np.uint8)
+    if start:
+        out[:start] = hist
+    o, lp = start, 0
+    end = start + out_len
     for t in range(ll.shape[0]):
         l, m, d = int(ll[t]), int(ml[t]), int(dd[t])
-        if l < 0 or m < 0 or lp + l > lits.shape[0] or o + l + m > out_len:
+        if l < 0 or m < 0 or lp + l > lits.shape[0] or o + l + m > end:
             raise ValueError("LZ stream corrupt")
         out[o : o + l] = lits[lp : lp + l]
         lp += l
@@ -303,13 +381,14 @@ def _lz_expand_py(ll, ml, dd, lits: np.ndarray, out_len: int) -> np.ndarray:
                 for j in range(m):  # overlapping copy
                     out[o + j] = out[o - d + j]
             o += m
-    if o != out_len:
+    if o != end:
         raise ValueError("LZ stream corrupt (short expand)")
-    return out
+    return out[start:]
 
 
 def encode_block(data: bytes | np.ndarray, lanes: int = rans_np.DEFAULT_LANES,
-                 encode_section=None, label: str | None = None) -> bytes:
+                 encode_section=None, label: str | None = None,
+                 seq_hist: SeqLzHistory | None = None) -> bytes:
     """One self-contained section record with mode selection.
     encode_section: override for the device kernel path (same signature as
     rans_np.encode_section). label: stream label from RfqChunk.to_segments
@@ -347,8 +426,12 @@ def encode_block(data: bytes | np.ndarray, lanes: int = rans_np.DEFAULT_LANES,
     # streams in every measurement, so the parse there was pure overhead
     if arr.shape[0] >= _LZ_TRY_MIN and label in ("seq", "tail", None):
         lz_mode = MODE_SEQLZ if label == "seq" else MODE_LZ
+        hb = (
+            seq_hist.bases()
+            if (seq_hist is not None and label == "seq") else None
+        )
         try:
-            lz = _encode_lz(arr, lz_mode, lanes)
+            lz = _encode_lz(arr, lz_mode, lanes, hist_bases=hb)
         except (OSError, ValueError) as e:
             # only expected unavailability errors; anything else (a real
             # defect in the native parse/pack path) must propagate, not be
@@ -363,10 +446,18 @@ def encode_block(data: bytes | np.ndarray, lanes: int = rans_np.DEFAULT_LANES,
             lz = None
         if lz is not None and len(lz) < len(best):
             best = lz
+    if (
+        seq_hist is not None and label == "seq" and len(best)
+        and best[0] == MODE_SEQLZ
+    ):
+        # history tracks CHOSEN seqlz sections only — the decoder mirrors
+        # this from the mode bytes it actually sees
+        seq_hist.add_packed(arr, 4 * arr.shape[0])
     return best
 
 
-def decode_block(buf: memoryview, off: int, decode_section=None) -> tuple[bytes, int]:
+def decode_block(buf: memoryview, off: int, decode_section=None,
+                 seq_hist: SeqLzHistory | None = None) -> tuple[bytes, int]:
     mode = buf[off]
     if mode == MODE_STORED:
         if len(buf) - off < 5:
@@ -376,7 +467,7 @@ def decode_block(buf: memoryview, off: int, decode_section=None) -> tuple[bytes,
             raise rans_np.RansTruncated("stored rfqz section truncated")
         return bytes(buf[off + 5 : off + 5 + n]), off + 5 + n
     if mode in (MODE_LZ, MODE_SEQLZ):
-        return _decode_lz(buf, off, decode_section)
+        return _decode_lz(buf, off, decode_section, seq_hist=seq_hist)
     if mode not in (MODE_ORDER0, MODE_ORDER1):
         raise RfqzFormatError("bad rfqz section mode %d" % mode)
     return (decode_section or rans_np.decode_section)(buf, off)
@@ -401,6 +492,7 @@ class RfqzWriter:
         self._lanes = lanes
         self._buf = bytearray()
         self._enc = encode_section
+        self._seq_hist = SeqLzHistory()
         self.coded_bytes = 0
         if container_header:
             self._out.write(MAGIC + bytes([VERSION]))
@@ -433,7 +525,7 @@ class RfqzWriter:
                 self.raw_bytes += len(data)
                 rec = encode_block(
                     data, lanes=self._lanes, encode_section=self._enc,
-                    label=label,
+                    label=label, seq_hist=self._seq_hist,
                 )
                 self.coded_bytes += len(rec)
                 self._out.write(rec)
@@ -493,6 +585,7 @@ class RfqzReader:
         self._consumed = 5
         self._buf = bytearray()
         self._pos = 0
+        self._seq_hist = SeqLzHistory()
 
     def _fill(self) -> bool:
         if self._eof:
@@ -516,7 +609,9 @@ class RfqzReader:
             mv = memoryview(self._comp)
             err = None
             try:
-                data, end = decode_block(mv, 0, self._dec)
+                data, end = decode_block(
+                    mv, 0, self._dec, seq_hist=self._seq_hist
+                )
             except (IndexError, ValueError, RfqzFormatError) as e:
                 # RansTruncated / IndexError mean the section extends past
                 # the buffered bytes — retry after fetching more. Anything

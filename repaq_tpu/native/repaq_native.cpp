@@ -623,49 +623,91 @@ struct Tok { int64_t lit, ml, dist; };
 // pure function of (data, w_begin, w_end), so the token stream is
 // byte-identical for ANY thread count or schedule.
 static void parse_window(const uint8_t* data, int64_t n, int64_t min_match,
-                         int64_t w_begin, int64_t w_end,
+                         int64_t w_begin, int64_t w_end, int64_t parse_from,
                          const int32_t* snapshot_head,
                          const int32_t* prev_shared,
                          std::vector<Tok>& out) {
+    // parse_from > w_begin: dictionary mode — bytes before parse_from are
+    // match SOURCE only (the grid chain covers them; the caller's
+    // snapshot for this window is taken at parse_from); tokens start
+    // there. The overlay covers [p0, w_end): positions below p0 are
+    // never parsed, so their chain links live in prev_shared.
+    int64_t p0 = parse_from > w_begin ? parse_from : w_begin;
     std::vector<int32_t> head_v(snapshot_head, snapshot_head + HSIZE);
-    std::vector<int32_t> prev_own(w_end - w_begin, -1);
+    std::vector<int32_t> prev_own(w_end - p0, -1);
     int32_t* head = head_v.data();
 
     auto prev_of = [&](int64_t c) -> int64_t {
-        return c >= w_begin ? prev_own[c - w_begin] : prev_shared[c];
+        return c >= p0 ? prev_own[c - p0] : prev_shared[c];
     };
 
-    int64_t i = w_begin, lit_start = w_begin;
+    // LZMA-style rep-distance slots: sequencing errors chop long genome
+    // matches into (match, 1-2 error bases, match-at-SAME-distance)
+    // runs; re-using a recent distance costs ~0 bits after the MTF dist
+    // transform in the serializer, so rep matches are accepted down to
+    // REP_MIN and preferred over slightly-longer fresh-distance matches.
+    // State is window-local => still thread-count invariant.
+    constexpr int NREP = 4;
+    constexpr int64_t REP_MIN = 8;
+    int64_t rep[NREP] = {0, 0, 0, 0};
+
+    int64_t i = p0, lit_start = p0;
     int64_t miss_run = 0;  // LZ4-style skip acceleration through deserts
     while (i < w_end && i + HB <= n) {
         uint32_t h = hash_at(data, i);
+        int64_t lim = (w_end < n ? w_end : n) - i;  // no cross-window tail
+        // rep probes FIRST: a long rep match skips the chain walk, whose
+        // candidates cache-miss all over the (up to ~100 MB) history
+        int64_t rep_len = 0, rep_dist = 0;
+        for (int r = 0; r < NREP; r++) {
+            int64_t d = rep[r];
+            if (d <= 0 || i - d < 0) continue;
+            const uint8_t* src = data + i - d;
+            int64_t l = 0;
+            while (l < lim && src[l] == data[i + l]) l++;
+            if (l > rep_len) { rep_len = l; rep_dist = d; }
+        }
         int64_t cand = head[h];
         int64_t best_len = 0, best_pos = -1;
         int walked = 0;
-        int64_t lim = (w_end < n ? w_end : n) - i;  // no cross-window tail
-        while (cand >= 0 && walked < MAXCHAIN) {
-            // extend only if it beats best: check the byte at best_len
-            // (best_len < lim guards the probe when a prior candidate
-            // already matched to the limit — reading past it is UB)
-            if (best_len < lim && cand + best_len < i &&
-                data[cand + best_len] == data[i + best_len]) {
-                int64_t l = 0;
-                while (l < lim && data[cand + l] == data[i + l]) l++;
-                if (l > best_len) { best_len = l; best_pos = cand; }
+        if (rep_len < 48) {
+            while (cand >= 0 && walked < MAXCHAIN) {
+                // extend only if it beats best: check the byte at
+                // best_len (best_len < lim guards the probe when a prior
+                // candidate already matched to the limit — UB past it)
+                if (best_len < lim && cand + best_len < i &&
+                    data[cand + best_len] == data[i + best_len]) {
+                    int64_t l = 0;
+                    while (l < lim && data[cand + l] == data[i + l]) l++;
+                    if (l > best_len) { best_len = l; best_pos = cand; }
+                    if (best_len >= 96) break;  // good enough: stop paying
+                }
+                cand = prev_of(cand);
+                walked++;
             }
-            cand = prev_of(cand);
-            walked++;
         }
-        prev_own[i - w_begin] = head[h];
+        prev_own[i - p0] = head[h];
         head[h] = (int32_t)i;
-        if (best_len >= min_match) {
-            out.push_back({i - lit_start, best_len, i - best_pos});
+        // a rep match is ~3 dist bytes cheaper than a fresh one: take it
+        // unless the fresh match is substantially longer
+        bool use_rep = rep_len >= REP_MIN && rep_len + 12 >= best_len;
+        if (use_rep || best_len >= min_match) {
+            if (use_rep) { best_len = rep_len; best_pos = i - rep_dist; }
+            int64_t dist = i - best_pos;
+            // move-to-front the used distance into the rep slots
+            int hit = NREP - 1;
+            for (int r = 0; r < NREP; r++) {
+                if (rep[r] == dist) { hit = r; break; }
+            }
+            for (int r = hit; r > 0; r--) rep[r] = rep[r - 1];
+            rep[0] = dist;
+            out.push_back({i - lit_start, best_len, dist});
             // sparse insertion inside the match keeps the chain useful
             // without quadratic insert cost
             int64_t end = i + best_len;
             for (int64_t j = i + 1; j + HB <= n && j < end; j += 5) {
                 uint32_t hj = hash_at(data, j);
-                prev_own[j - w_begin] = head[hj];
+                prev_own[j - p0] = head[hj];
                 head[hj] = (int32_t)j;
             }
             i = end;
@@ -678,7 +720,7 @@ static void parse_window(const uint8_t* data, int64_t n, int64_t min_match,
             i += 1 + (sk > 3 ? 3 : sk);
         }
     }
-    if (lit_start < w_end || (w_begin == 0 && out.empty() && w_end >= n)) {
+    if (lit_start < w_end || (p0 == 0 && out.empty() && w_end >= n)) {
         out.push_back({w_end - lit_start, 0, 0});
     }
 }
@@ -698,16 +740,20 @@ extern "C" {
 // fixed — 1 thread and 16 threads produce byte-identical token streams —
 // and windows run on std::thread workers (REPAQ_LZ_THREADS overrides the
 // hardware count). The serial fraction is the grid pass (~3 ns/byte).
+// parse_from: bytes before it are dictionary (match source, no tokens);
+// the emitted tokens cover exactly [parse_from, n).
 int64_t lz_parse(const uint8_t* data, int64_t n, int64_t min_match,
                  int64_t* lit_lens, int64_t* match_lens, int64_t* dists,
-                 int64_t cap) {
+                 int64_t cap, int64_t parse_from) {
     using namespace lz;
-    if (n <= 0) {
+    if (parse_from < 0) parse_from = 0;
+    if (n <= parse_from) {
         if (cap < 1) return -1;
         lit_lens[0] = 0; match_lens[0] = 0; dists[0] = 0;
         return 1;
     }
     int64_t nwin = (n + WINDOW - 1) / WINDOW;
+    int64_t first_w = parse_from / WINDOW;
 
     // serial grid pass: shared prev chain + head snapshot per window
     std::vector<int32_t> prev_shared(n, -1);
@@ -720,14 +766,20 @@ int64_t lz_parse(const uint8_t* data, int64_t n, int64_t min_match,
         // denser than the old parse-policy ones and the MAXCHAIN walks
         // proportionally slower (23 -> 10 MB/s measured) for ~0.1% token
         // gain; stride 3 restores the speed at negligible ratio cost
-        for (int64_t j = 0; j + HB <= n; j += 3) {
-            while (next_snap < nwin && j >= next_snap * WINDOW) {
+        // dictionary region (j < parse_from) gets stride 5: its chain
+        // entries are cache-cold at walk time, so density there is the
+        // dominant parse cost with a large history
+        int64_t j = 0;
+        while (j + HB <= n) {
+            while (next_snap < nwin &&
+                   j >= std::max(next_snap * WINDOW, parse_from)) {
                 snapshots[next_snap].assign(head, head + HSIZE);
                 next_snap++;
             }
             uint32_t h = hash_at(data, j);
             prev_shared[j] = head[h];
             head[h] = (int32_t)j;
+            j += (j < parse_from) ? 5 : 3;
         }
         while (next_snap < nwin) {
             snapshots[next_snap].assign(head, head + HSIZE);
@@ -743,16 +795,17 @@ int64_t lz_parse(const uint8_t* data, int64_t n, int64_t min_match,
     }
     if (nthreads < 1) nthreads = 1;
     if (nthreads > 16) nthreads = 16;
-    if ((int64_t)nthreads > nwin) nthreads = (int)nwin;
+    if ((int64_t)nthreads > nwin - first_w) nthreads = (int)(nwin - first_w);
+    if (nthreads < 1) nthreads = 1;
 
-    std::atomic<int64_t> next_w(0);
+    std::atomic<int64_t> next_w(first_w);
     auto worker = [&]() {
         for (;;) {
             int64_t w = next_w.fetch_add(1);
             if (w >= nwin) return;
             int64_t b = w * WINDOW;
             int64_t e = std::min(n, b + WINDOW);
-            parse_window(data, n, min_match, b, e,
+            parse_window(data, n, min_match, b, e, parse_from,
                          snapshots[w].data(), prev_shared.data(), toks[w]);
         }
     };
@@ -765,7 +818,7 @@ int64_t lz_parse(const uint8_t* data, int64_t n, int64_t min_match,
     }
 
     int64_t ntok = 0;
-    for (int64_t w = 0; w < nwin; w++) {
+    for (int64_t w = first_w; w < nwin; w++) {
         for (const auto& t : toks[w]) {
             if (ntok >= cap) return -1;
             lit_lens[ntok] = t.lit;
@@ -776,19 +829,54 @@ int64_t lz_parse(const uint8_t* data, int64_t n, int64_t min_match,
     }
     if (ntok == 0) {
         if (cap < 1) return -1;
-        lit_lens[0] = n; match_lens[0] = 0; dists[0] = 0;
+        lit_lens[0] = n - parse_from; match_lens[0] = 0; dists[0] = 0;
         ntok = 1;
     }
     return ntok;
 }
 
+// MTF rep-distance transform over a token dist sequence (both directions;
+// the decoder mirrors the encoder's 4-slot move-to-front state, so the
+// transform is self-contained in the token stream — no window coupling).
+// Codes: 0..3 = recent-distance slot, d+4 = fresh distance d. Tokens with
+// match_len == 0 carry no distance and are skipped. In-place.
+void lz_dist_mtf(int64_t* dd, const int64_t* ml, int64_t ntok, int encode) {
+    int64_t slots[4] = {0, 0, 0, 0};
+    for (int64_t t = 0; t < ntok; t++) {
+        if (ml[t] == 0) continue;
+        int64_t d;
+        if (encode) {
+            d = dd[t];
+            int hit = -1;
+            for (int r = 0; r < 4; r++) {
+                if (slots[r] == d) { hit = r; break; }
+            }
+            dd[t] = hit >= 0 ? hit : d + 4;
+        } else {
+            int64_t v = dd[t];
+            d = (v < 4) ? slots[v] : v - 4;
+            dd[t] = d;
+        }
+        int upto = 3;
+        for (int r = 0; r < 4; r++) {
+            if (slots[r] == d) { upto = r; break; }
+        }
+        for (int r = upto; r > 0; r--) slots[r] = slots[r - 1];
+        slots[0] = d;
+    }
+}
+
 // Expand tokens back: literals come from `lits`, matches copy from the
 // already-produced output (overlapping copies byte-by-byte, LZ77 rules).
 // Returns bytes produced, or -1 on malformed input (OOB dist/overrun).
+// start: expansion begins at out[start]; out[0:start) is a pre-filled
+// dictionary that match distances may reach into. Returns bytes produced
+// AFTER start, or -1 on malformed input.
 int64_t lz_expand(const int64_t* lit_lens, const int64_t* match_lens,
                   const int64_t* dists, int64_t ntok, const uint8_t* lits,
-                  int64_t nlits, uint8_t* out, int64_t out_cap) {
-    int64_t o = 0, lp = 0;
+                  int64_t nlits, uint8_t* out, int64_t out_cap,
+                  int64_t start) {
+    int64_t o = start, lp = 0;
     for (int64_t t = 0; t < ntok; t++) {
         int64_t ll = lit_lens[t], ml = match_lens[t], d = dists[t];
         if (ll < 0 || ml < 0 || lp + ll > nlits || o + ll + ml > out_cap)
@@ -808,7 +896,7 @@ int64_t lz_expand(const int64_t* lit_lens, const int64_t* match_lens,
             o += ml;
         }
     }
-    return o;
+    return o - start;
 }
 
 }  // extern "C"

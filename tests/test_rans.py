@@ -429,3 +429,54 @@ def test_lz_corrupt_sections_clean_errors(tmp_path):
             # (flips in dead padding); otherwise it must have raised
         except (ValueError, rfqz.RfqzFormatError, IndexError):
             continue
+
+
+def test_seqlz_cross_section_history():
+    """MODE_SEQLZ history dictionary: a section whose redundancy lives
+    entirely in the PREVIOUS section must still find matches (and shrink),
+    and decode must reproduce it by mirroring the encoder's history. Also
+    covers the shard-boundary property: decoding with MORE history than
+    the encoder had is byte-safe (backward distances)."""
+    import numpy as np
+
+    from repaq_tpu.codec import _native, kernels_np as K
+    from repaq_tpu.format import rfqz
+
+    if not _native.available():
+        import pytest
+
+        pytest.skip("native LZ required")
+    rng = np.random.default_rng(11)
+    genome = rng.integers(0, 4, 300_000).astype(np.uint8)
+    base = np.frombuffer(b"GATC", np.uint8)
+
+    def reads(k):
+        parts = [genome[rng.integers(0, 299_000):][:500] for _ in range(k)]
+        return base[np.concatenate(parts)]
+
+    sec1 = K.pack_2bit(reads(1200))  # ~600 KB bases -> section 1
+    sec2 = K.pack_2bit(reads(1200))  # same genome: matches only via hist
+
+    # no history: each section fends for itself
+    solo2 = rfqz.encode_block(sec2, label="seq")
+    h = rfqz.SeqLzHistory()
+    rec1 = rfqz.encode_block(sec1, label="seq", seq_hist=h)
+    rec2 = rfqz.encode_block(sec2, label="seq", seq_hist=h)
+    assert rec1[0] == rfqz.MODE_SEQLZ
+    assert rec2[0] == rfqz.MODE_SEQLZ
+    assert len(rec2) < len(solo2) * 0.9, (len(rec2), len(solo2))
+
+    hd = rfqz.SeqLzHistory()
+    out1, end1 = rfqz.decode_block(memoryview(rec1), 0, seq_hist=hd)
+    out2, _ = rfqz.decode_block(memoryview(rec2), 0, seq_hist=hd)
+    assert out1 == sec1.tobytes()
+    assert out2 == sec2.tobytes()
+
+    # shard boundary: rec2' encoded with EMPTY history decodes fine under
+    # a reader that carries section-1 history
+    rec2_solo = rfqz.encode_block(sec2, label="seq",
+                                  seq_hist=rfqz.SeqLzHistory())
+    hd2 = rfqz.SeqLzHistory()
+    rfqz.decode_block(memoryview(rec1), 0, seq_hist=hd2)
+    out2b, _ = rfqz.decode_block(memoryview(rec2_solo), 0, seq_hist=hd2)
+    assert out2b == sec2.tobytes()
