@@ -66,6 +66,23 @@ def _cmp_lookup_compact(slot: jnp.ndarray, bounds: jnp.ndarray,
     return sym, (cnext - c).astype(jnp.uint32), c.astype(jnp.uint32)
 
 
+def _cmp_lookup_compact_rows(slot: jnp.ndarray, brows_t: jnp.ndarray,
+                             S: int):
+    """_cmp_lookup_compact with a PER-LANE bounds row — the order-1
+    compact path selects each lane's row by its previous-symbol ordinal,
+    so the whole context-dependent table lookup stays in compare-select
+    land (no (256, SCALE) gathers). brows_t is LANE-LAST (S+1, lanes):
+    a (lanes, S) layout pads every op to 128-wide tiles (measured 20x
+    slower). Returns (sym_ordinal, freq, cum)."""
+    ge = slot[None, :] >= brows_t[:S]  # (S, lanes)
+    sym_ord = jnp.sum(ge[1:].astype(jnp.int32), axis=0)
+    c = jnp.max(jnp.where(ge, brows_t[:S], 0), axis=0)
+    hi = brows_t[1:]
+    cnext = jnp.min(jnp.where(slot[None, :] < hi, hi, jnp.int32(SCALE)),
+                    axis=0)
+    return sym_ord, (cnext - c).astype(jnp.uint32), c.astype(jnp.uint32)
+
+
 def _select_fc(gi: jnp.ndarray, syms: jnp.ndarray, f_of_sym: jnp.ndarray,
                c_of_sym: jnp.ndarray, S: int):
     """(freq, cum) per symbol via compare-select over the S present
@@ -233,13 +250,19 @@ def rans_encode_o0_image(data: jnp.ndarray, syms: jnp.ndarray,
 def rans_decode_device(payload: jnp.ndarray, lane_counts: jnp.ndarray,
                        sym_lut: jnp.ndarray, freq_lut, cum_lut,
                        lanes: int, steps: int, order: int,
-                       compact: tuple | None = None):
+                       compact: tuple | None = None,
+                       compact1: tuple | None = None):
     """Decode to a (steps, lanes) symbol grid (= data.reshape(lanes,
     steps).T). payload: flat per-lane image as produced above, padded with
     >= 2 zero bytes; sym_lut: (SCALE,) u8 for order-0 / (256, SCALE) for
     order-1. compact: optional (syms (S,) traced, bounds (S+1,) traced,
     S static) for the order-0 compare-select fast path (S-wide instead of
-    256-wide)."""
+    256-wide). compact1: optional (syms (S,) traced, B (S+1, S+1) traced
+    per-context-ordinal bounds rows, ctx0 traced initial context ordinal,
+    S static) for the order-1 compare-select path — context = previous
+    symbol, which the chain already produces as an ORDINAL, so row
+    selection is S+1 masked adds instead of a (256, SCALE) gather
+    (round-3, VERDICT r2 item 7)."""
     lane_start = jnp.cumsum(lane_counts) - lane_counts
     s0 = lane_start
     state = (
@@ -270,6 +293,8 @@ def rans_decode_device(payload: jnp.ndarray, lane_counts: jnp.ndarray,
         )
         if compact is not None:
             c_syms, c_bounds, c_S = compact
+    if compact1 is not None:
+        c1_syms, c1_B, c1_ctx0, c1_S = compact1
 
     def step(carry, _):
         state, ptr, prev = carry
@@ -279,6 +304,16 @@ def rans_decode_device(payload: jnp.ndarray, lane_counts: jnp.ndarray,
                 sym, f, c = _cmp_lookup_compact(slot, c_bounds, c_syms, c_S)
             else:
                 sym, f, c = _cmp_lookup(slot, cum257)
+        elif compact1 is not None:
+            # prev carries the context ORDINAL; pick its bounds row with
+            # masked adds (lane-last layout), then the same
+            # compare-select chain as order-0
+            brows_t = jnp.zeros((c1_S + 1, slot.shape[0]), jnp.int32)
+            for t in range(c1_B.shape[0]):
+                brows_t = brows_t + jnp.where(
+                    (prev == t)[None, :], c1_B[t][:, None], 0
+                )
+            sym, f, c = _cmp_lookup_compact_rows(slot, brows_t, c1_S)
         else:
             sym = sym_lut[prev, slot].astype(jnp.int32)
             f = freq_lut[prev, sym].astype(jnp.uint32)
@@ -291,9 +326,18 @@ def rans_decode_device(payload: jnp.ndarray, lane_counts: jnp.ndarray,
         ptr = jnp.where(need, ptr + 2, ptr)
         return (state, ptr, sym), sym.astype(jnp.uint8)
 
+    init_prev = prev0 if compact1 is None else prev0 + c1_ctx0
     (_s, _p, _pr), grid = jax.lax.scan(
-        step, (state, ptr, prev0), None, length=steps, unroll=8
+        step, (state, ptr, init_prev), None, length=steps, unroll=8
     )
+    if compact1 is not None:
+        # grid holds symbol ORDINALS; map to byte values once (S selects
+        # over the whole grid, outside the scan)
+        g = grid.astype(jnp.int32)
+        vals = jnp.zeros_like(g) + c1_syms[0]
+        for j in range(1, c1_S):
+            vals = jnp.where(g == j, c1_syms[j], vals)
+        grid = vals.astype(jnp.uint8)
     return grid  # (steps, lanes)
 
 
@@ -561,6 +605,44 @@ def decode_section_device(buf, off: int = 0) -> tuple[bytes, int]:
         grid = fn(
             jnp.asarray(payload_pad), jnp.asarray(lane_counts),
             jnp.asarray(syms_np.astype(np.int32)), jnp.asarray(bounds),
+        )
+    elif order == 1 and 1 <= int(
+        (union := np.flatnonzero(freqs.any(axis=0))).shape[0]
+    ) <= 16:
+        # order-1 compact path: context-partitioned bounds rows selected
+        # by the previous symbol's ORDINAL — no (256, SCALE) gathers
+        A = union
+        S = int(A.shape[0])
+        B = np.zeros((S + 1, S + 1), dtype=np.int32)
+        for t in range(S):
+            B[t, :S] = cum[A[t]][A]
+            B[t, S] = SCALE
+        if 0 in A:
+            ctx0 = int(np.flatnonzero(A == 0)[0])
+        else:
+            B[S, :S] = cum[0][A]
+            B[S, S] = SCALE
+            ctx0 = S
+        key = ("o1dec", pcap, lanes, steps, S)
+        fn = _FAST_CACHE.get(key)
+        if fn is None:
+            dummy = jnp.zeros(1, jnp.int32)
+
+            def make1(lanes=lanes, steps=steps, S=S):
+                def run(payload, counts, syms, Bm, c0):
+                    return rans_decode_device(
+                        payload, counts, dummy, dummy, dummy,
+                        lanes=lanes, steps=steps, order=1,
+                        compact1=(syms, Bm, c0, S),
+                    )
+                return jax.jit(run)
+
+            fn = make1()
+            _FAST_CACHE[key] = fn
+        grid = fn(
+            jnp.asarray(payload_pad), jnp.asarray(lane_counts),
+            jnp.asarray(A.astype(np.int32)), jnp.asarray(B),
+            jnp.int32(ctx0),
         )
     else:
         grid = jax.jit(

@@ -480,3 +480,26 @@ def test_seqlz_cross_section_history():
     rfqz.decode_block(memoryview(rec1), 0, seq_hist=hd2)
     out2b, _ = rfqz.decode_block(memoryview(rec2_solo), 0, seq_hist=hd2)
     assert out2b == sec2.tobytes()
+
+
+@pytest.mark.parametrize("nsym,base", [(4, 65), (16, 33), (16, 0), (24, 1)])
+def test_device_order1_compact_variants(nsym, base):
+    """The order-1 compare-select path (alphabet <= 16, with and without
+    byte 0 in the alphabet — the initial context is the literal byte 0)
+    and the >16 gather fallback must all match the host bytes."""
+    from repaq_tpu.ops import rans_device as D
+
+    rng = np.random.default_rng(nsym * 131 + base)
+    n, lanes = 48 * 256, 32
+    # markov-ish: strong context dependence exercises per-context tables
+    syms = (base + np.arange(nsym)).astype(np.uint8)
+    state = 0
+    out = np.empty(n, np.uint8)
+    r = rng.random(n)
+    for i in range(n):
+        state = (state + (1 if r[i] < 0.3 else 0)) % nsym
+        out[i] = syms[state]
+    data = out.tobytes()
+    enc = R.encode_section(data, order=1, lanes=lanes)
+    dec, off = D.decode_section_device(enc)
+    assert dec == data and off == len(enc)
