@@ -261,6 +261,9 @@ def main(argv: list[str] | None = None) -> int:
     if out1.endswith(".xz") and args.stdout:
         _die("STDOUT cannot be written when the output is a .xz file")
 
+    if args.profile:
+        # device-engine compile events log to stderr under --profile
+        os.environ["REPAQ_PROFILE"] = "1"
     engine = pipeline.get_engine(args.engine)
 
     if args.num_shards > 0 and mode == "compress":

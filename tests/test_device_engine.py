@@ -125,11 +125,14 @@ def test_decode_byte_identical(eng):
         assert eng.stats["device_decodes"] >= 1
 
 
-def test_ragged_falls_back(eng):
+def test_ragged_se_encodes_on_device(eng):
+    """Ragged SE chunks take the DEVICE path since round 3 (the flat
+    streams are position-addressed — only the PE grid needs uniform
+    lengths), byte-identical to the host engine, and roundtrip."""
     block = _mk_block(300, 70, seed=13)
-    # make one read shorter: ragged -> host path
     lens = np.diff(block.seq_off).copy()
     lens[5] -= 3
+    lens[17] -= 9
     off = lens_to_offsets(lens)
     ragged = ReadBlock(
         block.n, block.name_flat, block.name_off,
@@ -145,11 +148,14 @@ def test_ragged_falls_back(eng):
         off.copy(),
     )
     header = vectorized.make_header_se(ragged)
-    before = eng.stats["host_chunks"]
+    before = eng.stats["device_chunks"]
     want = vectorized.encode_chunk(header, ragged, False)
     got = eng.encode_chunk(header, ragged, False)
-    assert eng.stats["host_chunks"] == before + 1
+    assert eng.stats["device_chunks"] == before + 1
     assert got.to_bytes() == want.to_bytes()
+    back = eng.decode_chunk(header, got)
+    assert np.array_equal(back.seq_flat, ragged.seq_flat)
+    assert np.array_equal(back.qual_flat, ragged.qual_flat)
 
 
 def test_cli_device_engine_golden(tmp_path):
@@ -337,3 +343,33 @@ def test_ragged_decode_on_device(eng):
     want = vectorized.decode_chunk(header, chunk)
     for f in ("name_flat", "seq_flat", "qual_flat", "seq_off"):
         assert np.array_equal(getattr(got, f), getattr(want, f)), f
+
+
+def test_decode_shape_churn_bounded(eng):
+    """A corpus with per-chunk varying quality statistics must compile a
+    BOUNDED number of decode executables: caps are quantized to chunk
+    geometry fractions, and after _MAX_DECODE_SHAPES distinct shapes the
+    engine clamps to one universal shape (VERDICT r2 item 8)."""
+    rng = np.random.default_rng(5)
+    header = None
+    for i in range(12):
+        # sweep nonmajor density so every chunk's stream sizes differ
+        frac = 0.02 + 0.08 * i
+        b, L = 220, 64
+        base = _mk_block(b, L, seed=100 + i, nfrac=0.0)
+        qual = np.where(
+            rng.random(b * L) < frac,
+            rng.choice(np.frombuffer(b"#:,", np.uint8), size=b * L),
+            np.uint8(ord("F")),
+        ).astype(np.uint8)
+        block = ReadBlock(
+            b, base.name_flat, base.name_off, base.seq_flat, base.seq_off,
+            base.strand_flat, base.strand_off, qual, base.qual_off,
+        )
+        if header is None:
+            header = vectorized.make_header_se(block)
+        chunk = eng.encode_chunk(header, block, False)
+        back = eng.decode_chunk(header, chunk)
+        assert np.array_equal(back.qual_flat, qual)
+    n_dec = len(eng._dec_cache)
+    assert n_dec <= eng._MAX_DECODE_SHAPES + 1, n_dec
