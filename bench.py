@@ -346,16 +346,31 @@ def bench_scaling(f1: str, total_bytes_hint: int, tmp: str) -> None:
     import subprocess
     import sys as _sys
 
+    # >=300 MB corpus (VERDICT r2 item 10): real part sizes, so the slab
+    # gather moves ~10s of MB per rank instead of KB-scale test parts
+    big = os.path.join(tmp, "scal_big.fq")
+    with open(big, "wb") as dst:
+        sz = 0
+        while sz < 310 * 1024 * 1024:
+            with open(f1, "rb") as src:
+                buf = src.read()
+                dst.write(buf)
+                sz += len(buf)
+    big_bytes = os.path.getsize(big)
+
     worker = (
         "import sys, time, jax\n"
         "from repaq_tpu.parallel.jaxdist import compress_distributed_jax\n"
         "coord, nproc, pid, in1, out1 = sys.argv[1:6]\n"
         "jax.distributed.initialize(coordinator_address=coord,\n"
         "    num_processes=int(nproc), process_id=int(pid))\n"
+        "t = {}\n"
         "t0 = time.time()\n"
         "compress_distributed_jax(in1, out1, chunk_size=1_000_000,\n"
-        "    num_processes=int(nproc), process_id=int(pid))\n"
-        "print('ELAPSED %.3f' % (time.time() - t0))\n"
+        "    num_processes=int(nproc), process_id=int(pid), timings=t)\n"
+        "print('ELAPSED %.3f ENC %.3f GATHER %.3f PART %d'\n"
+        "      % (time.time() - t0, t['encode_s'], t['gather_s'],\n"
+        "         t['part_bytes']))\n"
     )
     import socket
 
@@ -370,33 +385,52 @@ def bench_scaling(f1: str, total_bytes_hint: int, tmp: str) -> None:
         procs = [
             subprocess.Popen(
                 [_sys.executable, "-c", worker, coord, str(nproc), str(pid),
-                 f1, out],
+                 big, out],
                 env=env, stdout=subprocess.PIPE,
                 stderr=subprocess.DEVNULL, text=True,
             )
             for pid in range(nproc)
         ]
-        dts = []
+        stats = []
         for p in procs:
-            sout, _ = p.communicate(timeout=600)
+            sout, _ = p.communicate(timeout=900)
             assert p.returncode == 0, "scaling worker failed"
-            dts.append(float(sout.strip().split()[-1]))
+            line = [ln for ln in sout.strip().splitlines()
+                    if ln.startswith("ELAPSED")][-1]
+            toks = line.split()
+            stats.append({
+                "elapsed": float(toks[1]), "enc": float(toks[3]),
+                "gather": float(toks[5]), "part": int(toks[7]),
+            })
         os.unlink(out)
         # init/import excluded: measured from after process-group setup
-        return max(dts)
+        return stats
 
-    t1 = run(1)
-    t2 = run(2)
+    s1 = run(1)
+    s2 = run(2)
+    t1 = max(st["elapsed"] for st in s1)
+    t2 = max(st["elapsed"] for st in s2)
+    gather2 = max(st["gather"] for st in s2)
+    part2 = max(st["part"] for st in s2)
     eff = t1 / (2 * t2)
+    log(
+        "  jaxdist transport at real part sizes (%.0f MB corpus): 2p "
+        "part %.1f MB, slab gather %.2fs (%.0f MB/s) vs encode %.2fs "
+        "-> transport fraction %.1f%%"
+        % (big_bytes / 1e6, part2 / 1e6, gather2, part2 / 1e6 /
+           max(gather2, 1e-3), max(st["enc"] for st in s2),
+           100 * gather2 / max(t2, 1e-3))
+    )
     # decompose: the plan is replicated per rank (serial fraction), the
     # encode parallelizes — the projection is what transfers to real
     # multi-host hardware where ranks have their own cores
     from repaq_tpu.parallel import distributed as dist
 
     t0 = time.time()
-    dist.plan_chunks(f1, 1_000_000)
+    dist.plan_chunks(big, 1_000_000)
     t_plan = time.time() - t0
     t_enc = max(t1 - t_plan, 1e-3)
+    os.unlink(big)
     proj = (t_plan + t_enc) / (t_plan + t_enc / 2) / 2
     log(
         "multi-process scaling (jax.distributed transport, 1 physical "

@@ -123,13 +123,19 @@ def compress_distributed_jax(
     coordinator: str | None = None,
     num_processes: int | None = None,
     process_id: int | None = None,
+    timings: dict | None = None,
 ) -> None:
     """Full multi-process compress with jax.distributed transport.
 
     When coordinator/num_processes/process_id are given, initializes the
     process group here (idempotent if the caller already did). Rank 0
-    writes ``out1``; other ranks write nothing.
+    writes ``out1``; other ranks write nothing. ``timings`` (optional
+    dict) receives the phase split: plan+encode seconds, gather seconds,
+    part bytes — the transport-overhead measurement the scaling bench
+    reports at real part sizes.
     """
+    import time as _time
+
     import jax
 
     if coordinator is not None:
@@ -142,10 +148,15 @@ def compress_distributed_jax(
     process_id = process_id if process_id is not None else jax.process_index()
     engine = engine or get_engine()
 
+    t0 = _time.time()
     header_bytes, part = _encode_my_part(
         in1, in2, chunk_size, num_processes, process_id, engine, is_pe,
         interleaved, workers,
     )
+    if timings is not None:
+        timings["encode_s"] = _time.time() - t0
+        timings["part_bytes"] = len(part)
+        t0 = _time.time()
     if process_id == 0:
         with open(out1, "wb") as f:
             f.write(header_bytes)
@@ -163,3 +174,5 @@ def compress_distributed_jax(
             gather_parts_ordered(part, num_processes, 0, _Shifted())
     else:
         gather_parts_ordered(part, num_processes, process_id, None)
+    if timings is not None:
+        timings["gather_s"] = _time.time() - t0
