@@ -87,6 +87,15 @@ def build_parser() -> argparse.ArgumentParser:
         help="this process's rank in [0, num_shards)",
     )
     p.add_argument(
+        "--mesh_devices", type=int, default=0,
+        help="compress SE input with chunks fanned across a jax.sharding "
+        "Mesh of N local devices (0 = off; -1 = all local devices). One "
+        "shard_map dispatch encodes N chunks; bytes are identical to the "
+        "serial pipeline. Extension over the reference (TPU-native "
+        "multi-chip path; test with JAX_PLATFORMS=cpu + "
+        "--xla_force_host_platform_device_count).",
+    )
+    p.add_argument(
         "--no_assemble", action="store_true",
         help="with --num_shards: leave part files on disk (rank 0 does not "
         "concatenate); use when ranks run on different hosts",
@@ -423,6 +432,23 @@ def main(argv: list[str] | None = None) -> int:
 
 
 def _run_compress(args, in1, out1, chunk_size, engine, out_stream):
+    if args.mesh_devices:
+        if args.in2 or args.interleaved_in:
+            _die("--mesh_devices supports single-end input (PE interleave "
+                 "keeps the single-device engine)")
+        from .parallel.mesh_engine import compress_se_mesh
+
+        import jax
+
+        devs = jax.devices()
+        n = len(devs) if args.mesh_devices < 0 else min(
+            args.mesh_devices, len(devs)
+        )
+        compress_se_mesh(
+            in1, out1, chunk_size=chunk_size, engine=engine,
+            out_stream=out_stream, devices=devs[:n],
+        )
+        return
     if args.in2 or args.interleaved_in:
         pipeline.compress_pe(
             in1,

@@ -44,7 +44,8 @@ def device_encode_block(seqs, quals, xs, ys, bins, major, in_table,
                         npos_cap: int | None = None,
                         qual_out_size: int | None = None,
                         npos_out_size: int | None = None,
-                        check_counts: bool = True):
+                        check_counts: bool = True,
+                        n_valid_reads=None):
     """Encode one fixed-shape block on one device.
 
     seqs/quals: (B, L) uint8 (read-major, matching the chunk concat order);
@@ -95,8 +96,14 @@ def device_encode_block(seqs, quals, xs, ys, bins, major, in_table,
     npos_out, npos_len = encode_positions_from_mask(
         nmask, npos_out_size or (n // 2 + 8), pos_cap=npos_cap
     )
-    x_out, x_len = coords_encode_device(xs, 3 * b + 8)
-    y_out, y_len = coords_encode_device(ys, 3 * b + 8)
+    # n_valid_reads (traced, optional): rows past it are PADDING — they
+    # emit nothing from the qual path (padded with the major qual) and
+    # must not extend coordinate repeat runs (the mesh chunk batcher pads
+    # every chunk to a shared (B_cap, L) shape)
+    x_out, x_len = coords_encode_device(xs, 3 * b + 8,
+                                        n_valid=n_valid_reads)
+    y_out, y_len = coords_encode_device(ys, 3 * b + 8,
+                                        n_valid=n_valid_reads)
     # true counts behind the static caps (cheap fused reductions) — lets
     # callers detect a cap violation instead of shipping a silently
     # truncated stream (ADVICE r1). bid (when the pallas front end ran)
