@@ -953,7 +953,10 @@ def main() -> None:
     # offload cannot pay off here; see ARCHITECTURE.md for the analysis.
     metric = "PE FASTQ .rfq encode throughput, bit-exact roundtrip verified"
     if dev_mbps is not None:
-        metric += " (on-chip encode kernels: %.0f MB/s per chip)" % dev_mbps
+        metric += (
+            " (on-chip best sustained kernel rate: %.0f MB/s per chip)"
+            % dev_mbps
+        )
     if dev_e2e is not None:
         metric += (
             "; --engine device e2e %.0f/%.0f MB/s enc/dec over a ~30 MB/s "
