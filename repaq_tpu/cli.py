@@ -88,7 +88,7 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument(
         "--mesh_devices", type=int, default=0,
-        help="compress SE input with chunks fanned across a jax.sharding "
+        help="compress/decompress with chunks fanned across a jax.sharding "
         "Mesh of N local devices (0 = off; -1 = all local devices). One "
         "shard_map dispatch encodes N chunks; bytes are identical to the "
         "serial pipeline. Extension over the reference (TPU-native "
@@ -478,6 +478,18 @@ def _run_compress(args, in1, out1, chunk_size, engine, out_stream):
 
 
 def _run_decompress(args, in1, out1, engine, in_stream):
+    if args.mesh_devices and not args.out2:
+        from .parallel.mesh_engine import decompress_se_mesh
+
+        import jax
+
+        devs = jax.devices()
+        n = len(devs) if args.mesh_devices < 0 else min(
+            args.mesh_devices, len(devs)
+        )
+        decompress_se_mesh(in1, out1, engine=engine, in_stream=in_stream,
+                           devices=devs[:n])
+        return
     if args.out2:
         pipeline.decompress_pe(in1, out1, args.out2, engine=engine,
                                in_stream=in_stream, workers=args.workers)

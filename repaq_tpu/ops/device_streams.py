@@ -603,7 +603,8 @@ def token_start_mask(lens: jnp.ndarray, force_start: jnp.ndarray | None = None):
 
 
 def token_start_mask_auto(lens: jnp.ndarray,
-                          force_start: jnp.ndarray | None = None):
+                          force_start: jnp.ndarray | None = None,
+                          pallas_ok: bool = True):
     """token_start_mask with the Pallas lane-block FSM when the stream is
     big enough to amortize it. The 3-level lax.scan version spends ~36 ms
     at 1M bytes (128 tiny sequential scan iterations are launch-overhead
@@ -615,7 +616,10 @@ def token_start_mask_auto(lens: jnp.ndarray,
     from .pallas_tpu import _FSM_K, _LANES, token_fsm_pallas
 
     group = _FSM_K * _LANES
-    if n < 4 * group:
+    # pallas only on the real TPU backend (interpret mode is slower than
+    # the scan) and only when the caller allows it (pallas_call inside
+    # shard_map trips the vma check — mesh steps pass pallas_ok=False)
+    if n < 4 * group or not pallas_ok or jax.default_backend() != "tpu":
         return token_start_mask(lens, force_start)
     code = jnp.clip(lens, 1, 4).astype(jnp.uint8)
     if force_start is not None:
@@ -647,7 +651,8 @@ def _stream_lens_device(buf: jnp.ndarray) -> jnp.ndarray:
 
 def decode_positions_device(buf: jnp.ndarray, valid_len: jnp.ndarray,
                             max_positions: int, force_start=None,
-                            valid_begin=0, starts=None):
+                            valid_begin=0, starts=None,
+                            pallas_ok: bool = True):
     """Decode a gap/run stream (reference rfqcodec.cpp:957-1007) on device.
 
     buf: (m,) uint8 stream padded with >=4 zero bytes beyond valid_len;
@@ -663,7 +668,9 @@ def decode_positions_device(buf: jnp.ndarray, valid_len: jnp.ndarray,
     in_range = (idx >= valid_begin) & (idx < valid_len)
     if starts is None:
         lens = jnp.where(in_range, _stream_lens_device(buf), 1)
-        starts = token_start_mask_auto(lens, force_start) & in_range
+        starts = token_start_mask_auto(
+            lens, force_start, pallas_ok=pallas_ok
+        ) & in_range
 
     b0 = buf.astype(jnp.int32)
     nxt1 = jnp.roll(buf, -1).astype(jnp.int32)
@@ -728,7 +735,8 @@ def qualcol_decode_device(buf: jnp.ndarray, nbins: int, bins: jnp.ndarray,
                           total_len: jnp.ndarray,
                           tok_cap: int | None = None,
                           pos_cap: int | None = None,
-                          esc_cap: int | None = None):
+                          esc_cap: int | None = None,
+                          pallas_ok: bool = True):
     """By-column quality decode (reference rfqcodec.cpp:1009-1047) on
     device, in COMPACT token/slot space (round 3 — the decode dual of the
     encode side's sort-based emission):
@@ -790,7 +798,8 @@ def qualcol_decode_device(buf: jnp.ndarray, nbins: int, bins: jnp.ndarray,
     force = force[:m] & in_streams
 
     lens_dev = jnp.where(in_streams, _stream_lens_device(buf), 1)
-    starts = token_start_mask_auto(lens_dev, force) & in_streams
+    starts = token_start_mask_auto(lens_dev, force,
+                                   pallas_ok=pallas_ok) & in_streams
 
     # dense 4-byte little-endian window per byte (tokens are <= 4 bytes);
     # carried through the compaction sort as payload — no gather

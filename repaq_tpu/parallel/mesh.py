@@ -160,7 +160,8 @@ def device_decode_block(packed, qual_buf, qual_len, npos_buf, npos_len,
         seq = unpack_2bit_device(packed)[:n]
     if np_cap is None:
         np_cap = min(n, 32 * npos_buf.shape[0])
-    npos, _cnt = decode_positions_device(npos_buf, npos_len, np_cap)
+    npos, _cnt = decode_positions_device(npos_buf, npos_len, np_cap,
+                                         pallas_ok=use_pallas)
     tgt = jnp.where(npos >= 0, npos, n)
     seq = jnp.concatenate([seq, jnp.zeros(1, dtype=jnp.uint8)])
     seq = seq.at[tgt].set(ord("N"), mode="drop")[:n]
@@ -168,6 +169,7 @@ def device_decode_block(packed, qual_buf, qual_len, npos_buf, npos_len,
     qual = qualcol_decode_device(
         qual_buf, bins.shape[0], bins, major, n, qual_len,
         tok_cap=tok_cap, pos_cap=pos_cap, esc_cap=esc_cap,
+        pallas_ok=use_pallas,
     )
     return seq.reshape(reads, read_len), qual.reshape(reads, read_len)
 

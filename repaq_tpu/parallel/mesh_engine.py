@@ -192,6 +192,253 @@ class _MeshBatchEncoder:
         return chunks
 
 
+class _MeshBatchDecoder:
+    """Decode counterpart of _MeshBatchEncoder: D chunks' compressed
+    streams padded to shared caps, ONE shard_map dispatch, per-device
+    (B_cap, L) seq/qual blocks back."""
+
+    def __init__(self, devices):
+        import jax
+
+        self._jax = jax
+        from .mesh import make_mesh
+
+        self.devices = list(devices)
+        self.D = len(self.devices)
+        self.mesh = make_mesh(self.devices)
+        self._steps: dict = {}
+
+    def _step_for(self, key):
+        fn = self._steps.get(key)
+        if fn is None:
+            (b_cap, L, pk_cap, qb_cap, nb_cap, np_c, qcaps) = key
+            jax = self._jax
+            from jax.sharding import PartitionSpec as P
+
+            from .mesh import device_decode_block
+
+            try:
+                from jax import shard_map
+            except ImportError:  # pragma: no cover
+                from jax.experimental.shard_map import shard_map
+
+            def step(packed, qb, ql, nb, nl, bins, major):
+                # use_pallas=False: pallas_call inside shard_map trips
+                # the vma check; the XLA formulations are shard_map-clean
+                seq, qual = device_decode_block(
+                    packed[0], qb[0], ql[0], nb[0], nl[0], bins, major[0],
+                    b_cap, L, use_pallas=False, np_cap=np_c,
+                    qualcol_caps=qcaps,
+                )
+                return seq[None], qual[None]
+
+            axis = "data"
+            sharded = shard_map(
+                step, mesh=self.mesh,
+                in_specs=(P(axis),) * 5 + (P(), P()),
+                out_specs=(P(axis), P(axis)),
+            )
+            fn = jax.jit(sharded)
+            self._steps[key] = fn
+        return fn
+
+    def decode_batch(self, header: RfqHeader, chunks: list, L: int):
+        """Decode up to D uniform-(L) chunks -> list of ReadBlock."""
+        from ..codec import kernels_np as K
+        from .mesh import replicate, shard_blocks
+
+        D = self.D
+        nbins = int(header.normal_qual_bins())
+        b_cap = _bucket(max(c.reads for c in chunks))
+        n_cap = b_cap * L
+
+        def geo(x, lo=1024):
+            for f in (16, 8, 4, 2, 1):
+                c = max(lo, n_cap // f)
+                if c >= x:
+                    return c
+            return n_cap + lo
+
+        max_q = max(len(c.qual_buf) for c in chunks)
+        max_np = max(len(c.npos_buf) for c in chunks)
+        pk_cap = (n_cap + 3) // 4
+        qb_cap = geo(max_q + 4 * nbins + 16)
+        nb_cap = geo(max_np + 8, lo=64)
+        np_c = geo(min(32 * max_np + 8, n_cap), lo=64)
+        t = c_ = esc = 0
+        for c in chunks:
+            tt, cc, ee = K.qualcol_decode_counts(
+                np.frombuffer(c.qual_buf, dtype=np.uint8), nbins
+            )
+            t, c_, esc = max(t, tt), max(c_, cc), max(esc, ee)
+        tok_cap = geo(t, lo=512)
+        pos_cap = geo(c_, lo=512)
+        if pos_cap == tok_cap:
+            pos_cap += 4096  # equal shapes fuse catastrophically (r3)
+        esc_cap = 0 if esc == 0 else geo(esc, lo=8)
+        if 4 * nbins + qb_cap > (1 << 23):
+            return None
+
+        packed = np.zeros((D, pk_cap), dtype=np.uint8)
+        qb = np.zeros((D, qb_cap), dtype=np.uint8)
+        ql = np.zeros(D, dtype=np.int32)
+        nb = np.zeros((D, nb_cap), dtype=np.uint8)
+        nl = np.zeros(D, dtype=np.int32)
+        for d, c in enumerate(chunks):
+            packed[d, : len(c.seq_buf)] = np.frombuffer(c.seq_buf, np.uint8)
+            qb[d, : len(c.qual_buf)] = np.frombuffer(c.qual_buf, np.uint8)
+            ql[d] = len(c.qual_buf)
+            if header.encode_n_pos() and c.npos_buf:
+                nb[d, : len(c.npos_buf)] = np.frombuffer(
+                    c.npos_buf, np.uint8
+                )
+                nl[d] = len(c.npos_buf)
+
+        key = (b_cap, L, pk_cap, qb_cap, nb_cap, np_c,
+               (tok_cap, pos_cap, esc_cap))
+        fn = self._step_for(key)
+        bins_dev = np.asarray(header.normal_qual_buf(), dtype=np.uint8)
+        major = int(header.major_qual())
+        seqs, quals = fn(
+            shard_blocks(self.mesh, packed),
+            shard_blocks(self.mesh, qb),
+            shard_blocks(self.mesh, ql),
+            shard_blocks(self.mesh, nb),
+            shard_blocks(self.mesh, nl),
+            replicate(self.mesh, bins_dev),
+            replicate(self.mesh, np.array([major], dtype=np.uint8)),
+        )
+        seqs = np.asarray(seqs).reshape(D, b_cap, L)
+        quals = np.asarray(quals).reshape(D, b_cap, L)
+        nbq = int(header.n_base_qual)
+        blocks = []
+        for d, c in enumerate(chunks):
+            seq = np.ascontiguousarray(seqs[d, : c.reads].reshape(-1))
+            qual = np.ascontiguousarray(quals[d, : c.reads].reshape(-1))
+            if not header.encode_n_pos() and nbq < 128:
+                seq = np.where(qual == nbq, np.uint8(ord("N")), seq)
+            lens = np.full(c.reads, L, dtype=np.int64)
+            from ..codec.blocks import lens_to_offsets
+
+            blocks.append(vectorized.assemble_block(
+                header, c, c.reads, lens, lens_to_offsets(lens), seq, qual
+            ))
+        return blocks
+
+
+def decompress_se_mesh(
+    in1: str,
+    out1: str,
+    engine: EngineConfig | None = None,
+    in_stream=None,
+    devices=None,
+) -> dict:
+    """Decompress with chunk decode fanned over a device mesh; output
+    bytes identical to the serial pipeline. PE-interleaved / ragged /
+    non-by-col chunks fall back to the single-device engine in order."""
+    import jax
+
+    from ..constants import BIT_HAS_NO_LINE_BREAK_AT_END as _NL
+    from ..constants import BIT_PE_INTERLEAVED
+    from ..format.chunk import RfqChunk
+    from ..io.fastq import Writer
+    from ..pipeline import _open_in
+
+    devices = list(devices) if devices else list(jax.devices())
+    engine = engine or get_engine("device")
+    if len(devices) < 2:
+        from .. import pipeline
+
+        pipeline.decompress(in1, out1, engine=engine, in_stream=in_stream)
+        return {"mesh_batches": 0, "fallback_chunks": -1}
+
+    dec = _MeshBatchDecoder(devices)
+    min_bases = int(os.environ.get("REPAQ_DEVICE_MIN_BASES", 128 << 10))
+    max_bases = int(os.environ.get("REPAQ_DEVICE_MAX_BASES", 4 << 20))
+    stream, own = _open_in(in1, in_stream)
+    writer = Writer(out1)
+    header = RfqHeader.read(stream)
+    stats = {"mesh_batches": 0, "fallback_chunks": 0}
+
+    pending: list = []  # (chunk, block-or-None) in container order
+    batch_idx: list = []  # positions in pending awaiting the mesh
+    batch_L = 0
+
+    def flush_mesh() -> None:
+        nonlocal batch_idx
+        if not batch_idx:
+            return
+        chunks = [pending[i][0] for i in batch_idx]
+        blocks = dec.decode_batch(header, chunks, batch_L)
+        if blocks is None:
+            for i in batch_idx:
+                stats["fallback_chunks"] += 1
+                pending[i] = (pending[i][0],
+                              engine.decode_chunk(header, pending[i][0]))
+        else:
+            stats["mesh_batches"] += 1
+            for i, b in zip(batch_idx, blocks):
+                pending[i] = (pending[i][0], b)
+        batch_idx = []
+
+    def emit(upto: int, last_done: bool) -> None:
+        """Write decoded pending[:upto]; is_last only for the container's
+        true final chunk (the trailing-newline trim, reference
+        repaq.cpp:301-331)."""
+        nonlocal pending, batch_idx
+        for j in range(upto):
+            chunk, block = pending[j]
+            outstr = block.to_fastq_bytes()
+            is_last = last_done and j == upto - 1
+            if is_last and (chunk.flags & _NL):
+                outstr = outstr[:-1]
+            writer.write(outstr)
+        pending = pending[upto:]
+        batch_idx = [i - upto for i in batch_idx]
+
+    def emit_safe() -> None:
+        """Mid-stream emit: decoded chunks BEFORE the first pending batch
+        member are provably non-final (chunks follow them); with no batch
+        members pending, hold one back until we know the stream's end."""
+        if batch_idx:
+            emit(batch_idx[0], last_done=False)
+        else:
+            emit(max(0, len(pending) - 1), last_done=False)
+
+    while True:
+        chunk = RfqChunk.read(stream, header)
+        if chunk.reads == 0:
+            break
+        lens = chunk.read_lengths()
+        L = int(lens[0]) if chunk.reads else 0
+        uniform = L > 0 and bool((lens == L).all())
+        total = int(lens.astype(np.int64).sum())
+        eligible = (
+            uniform
+            and header.encode_qual_by_col()
+            and not (chunk.flags & BIT_PE_INTERLEAVED)
+            and min_bases <= total <= max_bases
+        )
+        if batch_idx and (not eligible or L != batch_L):
+            flush_mesh()
+        if eligible:
+            batch_L = L
+            pending.append((chunk, None))
+            batch_idx.append(len(pending) - 1)
+            if len(batch_idx) == dec.D:
+                flush_mesh()
+        else:
+            stats["fallback_chunks"] += 1
+            pending.append((chunk, engine.decode_chunk(header, chunk)))
+        emit_safe()
+    flush_mesh()
+    emit(len(pending), last_done=True)
+    writer.close()
+    if own:
+        stream.close()
+    return stats
+
+
 def compress_se_mesh(
     in1: str,
     out1: str,

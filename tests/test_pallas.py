@@ -1,6 +1,8 @@
 """Pallas kernels vs the XLA device kernels and host oracle (interpret
 mode on the CPU backend; the same kernels compile for TPU)."""
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -120,3 +122,35 @@ def test_device_blocks_pallas_path():
         )
         assert np.array_equal(np.asarray(s2), seq), pallas
         assert np.array_equal(np.asarray(q2), qual), pallas
+
+
+def test_token_fsm_pallas_interpret():
+    """Direct check of the Pallas lane-block FSM against the scan FSM
+    (the auto dispatcher only uses pallas on a real TPU backend, so this
+    exercises the kernel itself in interpret mode)."""
+    import numpy as np
+
+    from repaq_tpu.ops.device_streams import _apply_map4, token_start_mask
+    from repaq_tpu.ops.pallas_tpu import _FSM_K, _LANES, token_fsm_pallas
+
+    rng = np.random.default_rng(2)
+    n = _FSM_K * _LANES  # one group
+    lens = rng.choice([1, 1, 2, 4], size=n).astype(np.int32)
+    force = rng.random(n) < 0.002
+    code = (lens | (force.astype(np.int32) << 3)).astype(np.uint8)
+    maps, mask4 = token_fsm_pallas(jnp.asarray(code))
+
+    def compose(a, b):
+        return jnp.stack(
+            [_apply_map4(b, a[..., j]) for j in range(4)], axis=-1
+        )
+
+    prefix = jax.lax.associative_scan(compose, maps)
+    entry = jnp.concatenate([jnp.zeros(1, jnp.int32), prefix[:-1, 0]])
+    got = np.asarray(
+        ((mask4 >> entry[None, :].astype(jnp.uint8)) & 1) == 1
+    ).T.reshape(-1)[:n]
+    want = np.asarray(
+        token_start_mask(jnp.asarray(lens), jnp.asarray(force))
+    )
+    assert np.array_equal(got, want)

@@ -184,3 +184,32 @@ def test_mesh_compress_mixed_eligibility(tmp_path):
         assert meshed.read_bytes() == serial.read_bytes()
     finally:
         os.environ.pop("REPAQ_DEVICE_MIN_BASES", None)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_mesh_decompress_matches_serial(tmp_path):
+    """Mesh decompress: chunk decode fanned over the 8-device mesh must
+    reproduce the serial decompress bytes, including the final-chunk
+    trailing-newline trim."""
+    import gzip
+    import os
+    from pathlib import Path
+
+    from repaq_tpu import pipeline
+    from repaq_tpu.parallel.mesh_engine import decompress_se_mesh
+
+    repo = Path(__file__).resolve().parent.parent
+    fx = repo / "tests" / "fixtures"
+    os.environ["REPAQ_DEVICE_MIN_BASES"] = "0"
+    try:
+        for rfq, fq in (
+            ("se_big.ref.k100.rfq", "se_big.fq.gz"),
+            ("se_big_nonl.ref.k100.rfq", "se_big_nonl.fq.gz"),
+        ):
+            want = gzip.open(fx / fq).read()
+            out = tmp_path / ("m_" + fq[:-3])
+            stats = decompress_se_mesh(str(fx / rfq), str(out))
+            assert stats["mesh_batches"] >= 1, (rfq, stats)
+            assert out.read_bytes() == want, rfq
+    finally:
+        os.environ.pop("REPAQ_DEVICE_MIN_BASES", None)
