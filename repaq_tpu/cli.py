@@ -433,21 +433,25 @@ def main(argv: list[str] | None = None) -> int:
 
 def _run_compress(args, in1, out1, chunk_size, engine, out_stream):
     if args.mesh_devices:
-        if args.in2 or args.interleaved_in:
-            _die("--mesh_devices supports single-end input (PE interleave "
-                 "keeps the single-device engine)")
-        from .parallel.mesh_engine import compress_se_mesh
-
         import jax
+
+        from .parallel.mesh_engine import compress_pe_mesh, compress_se_mesh
 
         devs = jax.devices()
         n = len(devs) if args.mesh_devices < 0 else min(
             args.mesh_devices, len(devs)
         )
-        compress_se_mesh(
-            in1, out1, chunk_size=chunk_size, engine=engine,
-            out_stream=out_stream, devices=devs[:n],
-        )
+        if args.in2 or args.interleaved_in:
+            compress_pe_mesh(
+                in1, args.in2, out1, chunk_size=chunk_size,
+                interleaved=args.interleaved_in, engine=engine,
+                out_stream=out_stream, devices=devs[:n],
+            )
+        else:
+            compress_se_mesh(
+                in1, out1, chunk_size=chunk_size, engine=engine,
+                out_stream=out_stream, devices=devs[:n],
+            )
         return
     if args.in2 or args.interleaved_in:
         pipeline.compress_pe(

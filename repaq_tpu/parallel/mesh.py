@@ -137,6 +137,81 @@ def device_encode_block(seqs, quals, xs, ys, bins, major, in_table,
     }
 
 
+def device_encode_pe_block(seq_mat, qual_mat, xs, ys, n_reads, n_pairs,
+                           bins, major, in_table, overlap_shift: int,
+                           esc_cap=None, nonmajor_cap=None, npos_cap=None,
+                           qual_out_size=None, npos_out_size=None,
+                           use_pallas: bool | None = None):
+    """PE-interleaved encode of one fixed-shape block on one device:
+    revcomp of odd rows, double-hash overlap search, elision compaction
+    (two-operand sort), then the same stream kernels as the SE block —
+    the shard_map-safe twin of codec/device_engine._build_encode_pe
+    (reference rfqcodec.cpp:279-407, 1391-1438). seq_mat/qual_mat:
+    (B, L) u8 with pairs interleaved row-wise; xs/ys: (B//2,) i32 per
+    pair. Rows past n_reads are padding. Returns dict incl. the overlap
+    bytes, total stored bases, and the collision count (a nonzero ncoll
+    means the host must re-encode that chunk on the scalar path to keep
+    first-match semantics)."""
+    from ..ops.device_streams import overlap_pairs_device
+
+    b_cap, L = seq_mat.shape
+    p_cap = b_cap // 2
+    n_cap = b_cap * L
+
+    def comp(x):
+        return jnp.where(
+            x == ord("A"), ord("T"),
+            jnp.where(x == ord("T"), ord("A"),
+                      jnp.where(x == ord("C"), ord("G"),
+                                jnp.where(x == ord("G"), ord("C"), x))),
+        ).astype(jnp.uint8)
+
+    odd = (jnp.arange(b_cap) % 2 == 1)[:, None]
+    tseq = jnp.where(odd, comp(jnp.flip(seq_mat, axis=1)), seq_mat)
+    tqual = jnp.where(odd, jnp.flip(qual_mat, axis=1), qual_mat)
+
+    ov, coll = overlap_pairs_device(tseq[0::2], tseq[1::2])
+    pvalid = jnp.arange(p_cap) < n_pairs
+    ov = jnp.where(pvalid, ov, 0)
+    shifted = ov + overlap_shift
+    ov = jnp.where((shifted > 127) | (shifted < -127), 0, ov)
+    ncoll = jnp.sum((coll & pvalid).astype(jnp.int32))
+
+    aov = jnp.abs(ov)
+    fwd = jnp.maximum(ov, 0)
+    zeros_p = jnp.zeros(p_cap, dtype=jnp.int32)
+    drop_row = jnp.stack([zeros_p, aov], axis=1).reshape(-1)
+    start_row = jnp.stack([zeros_p, fwd], axis=1).reshape(-1)
+    rvalid = jnp.arange(b_cap) < n_reads
+    stored_row = jnp.where(rvalid, L - drop_row, 0)
+    cum = jnp.cumsum(stored_row)
+    dest_off = cum - stored_row
+    total_stored = cum[-1]
+
+    i = jnp.arange(L, dtype=jnp.int32)[None, :]
+    keep = (i >= start_row[:, None]) & (
+        i < (start_row + stored_row)[:, None]
+    )
+    dest = dest_off[:, None] + i - start_row[:, None]
+    keys = jnp.where(keep, dest, jnp.int32(2**31 - 1)).reshape(-1)
+    _sk, sv = jax.lax.sort((keys, tseq.reshape(-1)), num_keys=1)
+    seq_concat = jnp.where(
+        jnp.arange(n_cap) < total_stored, sv, jnp.uint8(ord("G"))
+    )
+
+    out = device_encode_block(
+        seq_concat.reshape(b_cap, L), tqual, xs, ys, bins, major,
+        in_table, esc_cap=esc_cap, use_pallas=use_pallas,
+        nonmajor_cap=nonmajor_cap, npos_cap=npos_cap,
+        qual_out_size=qual_out_size, npos_out_size=npos_out_size,
+        check_counts=False, n_valid_reads=n_pairs,
+    )
+    out["ov"] = ((ov + overlap_shift) & 0xFF).astype(jnp.uint8)
+    out["total_stored"] = total_stored
+    out["ncoll"] = ncoll
+    return out
+
+
 def device_decode_block(packed, qual_buf, qual_len, npos_buf, npos_len,
                         bins, major, reads, read_len,
                         use_pallas: bool | None = None,

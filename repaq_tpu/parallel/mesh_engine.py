@@ -14,9 +14,10 @@ byte-for-byte for ANY device count (tests/test_parallel.py proves it on
 the 8-virtual-device CPU mesh; the same code runs unchanged on a real
 multi-chip host).
 
-PE interleaved inputs keep the single-device engine: the overlap-elision
-step is per-pair and lives in codec/device_engine; batching it across a
-mesh is the same mechanism once a sharded PE step exists.
+PE interleaved inputs ride the same mechanism through
+device_encode_pe_block (revcomp + overlap search + elision on every
+device); decompress has its own batch decoder. Chunks that hit the rare
+overlap-hash collision re-encode on the host path per chunk.
 """
 
 from __future__ import annotations
@@ -192,6 +193,162 @@ class _MeshBatchEncoder:
         return chunks
 
 
+class _MeshBatchPEEncoder:
+    """PE-interleaved twin of _MeshBatchEncoder: each device runs the
+    full PE chunk pipeline (revcomp + overlap search + elision + stream
+    kernels, parallel/mesh.device_encode_pe_block). A double-hash
+    collision on any device (probability ~2^-64/pair) sends that chunk
+    back to the host path to keep first-match semantics."""
+
+    def __init__(self, devices):
+        import jax
+
+        self._jax = jax
+        from .mesh import make_mesh
+
+        self.devices = list(devices)
+        self.D = len(self.devices)
+        self.mesh = make_mesh(self.devices)
+        self._steps: dict = {}
+
+    def _step_for(self, key):
+        fn = self._steps.get(key)
+        if fn is None:
+            (b_cap, L, nm, esc, npc, qos, nos, shift) = key
+            jax = self._jax
+            from jax.sharding import PartitionSpec as P
+
+            from .mesh import device_encode_pe_block
+
+            try:
+                from jax import shard_map
+            except ImportError:  # pragma: no cover
+                from jax.experimental.shard_map import shard_map
+
+            def step(seqs, quals, xs, ys, nv, npair, bins, major,
+                     in_table):
+                out = device_encode_pe_block(
+                    seqs, quals, xs[0], ys[0], nv[0], npair[0], bins,
+                    major[0],
+                    in_table, shift, esc_cap=esc, nonmajor_cap=nm,
+                    npos_cap=npc, qual_out_size=qos, npos_out_size=nos,
+                    use_pallas=False,
+                )
+                return {
+                    k: (v.reshape(1) if v.ndim == 0 else v)
+                    for k, v in out.items()
+                }
+
+            axis = "data"
+            keys = ("n_esc", "n_nonmajor", "n_npos", "packed", "qual",
+                    "qual_len", "npos", "npos_len", "x", "x_len", "y",
+                    "y_len", "ov", "total_stored", "ncoll")
+            sharded = shard_map(
+                step, mesh=self.mesh,
+                in_specs=(P(axis),) * 6 + (P(), P(), P()),
+                out_specs={k: P(axis) for k in keys},
+            )
+            fn = jax.jit(sharded)
+            self._steps[key] = fn
+        return fn
+
+    def encode_batch(self, header: RfqHeader, blocks: list, analyses,
+                     L: int):
+        D = self.D
+        assert 1 <= len(blocks) <= D
+        b_cap = _bucket(max(b.n for b in blocks))
+        if b_cap % 2:
+            b_cap += 1
+        p_cap = b_cap // 2
+        n_cap = b_cap * L
+        has_xy = header.has_x()
+        major = int(header.major_qual())
+        in_tab = np.zeros(256, dtype=bool)
+        in_tab[np.frombuffer(header.qual_buf, dtype=np.uint8)] = True
+        nbins = int(header.normal_qual_bins())
+
+        nm = esc = npc = 0
+        for b in blocks:
+            qual = b.qual_flat
+            nm = max(nm, int((qual != major).sum()))
+            esc = max(esc, int((~in_tab[qual]).sum()))
+            npc = max(npc, int((b.seq_flat == ord("N")).sum()))
+        nm_c = _bucket(nm, lo=1024)
+        esc_c = 0 if esc == 0 else _bucket(esc, lo=8)
+        np_c = _bucket(npc, lo=8)
+        qos = min(_bucket(4 * nbins + 4 * nm + 5 * esc + 8, lo=1024),
+                  4 * nbins + n_cap + 8)
+        nos = _bucket(min(4 * npc, npc + n_cap // 64) + 16, lo=64)
+        if 4 * nbins + n_cap + 8 >= (1 << 23):
+            return None
+
+        seqs = np.full((D * b_cap, L), _G, dtype=np.uint8)
+        quals = np.full((D * b_cap, L), major, dtype=np.uint8)
+        xs = np.zeros(D * p_cap, dtype=np.int32)
+        ys = np.zeros(D * p_cap, dtype=np.int32)
+        nv = np.zeros(D, dtype=np.int32)
+        npair = np.zeros(D, dtype=np.int32)
+        for d, (b, a) in enumerate(zip(blocks, analyses)):
+            seqs[d * b_cap : d * b_cap + b.n] = b.seq_flat.reshape(b.n, L)
+            quals[d * b_cap : d * b_cap + b.n] = b.qual_flat.reshape(b.n, L)
+            if has_xy:
+                xs[d * p_cap : d * p_cap + b.n // 2] = a.xs[0::2]
+                ys[d * p_cap : d * p_cap + b.n // 2] = a.ys[0::2]
+            nv[d] = b.n
+            npair[d] = b.n // 2
+
+        from .mesh import replicate, shard_blocks
+
+        bins_dev = np.asarray(header.normal_qual_buf(), dtype=np.uint8)
+        key = (b_cap, L, nm_c, esc_c, np_c, qos, nos,
+               int(header.overlap_shift))
+        fn = self._step_for(key)
+        out = fn(
+            shard_blocks(self.mesh, seqs),
+            shard_blocks(self.mesh, quals),
+            shard_blocks(self.mesh, xs.reshape(D, p_cap)),
+            shard_blocks(self.mesh, ys.reshape(D, p_cap)),
+            shard_blocks(self.mesh, nv),
+            shard_blocks(self.mesh, npair),
+            replicate(self.mesh, bins_dev),
+            replicate(self.mesh, np.array([major], dtype=np.uint8)),
+            replicate(self.mesh, in_tab),
+        )
+        packed = np.asarray(out["packed"]).reshape(D, -1)
+        qual_s = np.asarray(out["qual"]).reshape(D, -1)
+        qual_l = np.asarray(out["qual_len"]).reshape(-1)
+        npos_s = np.asarray(out["npos"]).reshape(D, -1)
+        npos_l = np.asarray(out["npos_len"]).reshape(-1)
+        x_s = np.asarray(out["x"]).reshape(D, -1)
+        x_l = np.asarray(out["x_len"]).reshape(-1)
+        y_s = np.asarray(out["y"]).reshape(D, -1)
+        y_l = np.asarray(out["y_len"]).reshape(-1)
+        ov_s = np.asarray(out["ov"]).reshape(D, -1)
+        tot_s = np.asarray(out["total_stored"]).reshape(-1)
+        ncoll = np.asarray(out["ncoll"]).reshape(-1)
+
+        chunks = []
+        for d, (b, a) in enumerate(zip(blocks, analyses)):
+            if ncoll[d] > 0:
+                chunks.append(None)  # host re-encode (collision)
+                continue
+            pairs = b.n // 2
+            ov = (
+                ov_s[d, :pairs].view(np.int8).astype(np.int64)
+                - header.overlap_shift
+            )
+            chunks.append(vectorized.assemble_chunk(
+                header, b, a, ov,
+                packed[d, : (int(tot_s[d]) + 3) // 4].tobytes(),
+                qual_s[d, : qual_l[d]].tobytes(),
+                npos_s[d, : npos_l[d]].tobytes()
+                if header.encode_n_pos() else b"",
+                x_bytes=x_s[d, : x_l[d]].tobytes() if has_xy else None,
+                y_bytes=y_s[d, : y_l[d]].tobytes() if has_xy else None,
+            ))
+        return chunks
+
+
 class _MeshBatchDecoder:
     """Decode counterpart of _MeshBatchEncoder: D chunks' compressed
     streams padded to shared caps, ONE shard_map dispatch, per-device
@@ -324,6 +481,138 @@ class _MeshBatchDecoder:
                 header, c, c.reads, lens, lens_to_offsets(lens), seq, qual
             ))
         return blocks
+
+
+def compress_pe_mesh(
+    in1: str,
+    in2: str,
+    out1: str,
+    chunk_size: int = 1_000_000,
+    interleaved: bool = False,
+    engine: EngineConfig | None = None,
+    out_stream=None,
+    devices=None,
+) -> dict:
+    """PE compress with interleaved chunks fanned over a device mesh
+    (revcomp + overlap search + elision on every device); bytes identical
+    to the serial pipeline. Chunks that degrade to non-interleaved
+    encoding, are ragged, or hit an overlap-hash collision flush through
+    the single-device engine in order."""
+    import jax
+
+    from ..constants import (
+        BIT_HAS_NO_LINE_BREAK_AT_END,
+        BIT_HAS_NO_LINE_BREAK_AT_END_R2,
+    )
+    from ..io.fastq import FastqReaderPair
+
+    devices = list(devices) if devices else list(jax.devices())
+    engine = engine or get_engine("device")
+    if len(devices) < 2:
+        from .. import pipeline
+
+        pipeline.compress_pe(in1, in2, out1, chunk_size=chunk_size,
+                             interleaved=interleaved, engine=engine,
+                             out_stream=out_stream)
+        return {"mesh_batches": 0, "fallback_chunks": -1}
+
+    enc = _MeshBatchPEEncoder(devices)
+    min_bases = int(os.environ.get("REPAQ_DEVICE_MIN_BASES", 128 << 10))
+    max_bases = int(os.environ.get("REPAQ_DEVICE_MAX_BASES", 4 << 20))
+
+    reader = FastqReaderPair(in1, in2, interleaved)
+    out, own = _open_out(out1, out_stream)
+    segmented = hasattr(out, "write_segments")
+    stats = {"mesh_batches": 0, "fallback_chunks": 0}
+    header: RfqHeader | None = None
+    header_bytes = b""
+    batch: list = []  # (block, analysis, flag1, flag2)
+    batch_L = 0
+
+    def ensure_header(block: ReadBlock) -> None:
+        nonlocal header, header_bytes
+        if header is not None:
+            return
+        header = engine.make_header_pe(block)
+        if header is None:
+            raise RfqFormatError(
+                "failed to encode, please confirm the input FASTQ file is "
+                "valid and not empty"
+            )
+        header_bytes = header.to_bytes()
+        out.write(header_bytes)
+        check = _io.BytesIO(header_bytes)
+        h2 = RfqHeader.read(check)
+        if not header.identical_with(h2):
+            raise RfqFormatError(
+                "encoding error in header, the output will be wrong, "
+                "quit now!"
+            )
+
+    def emit(chunk, f1: bool, f2: bool) -> None:
+        if chunk is None:
+            return
+        if f1:
+            chunk.flags |= BIT_HAS_NO_LINE_BREAK_AT_END
+        if f2:
+            chunk.flags |= BIT_HAS_NO_LINE_BREAK_AT_END_R2
+        if segmented:
+            out.write_segments(chunk.to_segments())
+        else:
+            out.write(chunk.to_bytes())
+
+    def flush_batch() -> None:
+        nonlocal batch
+        if not batch:
+            return
+        blocks = [b for b, _a, _f1, _f2 in batch]
+        analyses = [a for _b, a, _f1, _f2 in batch]
+        chunks = enc.encode_batch(header, blocks, analyses, batch_L)
+        if chunks is None:
+            chunks = [None] * len(batch)
+        got_mesh = any(c is not None for c in chunks)
+        stats["mesh_batches"] += 1 if got_mesh else 0
+        for (b, _a, f1, f2), c in zip(batch, chunks):
+            if c is None:  # over-limit batch or per-chunk collision
+                stats["fallback_chunks"] += 1
+                c = engine.encode_chunk(header, b, True)
+            emit(c, f1, f2)
+        batch = []
+
+    while True:
+        block, flag1, flag2 = reader.read_pair_block(chunk_size)
+        if block is None or block.n == 0:
+            break
+        ensure_header(block)
+        a = vectorized.analyze_chunk(header, block, True)
+        lens = block.seq_lens()
+        L = int(lens[0]) if block.n else 0
+        total = int(lens.sum())
+        eligible = (
+            a.can_interleave
+            and a.encode_overlap
+            and a.read_len_same
+            and L > 0
+            and block.n % 2 == 0
+            and header.encode_qual_by_col()
+            and min_bases <= total <= max_bases
+            and header.has_x() == header.has_y()
+        )
+        if batch and (not eligible or L != batch_L):
+            flush_batch()
+        if eligible:
+            batch_L = L
+            batch.append((block, a, flag1, flag2))
+            if len(batch) == enc.D:
+                flush_batch()
+        else:
+            stats["fallback_chunks"] += 1
+            emit(engine.encode_chunk(header, block, True), flag1, flag2)
+    flush_batch()
+    reader.close()
+    if own:
+        out.close()
+    return stats
 
 
 def decompress_se_mesh(

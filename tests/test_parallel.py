@@ -213,3 +213,32 @@ def test_mesh_decompress_matches_serial(tmp_path):
             assert out.read_bytes() == want, rfq
     finally:
         os.environ.pop("REPAQ_DEVICE_MIN_BASES", None)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_mesh_compress_pe_golden(tmp_path):
+    """PE-interleaved chunks (revcomp + overlap search + elision on every
+    device) through the mesh must equal the reference golden bytes."""
+    import gzip
+    import os
+    from pathlib import Path
+
+    from repaq_tpu.parallel.mesh_engine import compress_pe_mesh
+
+    repo = Path(__file__).resolve().parent.parent
+    fx = repo / "tests" / "fixtures"
+    f1 = tmp_path / "r1.fq"
+    f2 = tmp_path / "r2.fq"
+    f1.write_bytes(gzip.open(fx / "pe_big_R1.fq.gz").read())
+    f2.write_bytes(gzip.open(fx / "pe_big_R2.fq.gz").read())
+    out = tmp_path / "m.rfq"
+    os.environ["REPAQ_DEVICE_MIN_BASES"] = "0"
+    try:
+        stats = compress_pe_mesh(str(f1), str(f2), str(out),
+                                 chunk_size=100_000)
+        assert stats["mesh_batches"] >= 1, stats
+        assert out.read_bytes() == (
+            fx / "pe_big.ref.k100.rfq"
+        ).read_bytes()
+    finally:
+        os.environ.pop("REPAQ_DEVICE_MIN_BASES", None)
