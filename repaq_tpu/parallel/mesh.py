@@ -249,6 +249,75 @@ def device_decode_block(packed, qual_buf, qual_len, npos_buf, npos_len,
     return seq.reshape(reads, read_len), qual.reshape(reads, read_len)
 
 
+def device_decode_pe_block(packed, qual_buf, qual_len, npos_buf, npos_len,
+                           stored_off, fwd, bwd, prev_off, bins, major,
+                           reads, read_len, expand: bool,
+                           np_cap: int | None = None,
+                           qualcol_caps: tuple | None = None,
+                           nbq: int = 255, has_npos: bool = True):
+    """PE-interleaved decode of one fixed-shape block on one device:
+    unpack, N restore (in STORED coordinates), three-piece overlap
+    expansion (reference rfqcodec.cpp:860-901) as elementwise source
+    computation plus ONE flat gather, by-col qual decode, then odd-row
+    un-revcomp. The shard_map-safe twin of
+    codec/device_engine._build_decode. stored_off/fwd/bwd/prev_off: (B,)
+    i32 per-row expansion tables the host derives from the chunk's
+    overlap bytes."""
+    b_cap, L = reads, read_len
+    n = b_cap * L
+    flat_cap = n + ((-n) % 4)
+
+    def comp(x):
+        return jnp.where(
+            x == ord("A"), ord("T"),
+            jnp.where(x == ord("T"), ord("A"),
+                      jnp.where(x == ord("C"), ord("G"),
+                                jnp.where(x == ord("G"), ord("C"), x))),
+        ).astype(jnp.uint8)
+
+    seq = unpack_2bit_device(packed)[:flat_cap]
+    if has_npos:
+        if np_cap is None:
+            np_cap = min(flat_cap, 32 * npos_buf.shape[0])
+        pos, _cnt = decode_positions_device(npos_buf, npos_len, np_cap,
+                                            pallas_ok=False)
+        tgt = jnp.where(pos >= 0, pos, flat_cap)
+        seq = jnp.concatenate([seq, jnp.zeros(1, jnp.uint8)])
+        seq = seq.at[tgt].set(ord("N"), mode="drop")[:flat_cap]
+    if expand:
+        i = jnp.arange(L, dtype=jnp.int32)[None, :]
+        so = stored_off[:, None]
+        f = fwd[:, None]
+        w = bwd[:, None]
+        src_odd = jnp.where(
+            i < f,
+            so - f + i,
+            jnp.where(
+                i >= L - w, prev_off[:, None] + i - (L - w),
+                so + i - f,
+            ),
+        )
+        odd = (jnp.arange(b_cap) % 2 == 1)[:, None]
+        src = jnp.where(odd, src_odd, so + i).reshape(-1)
+        seq = seq[jnp.clip(src, 0, flat_cap - 1)]
+    else:
+        seq = seq[:n]
+    tok_cap, pos_cap, esc_cap = qualcol_caps or (None, None, None)
+    qual = qualcol_decode_device(
+        qual_buf, bins.shape[0], bins, major, n, qual_len,
+        tok_cap=tok_cap, pos_cap=pos_cap, esc_cap=esc_cap,
+        pallas_ok=False,
+    )
+    if not has_npos and nbq < 128:
+        seq = jnp.where(qual == nbq, jnp.uint8(ord("N")), seq)
+    odd = (jnp.arange(b_cap) % 2 == 1)[:, None]
+    seq_mat = seq[:n].reshape(b_cap, L)
+    qual_mat = qual.reshape(b_cap, L)
+    seq_mat = jnp.where(odd, comp(jnp.flip(seq_mat, axis=1)), seq_mat)
+    qual_mat = jnp.where(odd, jnp.flip(qual_mat, axis=1), qual_mat)
+    return seq_mat, qual_mat
+
+
 def make_sharded_encode_step(mesh: Mesh, axis: str = "data"):
     """jit-compiled SPMD encode step: blocks sharded over the mesh's data
     axis, palette replicated, per-device stream lengths all-gathered (ICI)

@@ -482,6 +482,161 @@ class _MeshBatchDecoder:
             ))
         return blocks
 
+    def decode_batch_pe(self, header: RfqHeader, chunks: list, L: int):
+        """PE-interleaved batch decode: per-row expansion tables derived
+        host-side from each chunk's overlap bytes, then one shard_map
+        dispatch through device_decode_pe_block. Chunks whose stored-base
+        accounting disagrees with the seq buffer (corruption) come back
+        as None for the host fallback path."""
+        from ..codec import kernels_np as K
+        from ..codec.blocks import lens_to_offsets
+        from .mesh import replicate, shard_blocks
+
+        D = self.D
+        nbins = int(header.normal_qual_bins())
+        expand = header.encode_pe_by_overlap()
+        b_cap = _bucket(max(c.reads for c in chunks))
+        if b_cap % 2:
+            b_cap += 1
+        n_cap = b_cap * L
+        flat_cap = n_cap + ((-n_cap) % 4)
+
+        def geo(x, lo=1024):
+            for f in (16, 8, 4, 2, 1):
+                c = max(lo, n_cap // f)
+                if c >= x:
+                    return c
+            return n_cap + lo
+
+        stored_off = np.zeros((D, b_cap), dtype=np.int32)
+        fwds = np.zeros((D, b_cap), dtype=np.int32)
+        bwds = np.zeros((D, b_cap), dtype=np.int32)
+        prevs = np.zeros((D, b_cap), dtype=np.int32)
+        bad = [False] * len(chunks)
+        for d, c in enumerate(chunks):
+            b = c.reads
+            if expand:
+                ovb = np.frombuffer(c.overlap_buf, dtype=np.int8).astype(
+                    np.int64
+                )
+                ov = ovb - header.overlap_shift
+                stored = np.full(b, L, dtype=np.int64)
+                stored[1::2] -= np.abs(ov)
+                total_stored = int(stored.sum())
+                off = (np.cumsum(stored) - stored).astype(np.int32)
+                stored_off[d, :b] = off
+                fwds[d, 1:b:2] = np.maximum(ov, 0)
+                bwds[d, 1:b:2] = np.maximum(-ov, 0)
+                prevs[d, 1:b:2] = off[0:b:2]
+            else:
+                total_stored = b * L
+                off = np.arange(b, dtype=np.int32) * L
+                stored_off[d, :b] = off
+            if (total_stored + 3) // 4 != len(c.seq_buf):
+                bad[d] = True
+
+        max_q = max(len(c.qual_buf) for c in chunks)
+        max_np = max(len(c.npos_buf) for c in chunks)
+        pk_cap = (flat_cap + 3) // 4
+        qb_cap = geo(max_q + 4 * nbins + 16)
+        nb_cap = geo(max_np + 8, lo=64)
+        np_c = geo(min(32 * max_np + 8, flat_cap), lo=64)
+        t = c_ = esc = 0
+        for c in chunks:
+            tt, cc, ee = K.qualcol_decode_counts(
+                np.frombuffer(c.qual_buf, dtype=np.uint8), nbins
+            )
+            t, c_, esc = max(t, tt), max(c_, cc), max(esc, ee)
+        tok_cap = geo(t, lo=512)
+        pos_cap = geo(c_, lo=512)
+        if pos_cap == tok_cap:
+            pos_cap += 4096
+        esc_cap = 0 if esc == 0 else geo(esc, lo=8)
+        if 4 * nbins + qb_cap > (1 << 23):
+            return None
+
+        packed = np.zeros((D, pk_cap), dtype=np.uint8)
+        qb = np.zeros((D, qb_cap), dtype=np.uint8)
+        ql = np.zeros(D, dtype=np.int32)
+        nb = np.zeros((D, nb_cap), dtype=np.uint8)
+        nl = np.zeros(D, dtype=np.int32)
+        for d, c in enumerate(chunks):
+            packed[d, : len(c.seq_buf)] = np.frombuffer(c.seq_buf, np.uint8)
+            qb[d, : len(c.qual_buf)] = np.frombuffer(c.qual_buf, np.uint8)
+            ql[d] = len(c.qual_buf)
+            if header.encode_n_pos() and c.npos_buf:
+                nb[d, : len(c.npos_buf)] = np.frombuffer(
+                    c.npos_buf, np.uint8
+                )
+                nl[d] = len(c.npos_buf)
+
+        key = ("pe", b_cap, L, pk_cap, qb_cap, nb_cap, np_c,
+               (tok_cap, pos_cap, esc_cap), expand,
+               bool(header.encode_n_pos()), int(header.n_base_qual))
+        fn = self._steps.get(key)
+        if fn is None:
+            fn = self._build_pe(key)
+            self._steps[key] = fn
+        bins_dev = np.asarray(header.normal_qual_buf(), dtype=np.uint8)
+        major = int(header.major_qual())
+        seqs, quals = fn(
+            shard_blocks(self.mesh, packed),
+            shard_blocks(self.mesh, qb),
+            shard_blocks(self.mesh, ql),
+            shard_blocks(self.mesh, nb),
+            shard_blocks(self.mesh, nl),
+            shard_blocks(self.mesh, stored_off),
+            shard_blocks(self.mesh, fwds),
+            shard_blocks(self.mesh, bwds),
+            shard_blocks(self.mesh, prevs),
+            replicate(self.mesh, bins_dev),
+            replicate(self.mesh, np.array([major], dtype=np.uint8)),
+        )
+        seqs = np.asarray(seqs).reshape(D, b_cap, L)
+        quals = np.asarray(quals).reshape(D, b_cap, L)
+        blocks = []
+        for d, c in enumerate(chunks):
+            if bad[d]:
+                blocks.append(None)
+                continue
+            seq = np.ascontiguousarray(seqs[d, : c.reads].reshape(-1))
+            qual = np.ascontiguousarray(quals[d, : c.reads].reshape(-1))
+            lens = np.full(c.reads, L, dtype=np.int64)
+            blocks.append(vectorized.assemble_block(
+                header, c, c.reads, lens, lens_to_offsets(lens), seq, qual
+            ))
+        return blocks
+
+    def _build_pe(self, key):
+        (_tag, b_cap, L, pk_cap, qb_cap, nb_cap, np_c, qcaps, expand,
+         has_npos, nbq) = key
+        jax = self._jax
+        from jax.sharding import PartitionSpec as P
+
+        from .mesh import device_decode_pe_block
+
+        try:
+            from jax import shard_map
+        except ImportError:  # pragma: no cover
+            from jax.experimental.shard_map import shard_map
+
+        def step(packed, qbuf, ql, nbuf, nl, so, f, w, po, bins, major):
+            seq, qual = device_decode_pe_block(
+                packed[0], qbuf[0], ql[0], nbuf[0], nl[0], so[0], f[0],
+                w[0], po[0], bins, major[0], b_cap, L, expand,
+                np_cap=np_c, qualcol_caps=qcaps, nbq=nbq,
+                has_npos=has_npos,
+            )
+            return seq[None], qual[None]
+
+        axis = "data"
+        sharded = shard_map(
+            step, mesh=self.mesh,
+            in_specs=(P(axis),) * 9 + (P(), P()),
+            out_specs=(P(axis), P(axis)),
+        )
+        return jax.jit(sharded)
+
 
 def compress_pe_mesh(
     in1: str,
@@ -652,22 +807,26 @@ def decompress_se_mesh(
     pending: list = []  # (chunk, block-or-None) in container order
     batch_idx: list = []  # positions in pending awaiting the mesh
     batch_L = 0
+    batch_pe = False
 
     def flush_mesh() -> None:
         nonlocal batch_idx
         if not batch_idx:
             return
         chunks = [pending[i][0] for i in batch_idx]
-        blocks = dec.decode_batch(header, chunks, batch_L)
-        if blocks is None:
-            for i in batch_idx:
-                stats["fallback_chunks"] += 1
-                pending[i] = (pending[i][0],
-                              engine.decode_chunk(header, pending[i][0]))
+        if batch_pe:
+            blocks = dec.decode_batch_pe(header, chunks, batch_L)
         else:
-            stats["mesh_batches"] += 1
-            for i, b in zip(batch_idx, blocks):
-                pending[i] = (pending[i][0], b)
+            blocks = dec.decode_batch(header, chunks, batch_L)
+        if blocks is None:
+            blocks = [None] * len(batch_idx)
+        any_mesh = any(b is not None for b in blocks)
+        stats["mesh_batches"] += 1 if any_mesh else 0
+        for i, b in zip(batch_idx, blocks):
+            if b is None:  # over-limit / corrupt-accounting: host path
+                stats["fallback_chunks"] += 1
+                b = engine.decode_chunk(header, pending[i][0])
+            pending[i] = (pending[i][0], b)
         batch_idx = []
 
     def emit(upto: int, last_done: bool) -> None:
@@ -702,16 +861,20 @@ def decompress_se_mesh(
         L = int(lens[0]) if chunk.reads else 0
         uniform = L > 0 and bool((lens == L).all())
         total = int(lens.astype(np.int64).sum())
+        is_pe = bool(chunk.flags & BIT_PE_INTERLEAVED)
         eligible = (
             uniform
             and header.encode_qual_by_col()
-            and not (chunk.flags & BIT_PE_INTERLEAVED)
+            and (not is_pe or chunk.reads % 2 == 0)
             and min_bases <= total <= max_bases
         )
-        if batch_idx and (not eligible or L != batch_L):
+        if batch_idx and (
+            not eligible or L != batch_L or is_pe != batch_pe
+        ):
             flush_mesh()
         if eligible:
             batch_L = L
+            batch_pe = is_pe
             pending.append((chunk, None))
             batch_idx.append(len(pending) - 1)
             if len(batch_idx) == dec.D:

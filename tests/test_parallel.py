@@ -242,3 +242,29 @@ def test_mesh_compress_pe_golden(tmp_path):
         ).read_bytes()
     finally:
         os.environ.pop("REPAQ_DEVICE_MIN_BASES", None)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_mesh_decompress_pe(tmp_path):
+    """PE-interleaved containers (overlap expansion + un-revcomp on every
+    device) through the mesh decoder: output must equal serial decompress
+    (interleaved single-stream form)."""
+    import os
+    from pathlib import Path
+
+    from repaq_tpu import pipeline
+    from repaq_tpu.parallel.mesh_engine import decompress_se_mesh
+
+    repo = Path(__file__).resolve().parent.parent
+    fx = repo / "tests" / "fixtures"
+    rfq = fx / "pe_big.ref.k100.rfq"
+    os.environ["REPAQ_DEVICE_MIN_BASES"] = "0"
+    try:
+        serial = tmp_path / "s.fq"
+        pipeline.decompress(str(rfq), str(serial))
+        meshed = tmp_path / "m.fq"
+        stats = decompress_se_mesh(str(rfq), str(meshed))
+        assert stats["mesh_batches"] >= 1, stats
+        assert meshed.read_bytes() == serial.read_bytes()
+    finally:
+        os.environ.pop("REPAQ_DEVICE_MIN_BASES", None)
