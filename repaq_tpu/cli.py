@@ -61,7 +61,9 @@ def build_parser() -> argparse.ArgumentParser:
         choices=["auto", "oracle", "vectorized", "device"],
         help="codec engine: 'device' runs the JAX/Pallas TPU kernels as "
         "the chunk codec (host fallback for ragged/tiny/oversized "
-        "chunks); default: vectorized host engine",
+        "chunks); 'auto' probes the accelerator once and caches the "
+        "decision per machine/backend (set REPAQ_REPROBE=1 to "
+        "re-measure); default: vectorized host engine",
     )
     p.add_argument(
         "--workers", "-w", type=int, default=1,
@@ -103,6 +105,34 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--version", action="version",
                    version="repaq-tpu %s" % VERSION_NUM.decode())
     return p
+
+
+def _wait_for_parts(parts: list[str]) -> None:
+    """Rank-0 shard assembly: wait for peer part files with FAILURE
+    DETECTION (ADVICE r3) — besides the total deadline
+    (REPAQ_SHARD_TIMEOUT, default 3600 s), die once no NEW part appears
+    for REPAQ_SHARD_STALL seconds (default 300): a crashed peer never
+    writes its part, and a live one writes within the stall window."""
+    import time as _time
+
+    timeout = float(os.environ.get("REPAQ_SHARD_TIMEOUT", 3600))
+    stall = float(os.environ.get("REPAQ_SHARD_STALL", 300))
+    deadline = _time.time() + timeout
+    seen = sum(os.path.exists(p) for p in parts)
+    last_progress = _time.time()
+    while not all(os.path.exists(p) for p in parts):
+        now = _time.time()
+        have = sum(os.path.exists(p) for p in parts)
+        if have > seen:
+            seen, last_progress = have, now
+        missing = [p for p in parts if not os.path.exists(p)]
+        if now > deadline:
+            _die("timed out waiting for shard part files: %s"
+                 % ", ".join(missing))
+        if now - last_progress > stall:
+            _die("no shard progress for %.0f s (peer crashed?); still "
+                 "missing: %s" % (stall, ", ".join(missing)))
+        _time.sleep(0.2)
 
 
 def _xz_compress_args(compression: int, threads: int) -> list[str]:
@@ -292,27 +322,23 @@ def main(argv: list[str] | None = None) -> int:
                     in1, args.in2, out1, chunk_size=chunk_size,
                     num_processes=args.num_shards, process_id=args.shard,
                     engine=engine, workers=args.workers, assemble=False,
-                    interleaved=args.interleaved_in,
+                    interleaved=args.interleaved_in, verify=args.verify,
+                    fast_verify=args.fast_verify,
                 )
             else:
                 dist.compress_se_distributed(
                     in1, out1, chunk_size=chunk_size,
                     num_processes=args.num_shards, process_id=args.shard,
                     engine=engine, workers=args.workers, assemble=False,
+                    verify=args.verify, fast_verify=args.fast_verify,
                 )
             if args.shard == 0 and not args.no_assemble:
                 # ranks may run concurrently (other processes/hosts on a
                 # shared filesystem): wait for every part before the
                 # ordered concat
-                import time as _time
-
-                deadline = _time.time() + 3600
                 parts = ["%s.part%d" % (out1, pid)
                          for pid in range(args.num_shards)]
-                while not all(os.path.exists(p) for p in parts):
-                    if _time.time() > deadline:
-                        _die("timed out waiting for shard part files")
-                    _time.sleep(0.2)
+                _wait_for_parts(parts)
                 if pe:
                     header = dist.derive_header_pe(
                         in1, args.in2, chunk_size, engine,
@@ -347,18 +373,12 @@ def main(argv: list[str] | None = None) -> int:
                 assemble=False,
             )
             if args.shard == 0 and not args.no_assemble:
-                import time as _time
-
-                deadline = _time.time() + 3600
                 parts = ["%s.part%d" % (out1, pid)
                          for pid in range(args.num_shards)]
                 if args.out2:
                     parts += ["%s.part%d" % (args.out2, pid)
                               for pid in range(args.num_shards)]
-                while not all(os.path.exists(p) for p in parts):
-                    if _time.time() > deadline:
-                        _die("timed out waiting for shard part files")
-                    _time.sleep(0.2)
+                _wait_for_parts(parts)
                 dist.assemble_fastq_parts(out1, args.num_shards)
                 if args.out2:
                     dist.assemble_fastq_parts(args.out2, args.num_shards)
@@ -446,11 +466,13 @@ def _run_compress(args, in1, out1, chunk_size, engine, out_stream):
                 in1, args.in2, out1, chunk_size=chunk_size,
                 interleaved=args.interleaved_in, engine=engine,
                 out_stream=out_stream, devices=devs[:n],
+                verify=args.verify, fast_verify=args.fast_verify,
             )
         else:
             compress_se_mesh(
                 in1, out1, chunk_size=chunk_size, engine=engine,
                 out_stream=out_stream, devices=devs[:n],
+                verify=args.verify, fast_verify=args.fast_verify,
             )
         return
     if args.in2 or args.interleaved_in:
@@ -482,7 +504,7 @@ def _run_compress(args, in1, out1, chunk_size, engine, out_stream):
 
 
 def _run_decompress(args, in1, out1, engine, in_stream):
-    if args.mesh_devices and not args.out2:
+    if args.mesh_devices:
         from .parallel.mesh_engine import decompress_se_mesh
 
         import jax
@@ -492,7 +514,7 @@ def _run_decompress(args, in1, out1, engine, in_stream):
             args.mesh_devices, len(devs)
         )
         decompress_se_mesh(in1, out1, engine=engine, in_stream=in_stream,
-                           devices=devs[:n])
+                           devices=devs[:n], out2=args.out2 or "")
         return
     if args.out2:
         pipeline.decompress_pe(in1, out1, args.out2, engine=engine,

@@ -671,9 +671,10 @@ class DeviceEngine:
         n_cap = _bucket(n_total, lo=4096)
         qual_len = len(chunk.qual_buf)
         npos_len = len(chunk.npos_buf) if header.encode_n_pos() else 0
-        qb_cap, nb_cap, np_cap, qcaps = self._decode_caps(
-            n_cap, qual_len, npos_len, chunk, nbins
-        )
+        caps = self._decode_caps(n_cap, qual_len, npos_len, chunk, nbins)
+        if caps is None:
+            return None  # corrupt qual stream: host decoder raises
+        qb_cap, nb_cap, np_cap, qcaps = caps
         if 4 * nbins + qb_cap > (1 << 23):
             return None
 
@@ -746,9 +747,12 @@ class DeviceEngine:
         else:
             from . import kernels_np as K
 
-            t, c, esc = K.qualcol_decode_counts(
+            counts = K.qualcol_decode_counts(
                 np.frombuffer(chunk.qual_buf, dtype=np.uint8), nbins
             )
+            if counts is None:
+                return None  # corrupt qual stream: host decoder raises
+            t, c, esc = counts
             tok_cap = geo(t, lo=512)
             pos_cap = geo(c, lo=512)
             esc_cap = 0 if esc == 0 else geo(esc, lo=8)
@@ -831,9 +835,10 @@ class DeviceEngine:
 
         qual_len = len(chunk.qual_buf)
         npos_len = len(chunk.npos_buf) if header.encode_n_pos() else 0
-        qb_cap, nb_cap, np_cap, qcaps = self._decode_caps(
-            flat_cap, qual_len, npos_len, chunk, nbins
-        )
+        caps = self._decode_caps(flat_cap, qual_len, npos_len, chunk, nbins)
+        if caps is None:
+            return None  # corrupt qual stream: host decoder raises
+        qb_cap, nb_cap, np_cap, qcaps = caps
         np_cap = min(np_cap, flat_cap)
         if 4 * nbins + qb_cap > (1 << 23):
             return None

@@ -239,18 +239,54 @@ def encode_qual_by_col(
     return np.concatenate(parts)
 
 
-def qualcol_decode_counts(buf: np.ndarray, nbins: int) -> tuple[int, int, int]:
+def decode_qual_runlen(
+    buf: np.ndarray,
+    bit2qual: np.ndarray,
+    mq_bits: int,
+    nq_bits: int,
+    length: int,
+) -> np.ndarray:
+    """Vectorized legacy run-length quality decode (reference
+    rfqcodec.cpp:919-955; byte-exact with oracle.decode_qual_runlen).
+    Even bytes are major-qual runs (count in the high mq_bits' worth),
+    odd bytes carry a normal-bin index in the low bits. The reference
+    re-iterates the buffer when the counts fall short of the expected
+    length; np.tile mirrors that."""
+    if length <= 0:
+        return np.zeros(0, dtype=np.uint8)
+    b = buf.astype(np.uint16)
+    is_norm = (b & 1).astype(bool)
+    nq_mask = (1 << (8 - nq_bits)) - 1
+    q = np.where(is_norm, b & nq_mask, 0)
+    num = np.where(is_norm, b >> (8 - nq_bits),
+                   b >> (8 - mq_bits)).astype(np.int64) + 1
+    vals = bit2qual[q].astype(np.uint8)
+    total = int(num.sum())
+    if total == 0:
+        raise ValueError("corrupt run-length quality stream")
+    reps = -(-length // total)
+    if reps > 1:
+        vals = np.tile(vals, reps)
+        num = np.tile(num, reps)
+    return np.repeat(vals, num)[:length]
+
+
+def qualcol_decode_counts(
+    buf: np.ndarray, nbins: int
+) -> tuple[int, int, int] | None:
     """Exact (tokens, positions, escape_records) of a by-col qual stream:
     the host-side cap pass for the device decode kernels (one cheap token
     walk over the COMPRESSED bytes — native FSM when available). Tight
     static caps keep the device kernel's compact spaces proportional to
-    the stream, not the chunk."""
+    the stream, not the chunk. Returns None for a length-corrupt stream —
+    callers MUST route such chunks to the host decoder, which raises the
+    reference's error instead of masking to tiny caps."""
     if buf.shape[0] < 4 * nbins:
-        return 0, 0, 0
+        return None  # corrupt: lens prefix itself is truncated
     lens = buf[: 4 * nbins].view("<u4").astype(np.int64)
     end = 4 * nbins + int(lens.sum())
     if end > buf.shape[0]:
-        return 0, 0, 0  # corrupt; device path will bail to host
+        return None  # corrupt: bin streams overrun the buffer
     stream = buf[4 * nbins : end]
     if stream.shape[0] == 0:
         return 0, 0, (buf.shape[0] - end) // 5

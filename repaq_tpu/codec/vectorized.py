@@ -682,9 +682,13 @@ def decode_chunk(header: RfqHeader, chunk: RfqChunk) -> ReadBlock:
             seq_len,
         )
     else:
-        q = bytearray([header.major_qual()]) * seq_len
-        oracle.decode_qual_runlen(header, chunk.qual_buf, q)
-        qual = np.frombuffer(bytes(q), dtype=np.uint8)
+        qual = K.decode_qual_runlen(
+            np.frombuffer(chunk.qual_buf, dtype=np.uint8),
+            header.bit2qual,
+            header.major_qual_num_bits(),
+            header.normal_qual_num_bits,
+            seq_len,
+        )
 
     if not header.encode_n_pos() and header.n_base_qual < 128:
         seq[qual == header.n_base_qual] = ord("N")

@@ -32,7 +32,13 @@ from ..codec import rans_np
 from .header import RfqFormatError
 
 MAGIC = b"RFQZ"
-VERSION = 2  # v2: LZ token fields are per-plane sections
+# v2: LZ token fields are per-plane sections, rep-distance slots + MTF
+# dist transform, SEQLZ cross-section history. DELIBERATE v1 break
+# (ADVICE r3 reviewed): v1 archives only ever existed inside this repo's
+# own round-2 builds — the format shipped for the first time as v2, so
+# no v1 read path is carried; v1 inputs fail with the explicit
+# "unsupported RFQZ container version" error below.
+VERSION = 2
 # 16MB sections: ~4 ratio points better than 4MB (table amortization +
 # stabler order-1 statistics) while keeping per-section parallelism
 DEFAULT_BLOCK = 16 << 20
@@ -194,10 +200,7 @@ class SeqLzHistory:
             total += nb
         if not take:
             return None
-        from ..codec import _native
-
-        parts = [_native.unpack_2bit(p, 4 * p.shape[0])
-                 for p in reversed(take)]
+        parts = [_np_unpack(p, None) for p in reversed(take)]
         return parts[0] if len(parts) == 1 else np.concatenate(parts)
 
 

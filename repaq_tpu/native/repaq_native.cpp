@@ -615,6 +615,20 @@ static inline uint32_t hash_at(const uint8_t* data, int64_t i) {
 
 struct Tok { int64_t lit, ml, dist; };
 
+// Grid-chain storage is COMPACT (ADVICE r3: the per-byte int32 prev
+// array peaked at ~640 MB for 96M history + 64M section). Grid inserts
+// only happen at j = 0,5,10,.. while j < parse_from, then jc, jc+3,..
+// (jc = first multiple of 5 >= parse_from), so prev links are stored
+// indexed by grid SLOT: ~n/5 + n/3 entries instead of n. Chain values
+// stay absolute positions; only the array indexing changes, so token
+// streams are bit-identical to the dense layout.
+static inline int64_t grid_jc(int64_t parse_from) {
+    return ((parse_from + 4) / 5) * 5;
+}
+static inline int64_t grid_slot(int64_t c, int64_t jc, int64_t nd) {
+    return c < jc ? c / 5 : nd + (c - jc) / 3;
+}
+
 // Parse one fixed window [w_begin, w_end). The candidate tables are the
 // full-prefix GRID chain (prev_shared: every position j < w_begin,
 // inserted in ascending order — deterministic) entered through this
@@ -636,9 +650,10 @@ static void parse_window(const uint8_t* data, int64_t n, int64_t min_match,
     std::vector<int32_t> head_v(snapshot_head, snapshot_head + HSIZE);
     std::vector<int32_t> prev_own(w_end - p0, -1);
     int32_t* head = head_v.data();
+    const int64_t jc = grid_jc(parse_from), nd = jc / 5;
 
     auto prev_of = [&](int64_t c) -> int64_t {
-        return c >= p0 ? prev_own[c - p0] : prev_shared[c];
+        return c >= p0 ? prev_own[c - p0] : prev_shared[grid_slot(c, jc, nd)];
     };
 
     // LZMA-style rep-distance slots: sequencing errors chop long genome
@@ -755,8 +770,12 @@ int64_t lz_parse(const uint8_t* data, int64_t n, int64_t min_match,
     int64_t nwin = (n + WINDOW - 1) / WINDOW;
     int64_t first_w = parse_from / WINDOW;
 
-    // serial grid pass: shared prev chain + head snapshot per window
-    std::vector<int32_t> prev_shared(n, -1);
+    // serial grid pass: shared prev chain + head snapshot per window.
+    // Compact slot-indexed storage (see grid_slot): ~n/5 dictionary +
+    // ~n/3 parse-region entries instead of one int32 per byte.
+    const int64_t jc = grid_jc(parse_from), nd = jc / 5;
+    const int64_t nslots = nd + (n > jc ? (n - jc) / 3 + 1 : 0);
+    std::vector<int32_t> prev_shared(nslots, -1);
     std::vector<int32_t> head_v(HSIZE, -1);
     std::vector<std::vector<int32_t>> snapshots(nwin);
     {
@@ -777,7 +796,7 @@ int64_t lz_parse(const uint8_t* data, int64_t n, int64_t min_match,
                 next_snap++;
             }
             uint32_t h = hash_at(data, j);
-            prev_shared[j] = head[h];
+            prev_shared[grid_slot(j, jc, nd)] = head[h];
             head[h] = (int32_t)j;
             j += (j < parse_from) ? 5 : 3;
         }

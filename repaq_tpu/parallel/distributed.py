@@ -157,6 +157,8 @@ def encode_chunk_range(
     engine: EngineConfig,
     chunk_size: int,
     workers: int = 1,
+    verify: bool = False,
+    fast_verify: bool = False,
 ) -> None:
     """Encode chunks plan[lo:hi] (already byte-delimited) to ``out``."""
     if lo >= hi:
@@ -164,7 +166,8 @@ def encode_chunk_range(
     reader = _range_reader_for(
         path, plan[lo].byte_start, plan[hi - 1].byte_end
     )
-    comp = _Compressor(out, engine, False, False, is_pe=False, workers=workers)
+    comp = _Compressor(out, engine, verify, fast_verify, is_pe=False,
+                       workers=workers)
     comp.header = header
     comp.header_bytes = header_bytes
     for spec in plan[lo:hi]:
@@ -248,6 +251,8 @@ def encode_pair_chunk_range(
     engine: EngineConfig,
     workers: int = 1,
     interleaved: bool = False,
+    verify: bool = False,
+    fast_verify: bool = False,
 ) -> None:
     """Encode pair chunks plan[lo:hi] to ``out``."""
     if lo >= hi:
@@ -258,7 +263,8 @@ def encode_pair_chunk_range(
         r2 = _range_reader_for(
             path2, plan[lo].byte_start2, plan[hi - 1].byte_end2
         )
-    comp = _Compressor(out, engine, False, False, is_pe=True, workers=workers)
+    comp = _Compressor(out, engine, verify, fast_verify, is_pe=True,
+                       workers=workers)
     comp.header = header
     comp.header_bytes = header_bytes
     for spec in plan[lo:hi]:
@@ -299,6 +305,8 @@ def compress_pe_distributed(
     workers: int = 1,
     assemble: bool = True,
     interleaved: bool = False,
+    verify: bool = False,
+    fast_verify: bool = False,
 ) -> str:
     """PE twin of compress_se_distributed: this rank encodes its chunk
     range to ``out1.part{pid}``; rank 0 assembles in order. With
@@ -316,7 +324,7 @@ def compress_pe_distributed(
         out = _part_sink(f, rfqz)
         encode_pair_chunk_range(
             in1, in2, plan, lo, hi, header, header_bytes, out, engine,
-            workers, interleaved,
+            workers, interleaved, verify=verify, fast_verify=fast_verify,
         )
         if out is not f:
             out.close()
@@ -360,6 +368,8 @@ def compress_se_distributed(
     engine: EngineConfig | None = None,
     workers: int = 1,
     assemble: bool = True,
+    verify: bool = False,
+    fast_verify: bool = False,
 ) -> str:
     """Encode this process's chunk range to ``out1.part{pid}``; rank 0
     (with assemble=True, after all parts exist) concatenates header +
@@ -376,7 +386,7 @@ def compress_se_distributed(
         out = _part_sink(f, rfqz)
         encode_chunk_range(
             in1, plan, lo, hi, header, header_bytes, out, engine, chunk_size,
-            workers,
+            workers, verify=verify, fast_verify=fast_verify,
         )
         if out is not f:
             out.close()

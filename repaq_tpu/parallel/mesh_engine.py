@@ -424,9 +424,12 @@ class _MeshBatchDecoder:
         np_c = geo(min(32 * max_np + 8, n_cap), lo=64)
         t = c_ = esc = 0
         for c in chunks:
-            tt, cc, ee = K.qualcol_decode_counts(
+            counts = K.qualcol_decode_counts(
                 np.frombuffer(c.qual_buf, dtype=np.uint8), nbins
             )
+            if counts is None:
+                return None  # corrupt chunk: host decoder raises
+            tt, cc, ee = counts
             t, c_, esc = max(t, tt), max(c_, cc), max(esc, ee)
         tok_cap = geo(t, lo=512)
         pos_cap = geo(c_, lo=512)
@@ -543,9 +546,12 @@ class _MeshBatchDecoder:
         np_c = geo(min(32 * max_np + 8, flat_cap), lo=64)
         t = c_ = esc = 0
         for c in chunks:
-            tt, cc, ee = K.qualcol_decode_counts(
+            counts = K.qualcol_decode_counts(
                 np.frombuffer(c.qual_buf, dtype=np.uint8), nbins
             )
+            if counts is None:
+                return None  # corrupt chunk: host decoder raises
+            tt, cc, ee = counts
             t, c_, esc = max(t, tt), max(c_, cc), max(esc, ee)
         tok_cap = geo(t, lo=512)
         pos_cap = geo(c_, lo=512)
@@ -647,12 +653,15 @@ def compress_pe_mesh(
     engine: EngineConfig | None = None,
     out_stream=None,
     devices=None,
+    verify: bool = False,
+    fast_verify: bool = False,
 ) -> dict:
     """PE compress with interleaved chunks fanned over a device mesh
     (revcomp + overlap search + elision on every device); bytes identical
     to the serial pipeline. Chunks that degrade to non-interleaved
     encoding, are ragged, or hit an overlap-hash collision flush through
-    the single-device engine in order."""
+    the single-device engine in order. verify/fast_verify re-decode
+    emitted chunks like the serial path (reference repaq.cpp:430-528)."""
     import jax
 
     from ..constants import (
@@ -668,7 +677,8 @@ def compress_pe_mesh(
 
         pipeline.compress_pe(in1, in2, out1, chunk_size=chunk_size,
                              interleaved=interleaved, engine=engine,
-                             out_stream=out_stream)
+                             out_stream=out_stream, verify=verify,
+                             fast_verify=fast_verify)
         return {"mesh_batches": 0, "fallback_chunks": -1}
 
     enc = _MeshBatchPEEncoder(devices)
@@ -704,7 +714,10 @@ def compress_pe_mesh(
                 "quit now!"
             )
 
-    def emit(chunk, f1: bool, f2: bool) -> None:
+    passnum = 0
+
+    def emit(chunk, f1: bool, f2: bool, block: ReadBlock) -> None:
+        nonlocal passnum
         if chunk is None:
             return
         if f1:
@@ -715,6 +728,12 @@ def compress_pe_mesh(
             out.write_segments(chunk.to_segments())
         else:
             out.write(chunk.to_bytes())
+        if verify or (fast_verify and passnum % 10 == 0):
+            from ..pipeline import _verify_chunk
+
+            _verify_chunk(header, chunk.to_bytes(), block, engine,
+                          header_bytes)
+        passnum += 1
 
     def flush_batch() -> None:
         nonlocal batch
@@ -731,7 +750,7 @@ def compress_pe_mesh(
             if c is None:  # over-limit batch or per-chunk collision
                 stats["fallback_chunks"] += 1
                 c = engine.encode_chunk(header, b, True)
-            emit(c, f1, f2)
+            emit(c, f1, f2, b)
         batch = []
 
     while True:
@@ -762,7 +781,8 @@ def compress_pe_mesh(
                 flush_batch()
         else:
             stats["fallback_chunks"] += 1
-            emit(engine.encode_chunk(header, block, True), flag1, flag2)
+            emit(engine.encode_chunk(header, block, True), flag1, flag2,
+                 block)
     flush_batch()
     reader.close()
     if own:
@@ -776,13 +796,17 @@ def decompress_se_mesh(
     engine: EngineConfig | None = None,
     in_stream=None,
     devices=None,
+    out2: str = "",
 ) -> dict:
     """Decompress with chunk decode fanned over a device mesh; output
     bytes identical to the serial pipeline. PE-interleaved / ragged /
-    non-by-col chunks fall back to the single-device engine in order."""
+    non-by-col chunks fall back to the single-device engine in order.
+    With out2, a PE container splits even/odd reads into out1/out2
+    exactly like pipeline.decompress_pe (reference repaq.cpp:335-414)."""
     import jax
 
     from ..constants import BIT_HAS_NO_LINE_BREAK_AT_END as _NL
+    from ..constants import BIT_HAS_NO_LINE_BREAK_AT_END_R2 as _NL2
     from ..constants import BIT_PE_INTERLEAVED
     from ..format.chunk import RfqChunk
     from ..io.fastq import Writer
@@ -793,15 +817,26 @@ def decompress_se_mesh(
     if len(devices) < 2:
         from .. import pipeline
 
-        pipeline.decompress(in1, out1, engine=engine, in_stream=in_stream)
+        if out2:
+            pipeline.decompress_pe(in1, out1, out2, engine=engine,
+                                   in_stream=in_stream)
+        else:
+            pipeline.decompress(in1, out1, engine=engine,
+                                in_stream=in_stream)
         return {"mesh_batches": 0, "fallback_chunks": -1}
 
     dec = _MeshBatchDecoder(devices)
     min_bases = int(os.environ.get("REPAQ_DEVICE_MIN_BASES", 128 << 10))
     max_bases = int(os.environ.get("REPAQ_DEVICE_MAX_BASES", 4 << 20))
     stream, own = _open_in(in1, in_stream)
-    writer = Writer(out1)
     header = RfqHeader.read(stream)
+    if out2 and not header.paired_end():
+        raise RfqFormatError(
+            "The input RFQ file was encoded by single-end FASTQ, you "
+            "should not specify <out2>"
+        )
+    writer = Writer(out1)
+    writer2 = Writer(out2) if out2 else None
     stats = {"mesh_batches": 0, "fallback_chunks": 0}
 
     pending: list = []  # (chunk, block-or-None) in container order
@@ -836,11 +871,22 @@ def decompress_se_mesh(
         nonlocal pending, batch_idx
         for j in range(upto):
             chunk, block = pending[j]
-            outstr = block.to_fastq_bytes()
             is_last = last_done and j == upto - 1
-            if is_last and (chunk.flags & _NL):
-                outstr = outstr[:-1]
-            writer.write(outstr)
+            if writer2 is not None:
+                idx = np.arange(block.n)
+                o1 = block.take(idx[0::2]).to_fastq_bytes()
+                o2 = block.take(idx[1::2]).to_fastq_bytes()
+                if is_last and (chunk.flags & _NL):
+                    o1 = o1[:-1]
+                if is_last and (chunk.flags & _NL2):
+                    o2 = o2[:-1]
+                writer.write(o1)
+                writer2.write(o2)
+            else:
+                outstr = block.to_fastq_bytes()
+                if is_last and (chunk.flags & _NL):
+                    outstr = outstr[:-1]
+                writer.write(outstr)
         pending = pending[upto:]
         batch_idx = [i - upto for i in batch_idx]
 
@@ -886,6 +932,8 @@ def decompress_se_mesh(
     flush_mesh()
     emit(len(pending), last_done=True)
     writer.close()
+    if writer2 is not None:
+        writer2.close()
     if own:
         stream.close()
     return stats
@@ -898,12 +946,15 @@ def compress_se_mesh(
     engine: EngineConfig | None = None,
     out_stream=None,
     devices=None,
+    verify: bool = False,
+    fast_verify: bool = False,
 ) -> dict:
     """SE compress with chunks fanned over a device mesh; output bytes
     are identical to the serial pipeline. Returns stats (mesh batches /
     fallback chunks). Non-conforming chunks (ragged, shape change, tiny,
     trailing partial batch, non-by-col quality modes) flush through the
-    single-device engine in order."""
+    single-device engine in order. verify/fast_verify re-decode emitted
+    chunks exactly like the serial path (reference repaq.cpp:430-528)."""
     import jax
 
     devices = list(devices) if devices else list(jax.devices())
@@ -912,7 +963,8 @@ def compress_se_mesh(
         from .. import pipeline
 
         pipeline.compress_se(in1, out1, chunk_size=chunk_size,
-                             engine=engine, out_stream=out_stream)
+                             engine=engine, out_stream=out_stream,
+                             verify=verify, fast_verify=fast_verify)
         return {"mesh_batches": 0, "fallback_chunks": -1}
 
     enc = _MeshBatchEncoder(devices)
@@ -947,7 +999,10 @@ def compress_se_mesh(
                 "quit now!"
             )
 
-    def emit(chunk, flag: bool) -> None:
+    passnum = 0
+
+    def emit(chunk, flag: bool, block: ReadBlock) -> None:
+        nonlocal passnum
         if chunk is None:
             return
         if flag:
@@ -956,6 +1011,12 @@ def compress_se_mesh(
             out.write_segments(chunk.to_segments())
         else:
             out.write(chunk.to_bytes())
+        if verify or (fast_verify and passnum % 10 == 0):
+            from ..pipeline import _verify_chunk
+
+            _verify_chunk(header, chunk.to_bytes(), block, engine,
+                          header_bytes)
+        passnum += 1
 
     def flush_batch() -> None:
         nonlocal batch
@@ -966,11 +1027,11 @@ def compress_se_mesh(
         if chunks is None:  # over the emission-sort limit: per-chunk path
             for b, f in batch:
                 stats["fallback_chunks"] += 1
-                emit(engine.encode_chunk(header, b, False), f)
+                emit(engine.encode_chunk(header, b, False), f, b)
         else:
             stats["mesh_batches"] += 1
             for (b, f), c in zip(batch, chunks):
-                emit(c, f)
+                emit(c, f, b)
         batch = []
 
     while True:
@@ -992,7 +1053,7 @@ def compress_se_mesh(
             flush_batch()
         if not eligible:
             stats["fallback_chunks"] += 1
-            emit(engine.encode_chunk(header, block, False), flag)
+            emit(engine.encode_chunk(header, block, False), flag, block)
             continue
         batch_L = L
         batch.append((block, flag))

@@ -88,14 +88,31 @@ print(json.dumps({
 """
 
 
+def _probe_fingerprint() -> str:
+    """Environment fingerprint keying the probe cache (VERDICT r3 #10:
+    a machine/backend change must invalidate the cached decision, not
+    pin a stale one). Host + platform pin + jax build identify the
+    backend without importing jax in-process."""
+    try:
+        from importlib.metadata import version
+
+        jv = version("jax")
+    except Exception:
+        jv = "?"
+    return "%s|%s|%s" % (
+        os.uname().nodename, os.environ.get("JAX_PLATFORMS", ""), jv
+    )
+
+
 def _probe_accelerator() -> Optional[dict]:
     """One-shot accelerator probe for engine auto-selection: dispatch
     floor (RTT of a trivial jitted call) and D2H bandwidth (fetch of a
     2-D i32 block — the transfer shape the device engine uses). Runs in a
     SUBPROCESS with a hard timeout: a co-located chip answers in seconds,
     while a busy/tunneled/absent backend times out or errors — either way
-    the CLI never hangs on its own probe. Cached on disk, so the cost is
-    paid once per machine (REPAQ_REPROBE=1 re-measures)."""
+    the CLI never hangs on its own probe. Cached on disk PER BACKEND
+    FINGERPRINT, so the cost is paid once per machine/backend
+    (REPAQ_REPROBE=1 re-measures)."""
     global _PROBE
     if _PROBE is not _UNSET:
         return _PROBE
@@ -104,18 +121,23 @@ def _probe_accelerator() -> Optional[dict]:
         return None  # pinned to CPU: skip the probe entirely
     import json as _json
 
-    cache_path = os.path.expanduser("~/.cache/repaq_tpu_probe.json")
+    cache_path = os.environ.get(
+        "REPAQ_PROBE_CACHE",
+        os.path.expanduser("~/.cache/repaq_tpu_probe.json"),
+    )
+    fp = _probe_fingerprint()
     try:
         with open(cache_path) as f:
             cached = _json.load(f)
     except Exception:
         cached = {}
-    if not os.environ.get("REPAQ_REPROBE"):
-        if cached.get("result") is not None:
-            _PROBE = cached["result"]
-            return _PROBE
-        if "result" in cached:
-            return None  # remembered CPU-only/unreachable box
+    by_fp = cached.get("by_fp")
+    if not isinstance(by_fp, dict):
+        by_fp = {}  # legacy single-result layout: treat as stale
+        cached = {"by_fp": by_fp}
+    if not os.environ.get("REPAQ_REPROBE") and fp in by_fp:
+        _PROBE = by_fp[fp]  # None = remembered CPU-only/unreachable box
+        return _PROBE
     import subprocess as _sp
 
     try:
@@ -128,7 +150,7 @@ def _probe_accelerator() -> Optional[dict]:
     except Exception:
         _PROBE = None
     try:
-        cached["result"] = _PROBE
+        by_fp[fp] = _PROBE
         os.makedirs(os.path.dirname(cache_path), exist_ok=True)
         with open(cache_path, "w") as fh:
             _json.dump(cached, fh)

@@ -205,13 +205,6 @@ def batch_nov():
     _write("pe_nov_R2.fq.gz", "".join(out2))
 
 
-if __name__ == "__main__":
-    batch_small()
-    batch_big()
-    batch_nov()
-    batch_crlf()
-
-
 def batch_crlf():
     """CRLF-terminated SE file (seed 5) exercising the scalar reader."""
     random.seed(5)
@@ -229,3 +222,9 @@ def batch_crlf():
         lines.append("+")
         lines.append(q)
     _write("se_crlf.fq.gz", "\r\n".join(lines) + "\r\n")
+
+if __name__ == "__main__":
+    batch_small()
+    batch_big()
+    batch_nov()
+    batch_crlf()

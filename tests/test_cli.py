@@ -219,3 +219,53 @@ def test_probe_cpu_pinned(monkeypatch):
     monkeypatch.setattr(pipeline, "_PROBE", pipeline._UNSET)
     monkeypatch.setenv("JAX_PLATFORMS", "cpu")
     assert pipeline._probe_accelerator() is None
+
+
+def test_probe_cache_fingerprint_invalidation(tmp_path, monkeypatch):
+    """A cached probe decision from a DIFFERENT machine/backend must not
+    be reused (VERDICT r3 #10): entries are keyed by fingerprint, and
+    the legacy single-result layout reads as stale."""
+    import json
+    import subprocess
+
+    from repaq_tpu import pipeline
+
+    cache = tmp_path / "probe.json"
+    monkeypatch.setenv("REPAQ_PROBE_CACHE", str(cache))
+    monkeypatch.setenv("JAX_PLATFORMS", "tpu")  # pretend a chip is pinned
+    monkeypatch.delenv("REPAQ_REPROBE", raising=False)
+
+    probed = []
+
+    def fake_run(*a, **k):
+        probed.append(1)
+
+        class R:
+            stdout = b'{"key": "tpu:v5", "floor_ms": 1.0, "d2h_mbps": 900}'
+
+        return R()
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+
+    # legacy layout (pre-fingerprint): must be ignored -> reprobe
+    cache.write_text(json.dumps(
+        {"result": {"key": "old", "floor_ms": 99.0, "d2h_mbps": 1.0}}
+    ))
+    monkeypatch.setattr(pipeline, "_PROBE", pipeline._UNSET)
+    r = pipeline._probe_accelerator()
+    assert probed and r["d2h_mbps"] == 900
+
+    # same fingerprint now cached: no new probe
+    monkeypatch.setattr(pipeline, "_PROBE", pipeline._UNSET)
+    n = len(probed)
+    r2 = pipeline._probe_accelerator()
+    assert len(probed) == n and r2["d2h_mbps"] == 900
+
+    # different fingerprint (other host/backend): entry not reused
+    data = json.loads(cache.read_text())
+    assert list(data["by_fp"]) == [pipeline._probe_fingerprint()]
+    stale = {"otherhost|tpu|0.0.1": {"floor_ms": 0.1, "d2h_mbps": 1e9}}
+    cache.write_text(json.dumps({"by_fp": stale}))
+    monkeypatch.setattr(pipeline, "_PROBE", pipeline._UNSET)
+    r3 = pipeline._probe_accelerator()
+    assert len(probed) == n + 1 and r3["d2h_mbps"] == 900

@@ -184,3 +184,64 @@ def test_lz_parse_thread_invariance():
         assert r.returncode == 0, r.stderr[-1000:]
         outs.add(r.stdout.strip())
     assert len(outs) == 1, outs
+
+
+def test_qualcol_decode_counts_corrupt_sentinel():
+    """Length-corrupt by-col qual streams must return None (ADVICE r3):
+    callers route those chunks to the host decoder, which raises, instead
+    of proceeding with tiny caps and emitting wrong bytes."""
+    import numpy as np
+
+    from repaq_tpu.codec import kernels_np as K
+
+    qual = np.full(400, 70, dtype=np.uint8)
+    qual[7] = 71
+    bins = np.array([71], dtype=np.uint8)
+    enc = K.encode_qual_by_col(qual, bins, 70)
+    assert K.qualcol_decode_counts(enc, 1) is not None
+    # truncated lens prefix
+    assert K.qualcol_decode_counts(enc[:2], 1) is None
+    # bin-stream lengths overrun the buffer
+    bad = enc.copy()
+    bad[:4] = np.frombuffer((1 << 24).to_bytes(4, "little"), np.uint8)
+    assert K.qualcol_decode_counts(bad, 1) is None
+
+
+def test_qual_runlen_vectorized_matches_oracle():
+    """kernels_np.decode_qual_runlen (VERDICT r3 #7: the last pure-Python
+    hot path) must be byte-exact with the oracle across bin counts and
+    run shapes, including the buffer-reiteration quirk."""
+    import numpy as np
+
+    from repaq_tpu.codec import kernels_np as K
+
+    random.seed(9)
+    for bins in (2, 3, 4, 7, 13):
+        header = RfqHeader()
+        header.qual_bins = bins
+        header.qual_buf = bytes(range(70, 70 + bins))
+        header._make_qual_bit_table()
+        for trial in range(30):
+            n = random.randint(1, 800)
+            if trial % 3 == 0:  # long same-qual runs stress the counts
+                qual = b"".join(
+                    bytes([random.choice(header.qual_buf)])
+                    * random.randint(1, 90)
+                    for _ in range(10)
+                )[:n]
+                qual = qual + bytes([header.qual_buf[0]]) * (n - len(qual))
+            else:
+                qual = bytes(
+                    random.choice(header.qual_buf) for _ in range(n)
+                )
+            enc = oracle.encode_qual_runlen(header, qual)
+            dec = bytearray(n)
+            oracle.decode_qual_runlen(header, enc, dec)
+            got = K.decode_qual_runlen(
+                np.frombuffer(enc, dtype=np.uint8),
+                header.bit2qual,
+                header.major_qual_num_bits(),
+                header.normal_qual_num_bits,
+                n,
+            )
+            assert got.tobytes() == bytes(dec), (bins, trial)

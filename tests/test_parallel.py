@@ -268,3 +268,136 @@ def test_mesh_decompress_pe(tmp_path):
         assert meshed.read_bytes() == serial.read_bytes()
     finally:
         os.environ.pop("REPAQ_DEVICE_MIN_BASES", None)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_mesh_compress_verify_wired(tmp_path, monkeypatch, capsys):
+    """--verify on the mesh path (VERDICT r3 #4): every emitted chunk is
+    re-decoded against its source block, and a corrupted chunk is CAUGHT
+    (integrity message, same semantics as the serial path / reference
+    repaq.cpp:430-528)."""
+    import gzip
+    import os
+    from pathlib import Path
+
+    from repaq_tpu import pipeline
+    from repaq_tpu.parallel import mesh_engine
+    from repaq_tpu.parallel.mesh_engine import compress_se_mesh
+
+    repo = Path(__file__).resolve().parent.parent
+    fx = repo / "tests" / "fixtures"
+    f1 = tmp_path / "in.fq"
+    f1.write_bytes(gzip.open(fx / "se_big.fq.gz").read())
+    os.environ["REPAQ_DEVICE_MIN_BASES"] = "0"
+    try:
+        # clean run: verify executes once per chunk and stays silent
+        calls = []
+        real = pipeline._verify_chunk
+
+        def counting(*a, **k):
+            calls.append(1)
+            return real(*a, **k)
+
+        monkeypatch.setattr(pipeline, "_verify_chunk", counting)
+        out = tmp_path / "v.rfq"
+        compress_se_mesh(str(f1), str(out), chunk_size=10_000, verify=True)
+        assert len(calls) >= 2, "verify not invoked on mesh path"
+        serial = tmp_path / "serial.rfq"
+        pipeline.compress_se(str(f1), str(serial), chunk_size=10_000)
+        assert out.read_bytes() == serial.read_bytes()
+
+        # corrupted chunk: flip a quality byte inside the first mesh batch
+        monkeypatch.setattr(pipeline, "_verify_chunk", real)
+        real_batch = mesh_engine._MeshBatchEncoder.encode_batch
+
+        def corrupting(self, header, blocks, L):
+            chunks = real_batch(self, header, blocks, L)
+            if chunks and chunks[0] is not None and len(chunks[0].qual_buf):
+                qb = bytearray(chunks[0].qual_buf)
+                qb[-1] ^= 0x01
+                chunks[0].qual_buf = bytes(qb)
+            return chunks
+
+        monkeypatch.setattr(
+            mesh_engine._MeshBatchEncoder, "encode_batch", corrupting
+        )
+        compress_se_mesh(str(f1), str(tmp_path / "c.rfq"),
+                         chunk_size=10_000, verify=True)
+        err = capsys.readouterr().err
+        assert "integrity check failure" in err
+    finally:
+        os.environ.pop("REPAQ_DEVICE_MIN_BASES", None)
+
+
+def test_shard_compress_verify_wired(tmp_path, monkeypatch):
+    """--num_shards compress honors verify (VERDICT r3 #4): the rank's
+    _Compressor receives the flag and re-decodes each chunk."""
+    import gzip
+    from pathlib import Path
+
+    from repaq_tpu import pipeline
+    from repaq_tpu.parallel import distributed as dist
+
+    repo = Path(__file__).resolve().parent.parent
+    fx = repo / "tests" / "fixtures"
+    f1 = tmp_path / "in.fq"
+    f1.write_bytes(gzip.open(fx / "se_big.fq.gz").read())
+
+    calls = []
+    real = pipeline._verify_chunk
+
+    def counting(*a, **k):
+        calls.append(1)
+        return real(*a, **k)
+
+    monkeypatch.setattr(pipeline, "_verify_chunk", counting)
+    out = tmp_path / "s.rfq"
+    dist.compress_se_distributed(
+        str(f1), str(out), chunk_size=10_000, num_processes=1,
+        process_id=0, verify=True,
+    )
+    assert len(calls) >= 2, "verify not invoked on shard path"
+    serial = tmp_path / "serial.rfq"
+    pipeline.compress_se(str(f1), str(serial), chunk_size=10_000)
+    assert out.read_bytes() == serial.read_bytes()
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_mesh_decompress_pe_split(tmp_path):
+    """-d --mesh_devices -o R1 -O R2 (VERDICT r3 #5): PE containers
+    mesh-decode and split even/odd reads into two outputs byte-identical
+    to serial decompress_pe (reference repaq.cpp:335-414), including the
+    R1/R2 trailing-newline flags."""
+    import gzip
+    import os
+    from pathlib import Path
+
+    from repaq_tpu import pipeline
+    from repaq_tpu.parallel.mesh_engine import decompress_se_mesh
+
+    repo = Path(__file__).resolve().parent.parent
+    fx = repo / "tests" / "fixtures"
+    os.environ["REPAQ_DEVICE_MIN_BASES"] = "0"
+    try:
+        for rfq in ("pe_big.ref.k100.rfq", "pe_nl.ref.rfq", "pe_nov.ref.rfq"):
+            if not (fx / rfq).exists():
+                continue
+            s1, s2 = tmp_path / ("s1" + rfq), tmp_path / ("s2" + rfq)
+            pipeline.decompress_pe(str(fx / rfq), str(s1), str(s2))
+            m1, m2 = tmp_path / ("m1" + rfq), tmp_path / ("m2" + rfq)
+            stats = decompress_se_mesh(str(fx / rfq), str(m1), out2=str(m2))
+            assert stats["mesh_batches"] >= 1, (rfq, stats)
+            assert m1.read_bytes() == s1.read_bytes(), rfq
+            assert m2.read_bytes() == s2.read_bytes(), rfq
+
+        # SE container + out2 must fail with the reference's message
+        import pytest as _pytest
+
+        from repaq_tpu.format.header import RfqFormatError
+
+        with _pytest.raises(RfqFormatError, match="single-end"):
+            decompress_se_mesh(str(fx / "se_big.ref.k100.rfq"),
+                               str(tmp_path / "x1.fq"),
+                               out2=str(tmp_path / "x2.fq"))
+    finally:
+        os.environ.pop("REPAQ_DEVICE_MIN_BASES", None)

@@ -482,6 +482,41 @@ def test_seqlz_cross_section_history():
     assert out2b == sec2.tobytes()
 
 
+def test_seqlz_history_decode_without_native(monkeypatch):
+    """Decode must work everywhere (ADVICE r3 high): an archive whose
+    second MODE_SEQLZ section matches into the first via the history
+    dictionary must decode with the native library unavailable —
+    SeqLzHistory.bases() has to fall back to kernels_np.unpack_2bit."""
+    import numpy as np
+
+    from repaq_tpu.codec import _native, kernels_np as K
+    from repaq_tpu.format import rfqz
+
+    if not _native.available():
+        pytest.skip("native LZ required to ENCODE the fixture")
+    rng = np.random.default_rng(23)
+    genome = rng.integers(0, 4, 300_000).astype(np.uint8)
+    base = np.frombuffer(b"GATC", np.uint8)
+
+    def reads(k):
+        parts = [genome[rng.integers(0, 299_000):][:500] for _ in range(k)]
+        return base[np.concatenate(parts)]
+
+    sec1 = K.pack_2bit(reads(1200))
+    sec2 = K.pack_2bit(reads(1200))
+    h = rfqz.SeqLzHistory()
+    rec1 = rfqz.encode_block(sec1, label="seq", seq_hist=h)
+    rec2 = rfqz.encode_block(sec2, label="seq", seq_hist=h)
+    assert rec1[0] == rfqz.MODE_SEQLZ and rec2[0] == rfqz.MODE_SEQLZ
+
+    monkeypatch.setattr(_native, "available", lambda: False)
+    hd = rfqz.SeqLzHistory()
+    out1, _ = rfqz.decode_block(memoryview(rec1), 0, seq_hist=hd)
+    out2, _ = rfqz.decode_block(memoryview(rec2), 0, seq_hist=hd)
+    assert out1 == sec1.tobytes()
+    assert out2 == sec2.tobytes()
+
+
 @pytest.mark.parametrize("nsym,base", [(4, 65), (16, 33), (16, 0), (24, 1)])
 def test_device_order1_compact_variants(nsym, base):
     """The order-1 compare-select path (alphabet <= 16, with and without
