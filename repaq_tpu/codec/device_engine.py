@@ -44,7 +44,11 @@ _N = ord("N")
 
 # emission-sort dest offsets pack into (offset << 8 | byte) int32 keys:
 # qualcol's out_size = 4*B + n + 8 must stay < 2^23 (ops/device_streams.py)
-_MAX_DEVICE_BASES = 4 << 20
+# 12 Mbase default: within the 2^24 grouping/decode packing even after
+# bucketing (16M data would bucket past it), amortizes fixed per-dispatch
+# work 3x better than the old 4M, and two-operand emission sorts (round
+# 4) carry the >2^23 output offsets.
+_MAX_DEVICE_BASES = 12 << 20
 _MIN_DEVICE_BASES = 128 << 10
 
 
@@ -308,6 +312,8 @@ class DeviceEngine:
         nbins = int(header.normal_qual_bins())
 
         n_cap = _bucket(n, lo=4096)
+        if n_cap >= (1 << 24):
+            return None  # past the bid<<24|pos grouping-key packing
         b_cap = _bucket(b, lo=256)
         nm_cap = _bucket(nonmajor)
         # esc == 0 proven host-side skips the escape compaction sort
@@ -439,8 +445,8 @@ class DeviceEngine:
             b_cap += 1
         p_cap = b_cap // 2
         n_cap = b_cap * L
-        if 4 * nbins + n_cap + 8 >= (1 << 23):
-            return None  # padded rows pushed past the emission-sort limit
+        if n_cap >= (1 << 24):
+            return None  # past the bid<<24|pos grouping-key packing
         nm_cap = _bucket(nonmajor)
         # esc == 0 proven host-side skips the escape compaction sort
         esc_cap = 0 if esc == 0 else _bucket(esc, lo=8)
@@ -675,8 +681,8 @@ class DeviceEngine:
         if caps is None:
             return None  # corrupt qual stream: host decoder raises
         qb_cap, nb_cap, np_cap, qcaps = caps
-        if 4 * nbins + qb_cap > (1 << 23):
-            return None
+        if n_cap >= (1 << 24):
+            return None  # past the (pos+length)<<6 decode packing
 
         key = ("decflat", n_cap, nbins, qb_cap, nb_cap, np_cap, qcaps,
                bool(header.encode_n_pos()), int(header.n_base_qual))
@@ -840,8 +846,8 @@ class DeviceEngine:
             return None  # corrupt qual stream: host decoder raises
         qb_cap, nb_cap, np_cap, qcaps = caps
         np_cap = min(np_cap, flat_cap)
-        if 4 * nbins + qb_cap > (1 << 23):
-            return None
+        if flat_cap >= (1 << 24):
+            return None  # past the (pos+length)<<6 decode packing
 
         key = ("dec", b_cap, L, nbins, qb_cap, nb_cap, np_cap, qcaps,
                expand, pe, bool(header.encode_n_pos()),

@@ -38,6 +38,51 @@ def _suffix_min(x):
     return jnp.flip(jax.lax.cummin(jnp.flip(x)))
 
 
+# emission layout-sort strategy threshold: outputs below this pack
+# (offset << 8 | byte) into one int32 key; at or above it the offsets ride
+# a two-operand lax.sort (tests lower it to force the wide path on small
+# fixtures)
+_WIDE_THRESHOLD = 1 << 23
+
+
+def _sorted_stream(offs: list, bytes_: list, out_size: int, total,
+                   wide: bool):
+    """Shared tail of the emission compactors: lay candidate bytes out by
+    destination offset with ONE sort and slice the stream prefix.
+
+    offs/bytes_: matching lists of i32 offset / i32 byte arrays (invalid
+    lanes carry offset INT32_MAX). wide=False packs (offset << 8 | byte)
+    into one int32 key (out_size must stay < 2^23); wide=True runs a
+    two-operand lax.sort with the byte as payload — ~25% more sort
+    traffic, but offsets range to 2^31, which is what lets encode blocks
+    grow past 8 MB of output (round 4)."""
+    inf = jnp.int32(2**31 - 1)
+    if not wide:
+        keys = jnp.concatenate([
+            jnp.where(o == inf, inf, (o << 8) | b)
+            for o, b in zip(offs, bytes_)
+        ]) if len(offs) > 1 else jnp.where(
+            offs[0] == inf, inf, (offs[0] << 8) | bytes_[0]
+        )
+        srt = jnp.sort(keys)
+        if srt.shape[0] < out_size:
+            srt = jnp.concatenate(
+                [srt, jnp.full(out_size - srt.shape[0], inf, jnp.int32)]
+            )
+        vals = srt[:out_size] & 0xFF
+    else:
+        all_off = offs[0] if len(offs) == 1 else jnp.concatenate(offs)
+        all_b = bytes_[0] if len(bytes_) == 1 else jnp.concatenate(bytes_)
+        so, sb = jax.lax.sort((all_off, all_b), num_keys=1)
+        if so.shape[0] < out_size:
+            sb = jnp.concatenate(
+                [sb, jnp.zeros(out_size - sb.shape[0], sb.dtype)]
+            )
+        vals = sb[:out_size] & 0xFF
+    k = jnp.arange(out_size, dtype=jnp.int32)
+    return jnp.where(k < total, vals, 0).astype(jnp.uint8), total
+
+
 def _emit_sort(planes: jnp.ndarray, counts: jnp.ndarray, out_size: int,
                offsets: jnp.ndarray | None = None,
                total: jnp.ndarray | None = None,
@@ -46,13 +91,14 @@ def _emit_sort(planes: jnp.ndarray, counts: jnp.ndarray, out_size: int,
     """Sort-based stream compaction — the TPU-native shape for
     variable-width token emission. Scatters and binary-search gathers
     serialize on the VPU (~0.1 Gelem/s measured) while bitonic sort runs at
-    ~0.4 Gelem/s, so each candidate byte is packed as (dest_offset << 8 |
-    byte) with invalid lanes pushed to +inf, one jnp.sort lays the stream
-    out, and the low bytes of the prefix are the stream.
+    ~0.4 Gelem/s, so each candidate byte is keyed by its dest offset
+    (packed (offset << 8 | byte) below 2^23 output bytes; a two-operand
+    lax.sort beyond — see _sorted_stream), one sort lays the stream out,
+    and the prefix is the stream.
 
     The sort is the dominant cost, so its key count is kept near n instead
     of n*W: every element contributes at most its FIRST byte as a dense
-    key; elements emitting >=2 bytes are compacted (jnp.nonzero with a
+    key; elements emitting >=2 bytes are compacted (sort-slice with a
     static bound) and contribute their remaining W-1 lanes from the small
     compacted set. multi_cap must be a TRUE upper bound on the number of
     multi-byte elements — for the gap coders it is structural: a 2-byte gap
@@ -61,19 +107,14 @@ def _emit_sort(planes: jnp.ndarray, counts: jnp.ndarray, out_size: int,
 
     planes: (n, W) uint8 candidate bytes; counts: (n,) int32 emitted bytes
     per element (0..W); offsets: optional precomputed per-element dest
-    offsets (exclusive prefix sum of counts when None). dest offsets must
-    stay < 2^23 (out_size caps well below). extra_keys: optional extra
-    pre-built (offset<<8|byte) keys to interleave (e.g. a length table).
-    Returns (out: (out_size,) uint8 zero-padded, total_len).
+    offsets (exclusive prefix sum of counts when None). extra_keys:
+    optional extra pre-built (offset<<8|byte) keys to interleave (e.g. a
+    length table; their offsets must stay < 2^23 — true for the tiny
+    tables that use this hook). Returns (out, total_len).
     """
     n, w = planes.shape
-    # keys pack (offset << 8 | byte) into int32: offsets past 2^23 would
-    # silently wrap and corrupt the sorted stream (ADVICE r1) — the same
-    # reason rans_encode_payload_device uses a two-operand sort instead
-    assert out_size < (1 << 23), (
-        "_emit_sort: out_size %d overflows the (offset<<8|byte) int32 "
-        "packing; split the block below 8M output bytes" % out_size
-    )
+    wide = out_size >= _WIDE_THRESHOLD
+    assert out_size < (1 << 30), "emission output beyond int32 offsets"
     explicit_total = total is not None
     if offsets is None:
         cum, derived = _exclusive_cumsum(counts)
@@ -83,11 +124,8 @@ def _emit_sort(planes: jnp.ndarray, counts: jnp.ndarray, out_size: int,
     elif not explicit_total:
         total = offsets[-1] + counts[-1] if n else jnp.int32(0)
     inf = jnp.int32(2**31 - 1)
-    keys0 = jnp.where(
-        counts >= 1,
-        (offsets << 8) | planes[:, 0].astype(jnp.int32),
-        inf,
-    )
+    offs = [jnp.where(counts >= 1, offsets, inf)]
+    bytes_ = [planes[:, 0].astype(jnp.int32)]
     if multi_cap is None:
         multi_cap = n
     multi_cap = min(multi_cap, n)
@@ -103,24 +141,17 @@ def _emit_sort(planes: jnp.ndarray, counts: jnp.ndarray, out_size: int,
         )[midx]
         lanes = jnp.arange(1, w, dtype=jnp.int32)[None, :]
         mvalid = lanes < mcounts[:, None]
-        mkeys = jnp.where(
-            mvalid,
-            ((moff[:, None] + lanes) << 8) | mplanes[:, 1:].astype(jnp.int32),
-            inf,
-        ).reshape(-1)
-        keys = jnp.concatenate([keys0, mkeys])
-    else:
-        keys = keys0
+        offs.append(
+            jnp.where(mvalid, moff[:, None] + lanes, inf).reshape(-1)
+        )
+        bytes_.append(mplanes[:, 1:].astype(jnp.int32).reshape(-1))
     if extra_keys is not None:
-        keys = jnp.concatenate([extra_keys, keys])
+        inf_mask = extra_keys == inf
+        offs.append(jnp.where(inf_mask, inf, extra_keys >> 8))
+        bytes_.append(extra_keys & 0xFF)
         if not explicit_total:
             total = total + extra_keys.shape[0]
-    srt = jnp.sort(keys)
-    take = min(out_size, srt.shape[0])
-    out = jnp.zeros(out_size, dtype=jnp.uint8)
-    out = out.at[:take].set((srt[:take] & 0xFF).astype(jnp.uint8))
-    k = jnp.arange(out_size, dtype=jnp.int32)
-    return jnp.where(k < total, out, 0).astype(jnp.uint8), total
+    return _sorted_stream(offs, bytes_, out_size, total, wide)
 
 
 _emit_gather = _emit_sort  # compaction strategy alias
@@ -129,7 +160,7 @@ _emit_gather = _emit_sort  # compaction strategy alias
 def _emit_sort_lazy(b0: jnp.ndarray, counts: jnp.ndarray, out_size: int,
                     offsets: jnp.ndarray, total, multi_cap: int,
                     tail_fn, w: int,
-                    extra_keys: jnp.ndarray | None = None,
+                    extra=None,
                     first_mask: jnp.ndarray | None = None):
     """_emit_sort without ever materializing dense (n, W) byte planes.
 
@@ -139,15 +170,18 @@ def _emit_sort_lazy(b0: jnp.ndarray, counts: jnp.ndarray, out_size: int,
     tail_fn(midx) -> (multi_cap, w-1) int32 planes computed from a handful
     of small gathers. Cuts the HBM traffic of the emission stage from
     ~W passes over n to ~2.
+
+    extra: optional (e_off i32, e_byte i32) arrays of extra bytes to
+    interleave (length tables, escape records); invalid entries carry
+    offset INT32_MAX. out_size >= 2^23 switches the layout sort to the
+    two-operand form (offsets past the packed-key range — see
+    _sorted_stream).
     """
     n = b0.shape[0]
-    assert out_size < (1 << 23), (
-        "_emit_sort_lazy: out_size %d overflows the (offset<<8|byte) int32 "
-        "packing; split the block below 8M output bytes" % out_size
-    )
+    wide = out_size >= _WIDE_THRESHOLD
+    assert out_size < (1 << 30), "emission output beyond int32 offsets"
     inf = jnp.int32(2**31 - 1)
     first = counts >= 1 if first_mask is None else first_mask
-    keys0 = jnp.where(first, (offsets << 8) | b0.astype(jnp.int32), inf)
     multi_cap = max(1, min(multi_cap, n))
     i_n = jnp.arange(n, dtype=jnp.int32)
     midx = jnp.sort(jnp.where(counts >= 2, i_n, jnp.int32(n)))[:multi_cap]
@@ -156,20 +190,13 @@ def _emit_sort_lazy(b0: jnp.ndarray, counts: jnp.ndarray, out_size: int,
     tail = tail_fn(midx)  # (multi_cap, w-1) int32
     lanes = jnp.arange(1, w, dtype=jnp.int32)[None, :]
     mvalid = lanes < mcounts[:, None]
-    mkeys = jnp.where(
-        mvalid, ((moff[:, None] + lanes) << 8) | tail, inf
-    ).reshape(-1)
-    keys = jnp.concatenate(
-        ([extra_keys] if extra_keys is not None else []) + [keys0, mkeys]
-    )
-    srt = jnp.sort(keys)
-    if srt.shape[0] < out_size:
-        srt = jnp.concatenate(
-            [srt, jnp.full(out_size - srt.shape[0], inf, jnp.int32)]
-        )
-    k = jnp.arange(out_size, dtype=jnp.int32)
-    out = jnp.where(k < total, srt[:out_size] & 0xFF, 0).astype(jnp.uint8)
-    return out, total
+    offs = [jnp.where(first, offsets, inf),
+            jnp.where(mvalid, moff[:, None] + lanes, inf).reshape(-1)]
+    bytes_ = [b0.astype(jnp.int32), tail.reshape(-1)]
+    if extra is not None:
+        offs.insert(0, extra[0])
+        bytes_.insert(0, extra[1])
+    return _sorted_stream(offs, bytes_, out_size, total, wide)
 
 
 def _gather1(arr: jnp.ndarray, idx: jnp.ndarray, fill=0):
@@ -336,25 +363,27 @@ def qualcol_encode_device(qual: jnp.ndarray, bins: jnp.ndarray, major: jnp.ndarr
         bid = bin_idx[qual]  # (n,): 0..B-1 stream, B escape, B+1 major (drop)
 
     # ONE sort both groups the emitting positions (bid <= B) by bin AND
-    # compacts away the major-qual ones: key = bid << 23 | pos, major
+    # compacts away the major-qual ones: key = bid << 24 | pos, major
     # pushed to +inf, then slice the first nonmajor_cap entries. The
     # power-of-two stride keeps the unpack to shifts/ands — integer
     # division has no TPU hardware path and expanded to a measurable
-    # per-element sequence at this size.
+    # per-element sequence at this size. 24 position bits + 7 bin bits
+    # fill int32 exactly (bid <= nbins+1 < 127), so blocks reach 16 Mbase
+    # (round 4 — emission offsets ride the two-operand sort beyond 2^23).
     m = nonmajor_cap
-    assert n < (1 << 23) and nbins + 2 < 128, (
-        "qualcol device path needs n < 2^23 (the bid<<23|pos key packing "
-        "and the emission dest packing share the limit); split the block"
+    assert n < (1 << 24) and nbins + 2 < 127, (
+        "qualcol device path needs n < 2^24 (the bid<<24|pos key "
+        "packing); split the block"
     )
     i = jnp.arange(m, dtype=jnp.int32)
     i_n = jnp.arange(n, dtype=jnp.int32)
     keys_g = jnp.where(
-        bid <= nbins, (bid.astype(jnp.int32) << 23) | i_n,
+        bid <= nbins, (bid.astype(jnp.int32) << 24) | i_n,
         jnp.int32(2**31 - 1),
     )
     grouped = jnp.sort(keys_g)[:m]
-    g_bid = grouped >> 23  # fill entries -> > nbins
-    g_pos = grouped & ((1 << 23) - 1)
+    g_bid = grouped >> 24  # fill entries -> > nbins
+    g_pos = grouped & ((1 << 24) - 1)
     is_stream = g_bid < nbins
     is_esc = g_bid == nbins
 
@@ -382,7 +411,8 @@ def qualcol_encode_device(qual: jnp.ndarray, bins: jnp.ndarray, major: jnp.ndarr
     # esc_cap == 0 (host PROVED no out-of-table quals in this chunk, the
     # common case) skips the whole compaction sort.
     if esc_cap == 0:
-        esc_keys = jnp.zeros(0, dtype=jnp.int32)
+        esc_off = jnp.zeros(0, dtype=jnp.int32)
+        esc_byte = jnp.zeros(0, dtype=jnp.int32)
     else:
         i_m = jnp.arange(m, dtype=jnp.int32)
         eidx = jnp.sort(jnp.where(is_esc, i_m, jnp.int32(m)))[
@@ -391,10 +421,8 @@ def qualcol_encode_device(qual: jnp.ndarray, bins: jnp.ndarray, major: jnp.ndarr
         e_pos = _gather1(g_pos, eidx, fill=0)
         e_dest = _gather1(dest, eidx, fill=-1)
         e_valid = _gather1(is_esc.astype(jnp.int32), eidx) == 1
-        e_qual = qual[jnp.clip(e_pos, 0, n - 1)].astype(jnp.int32)
-        esc_keys = jnp.where(
-            e_valid, (e_dest << 8) | e_qual, jnp.int32(2**31 - 1)
-        )
+        esc_byte = qual[jnp.clip(e_pos, 0, n - 1)].astype(jnp.int32)
+        esc_off = jnp.where(e_valid, e_dest, jnp.int32(2**31 - 1))
 
     def tail(midx):
         t = _gather1(ttype, midx)
@@ -425,7 +453,7 @@ def qualcol_encode_device(qual: jnp.ndarray, bins: jnp.ndarray, major: jnp.ndarr
          (lens_u32 >> 16) & 0xFF, (lens_u32 >> 24) & 0xFF],
         axis=1,
     ).astype(jnp.int32).reshape(-1)
-    hdr_keys = (jnp.arange(4 * nbins, dtype=jnp.int32) << 8) | hdr
+    hdr_off = jnp.arange(4 * nbins, dtype=jnp.int32)
 
     # structural bound on multi-byte elements: per bin the gap deltas sum
     # to <= n, so 2-byte gaps (< n/128 per bin) and 4-byte gaps are rare;
@@ -438,7 +466,8 @@ def qualcol_encode_device(qual: jnp.ndarray, bins: jnp.ndarray, major: jnp.ndarr
     # qfetch) shrink the emission buffer from ~n to the compressed size
     out, _ = _emit_sort_lazy(
         b0, counts, out_size, dest, total, multi_cap, tail, w=5,
-        extra_keys=jnp.concatenate([hdr_keys, esc_keys]),
+        extra=(jnp.concatenate([hdr_off, esc_off]),
+               jnp.concatenate([hdr, esc_byte])),
         first_mask=(counts >= 1) & ~is_esc,
     )
     return out, total
@@ -777,7 +806,9 @@ def qualcol_decode_device(buf: jnp.ndarray, nbins: int, bins: jnp.ndarray,
         esc_cap = m // 5 + 1
     tok_cap = max(1, min(tok_cap, m))
     pos_cap = max(1, min(pos_cap, length))
-    assert length < (1 << 23) and nbins < 64, (
+    # (pos_first - slot_start + length) < 2*length < 2^25, shifted by 6
+    # bin bits fills int32 exactly -> 16 Mbase blocks decode on device too
+    assert length < (1 << 24) and nbins < 64, (
         "qualcol decode packs (pos_delta + length) << 6 | bin into int32; "
         "length %d / nbins %d out of range" % (length, nbins)
     )

@@ -57,6 +57,206 @@ class ChunkSpec:
     no_line_break_flag: bool
 
 
+def plan_chunks_sharded(
+    path: str,
+    chunk_size: int,
+    num_processes: int,
+    process_id: int,
+    allgather,
+) -> list[ChunkSpec] | None:
+    """Rank-sharded twin of plan_chunks (VERDICT r3 #6: the replicated
+    plan was the serial fraction of multi-host scaling). Each rank scans
+    only ~1/R of the file's bytes for newlines; 4-line record parity comes
+    from one allgather of per-slice newline counts, and the greedy chunk
+    walk (first k records with >= chunk_size bases) runs as an R-round
+    relay of a tiny carry (bases accumulated in the partial chunk at the
+    slice boundary). Every rank returns the SAME full plan, byte-identical
+    to plan_chunks.
+
+    allgather: callable(np.ndarray int64 (k,)) -> (R, k) array — the only
+    communication primitive needed (jaxdist passes
+    multihost_utils.process_allgather; tests pass a threading stub).
+
+    Returns None when the input needs the scalar reader's quirk handling
+    (gz, CR bytes, empty lines, line count not divisible by 4) — callers
+    fall back to the replicated plan_chunks, which resolves those exactly.
+    """
+    R = num_processes
+    if path.endswith(".gz"):
+        return None
+    size = os.path.getsize(path)
+    if size == 0:
+        # every rank agrees without communication
+        return []
+    bounds = [size * r // R for r in range(R + 1)]
+    lo, hi = bounds[process_id], bounds[process_id + 1]
+
+    nl_parts: list[np.ndarray] = []
+    bad = 0
+    last_byte = 0
+    prev_edge = b""
+    with open(path, "rb") as f:
+        f.seek(max(lo - 1, 0))
+        pos = max(lo - 1, 0)
+        while pos < hi:
+            blk = f.read(min(8 << 20, hi - pos))
+            if not blk:
+                break
+            arr = np.frombuffer(blk, dtype=np.uint8)
+            if (arr == 13).any():
+                bad = 1
+                break
+            seam = prev_edge + blk[:1]
+            if b"\n\n" in blk or seam == b"\n\n" or (pos == 0 and blk[:1] == b"\n"):
+                bad = 1
+                break
+            nl = np.flatnonzero(arr == 10).astype(np.int64) + pos
+            # the first byte read may belong to the previous slice (the
+            # seam probe): drop newlines before lo
+            if nl.size and nl[0] < lo:
+                nl = nl[nl >= lo]
+            if nl.size:
+                nl_parts.append(nl)
+            prev_edge = blk[-1:]
+            pos += len(blk)
+        # read-ahead: up to 4 more newlines past the slice (records owned
+        # by this rank may end in the next one)
+        tail: list[int] = []
+        if not bad:
+            tpos = hi
+            f.seek(hi)
+            while len(tail) < 4 and tpos < size:
+                blk = f.read(min(1 << 20, size - tpos))
+                if not blk:
+                    break
+                if b"\r" in blk or b"\n\n" in blk or (
+                    prev_edge + blk[:1] == b"\n\n"
+                ):
+                    bad = 1
+                    break
+                for off in np.flatnonzero(
+                    np.frombuffer(blk, dtype=np.uint8) == 10
+                ):
+                    tail.append(tpos + int(off))
+                    if len(tail) >= 4:
+                        break
+                prev_edge = blk[-1:]
+                tpos += len(blk)
+        if process_id == R - 1 and not bad:
+            f.seek(size - 1)
+            last_byte = f.read(1)[0]
+
+    own_nl = (
+        np.concatenate(nl_parts) if nl_parts else np.empty(0, np.int64)
+    )
+    if process_id == R - 1 and not bad and last_byte != 10:
+        # missing trailing newline: treat EOF as the final line terminator
+        own_nl = np.concatenate([own_nl, np.array([size], np.int64)])
+
+    # exchange: [count, last_own_nl(+1, 0=none), bad, last_byte]
+    info = allgather(np.array(
+        [own_nl.shape[0],
+         int(own_nl[-1]) + 1 if own_nl.shape[0] else 0,
+         bad, last_byte], dtype=np.int64,
+    ))
+    counts = info[:, 0]
+    if int(info[:, 2].sum()):
+        return None
+    total_lines = int(counts.sum())
+    if total_lines % 4 != 0 or total_lines == 0:
+        return None
+    last_byte = int(info[R - 1, 3])
+    base = int(counts[:process_id].sum())
+
+    ext = np.concatenate([own_nl, np.array(tail, np.int64)])
+    # records owned here: header-line newline (global line index 4m) falls
+    # in [base, base + count)
+    m_lo = -(-base // 4)
+    m_hi = -(-(base + int(counts[process_id])) // 4)
+    n_own = max(0, m_hi - m_lo)
+    starved = 0
+    if n_own:
+        j = 4 * m_lo - base + np.arange(n_own, dtype=np.int64) * 4
+        if int(j[-1]) + 3 >= ext.shape[0]:
+            # tail starved (pathological line lengths past the slice)
+            starved = 1
+            cum = np.empty(0, np.int64)
+            rec_end = np.empty(0, np.int64)
+        else:
+            bases = ext[j + 1] - ext[j] - 1
+            # +1 consumes the newline; the virtual EOF terminator of a
+            # file without a trailing newline must not overshoot the file
+            rec_end = np.minimum(ext[j + 3] + 1, size)
+            cum = np.cumsum(bases)
+    else:
+        cum = np.empty(0, np.int64)
+        rec_end = np.empty(0, np.int64)
+    # collective bail (a lone rank returning early would deadlock peers)
+    if int(allgather(np.array([starved], np.int64))[:, 0].sum()):
+        return None
+
+    # greedy chunk walk as an R-round relay: entry carry = (bases, records)
+    # already in the open chunk when the slice begins
+    ends: list[int] = []
+    nrecs: list[int] = []
+    carry = np.zeros(2, dtype=np.int64)
+    my_exit = None
+    for r in range(R):
+        if r == process_id:
+            fill, cnt = int(carry[0]), int(carry[1])
+            pos_i = 0
+            cumprev = 0
+            while pos_i < n_own:
+                tgt = cumprev + (chunk_size - fill)
+                jj = int(np.searchsorted(cum, tgt, side="left"))
+                if jj >= n_own:
+                    break
+                ends.append(int(rec_end[jj]))
+                nrecs.append(cnt + (jj - pos_i + 1))
+                fill = 0
+                cnt = 0
+                cumprev = int(cum[jj])
+                pos_i = jj + 1
+            fill += int(cum[-1]) - cumprev if n_own else 0
+            cnt += n_own - pos_i
+            my_exit = np.array([fill, cnt], dtype=np.int64)
+            carry = allgather(my_exit)[r]
+        else:
+            carry = allgather(np.zeros(2, dtype=np.int64))[r]
+    # trailing partial chunk: closed by the last rank at EOF
+    if process_id == R - 1 and int(carry[1]) > 0:
+        ends.append(size)
+        nrecs.append(int(carry[1]))
+
+    # gather every rank's chunk list (tiny: 16 bytes per chunk)
+    cnt_all = allgather(np.array([len(ends)], dtype=np.int64))[:, 0]
+    max_c = int(cnt_all.max())
+    if max_c == 0:
+        return None
+    padded = np.zeros(2 * max_c, dtype=np.int64)
+    if ends:
+        padded[: len(ends)] = ends
+        padded[max_c : max_c + len(ends)] = nrecs
+    allc = allgather(padded)
+
+    plan: list[ChunkSpec] = []
+    offset = 0
+    blocks_total = max(1, -(-size // (1 << 20)))
+    flag_from = (blocks_total - 1) * (1 << 20)
+    for r in range(R):
+        k = int(cnt_all[r])
+        for i in range(k):
+            end = int(allc[r, i])
+            n = int(allc[r, max_c + i])
+            # reference reader flag arithmetic (io/fastq._flag_visible):
+            # set when the chunk's consume end lands in the file's final
+            # 1MB buffer block and the file lacks a trailing newline
+            flag = last_byte != 10 and end > flag_from
+            plan.append(ChunkSpec(offset, end, n, flag))
+            offset = end
+    return plan
+
+
 def plan_chunks(path: str, chunk_size: int = 1_000_000) -> list[ChunkSpec]:
     """One scanning pass: chunk boundaries + per-chunk flag state.
 

@@ -47,13 +47,25 @@ def _encode_my_part(
     interleaved: bool,
     workers: int,
 ) -> tuple[bytes, bytes]:
-    """(header_bytes, my encoded part bytes) — pure local work."""
+    """(header_bytes, my encoded part bytes) — local work; the SE plan is
+    rank-sharded over the process group (each rank scans ~1/R of the
+    bytes; VERDICT r3 #6), with the replicated planner as the quirk-input
+    fallback."""
     if is_pe:
         plan = dist.plan_pair_chunks(in1, in2, chunk_size, interleaved)
         header = dist.derive_header_pe(in1, in2, chunk_size, engine,
                                        interleaved)
     else:
-        plan = dist.plan_chunks(in1, chunk_size)
+        plan = None
+        if num_processes > 1:
+            from jax.experimental import multihost_utils
+
+            plan = dist.plan_chunks_sharded(
+                in1, chunk_size, num_processes, process_id,
+                multihost_utils.process_allgather,
+            )
+        if plan is None:
+            plan = dist.plan_chunks(in1, chunk_size)
         header = dist.derive_header(in1, chunk_size, engine)
     header_bytes = header.to_bytes()
     lo, hi = dist.partition(len(plan), num_processes)[process_id]

@@ -226,3 +226,51 @@ def test_overlap_pairs_device_matches_host():
     tiny = r1[:, :8]
     ov, collision = overlap_pairs_device(tiny, tiny)
     assert np.asarray(ov).sum() == 0
+
+
+def test_emission_wide_path_matches_host(monkeypatch):
+    """The two-operand (offset, byte) layout sort — engaged when the
+    emission output exceeds _WIDE_THRESHOLD, i.e. >8 MB streams from
+    16 Mbase blocks (round 4) — must be byte-exact with the host kernels.
+    Forced here by dropping the threshold so small fixtures take it."""
+    monkeypatch.setattr(D, "_WIDE_THRESHOLD", 64)
+    rng = np.random.default_rng(11)
+
+    # qualcol (lazy emitter with header-table + escape extras)
+    n = 4000
+    table = np.array([40, 50, 60], dtype=np.uint8)
+    qual = rng.choice(table, size=n)
+    qual[rng.integers(0, n, size=5)] = 101  # escapes
+    h = RfqHeader()
+    seq = rng.choice(np.frombuffer(b"GATC", dtype=np.uint8), size=n)
+    h.make_quality_table(seq, np.sort(table.repeat(3)))
+    bins = h.normal_qual_buf()
+    want = K.encode_qual_by_col(qual, bins, h.major_qual())
+    in_table = np.zeros(256, dtype=bool)
+    in_table[bins] = True
+    in_table[h.major_qual()] = True
+    out, ln = jax.jit(D.qualcol_encode_device)(
+        jnp.asarray(qual), jnp.asarray(bins), jnp.uint8(h.major_qual()),
+        jnp.asarray(in_table),
+    )
+    assert bytes(np.asarray(out)[: int(ln)]) == want.tobytes()
+
+    # positions stream (lazy emitter, no extras)
+    for density in (0.02, 0.5):
+        mask = rng.random(3000) < density
+        want_p = K.encode_positions(np.flatnonzero(mask))
+        o2, l2 = jax.jit(
+            lambda m: D.encode_positions_from_mask(m, 3000 // 2 + 8)
+        )(jnp.asarray(mask))
+        assert bytes(np.asarray(o2)[: int(l2)]) == want_p.tobytes()
+
+    # coords (dense-planes emitter)
+    vals = np.concatenate([
+        np.full(40, 1234), np.arange(2000, 2100),
+        rng.integers(1, 200000, size=500),
+    ]).astype(np.int32)
+    want_c = K.encode_coords(vals.astype(np.int64))
+    o3, l3 = jax.jit(
+        lambda v: D.coords_encode_device(v, 3 * v.shape[0] + 8)
+    )(jnp.asarray(vals))
+    assert bytes(np.asarray(o3)[: int(l3)]) == want_c.tobytes()
