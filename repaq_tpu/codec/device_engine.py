@@ -349,8 +349,11 @@ class DeviceEngine:
         else:
             xs = ys = np.zeros(1, dtype=np.int32)
 
+        # u32 views: the device only ever sees word-packed seq/qual (the
+        # on-chip u8->u32 relayout measured ~8.5 ms at 12 Mbase, round 4)
         payload = step(
-            jax.device_put(seq_pad), jax.device_put(qual_pad),
+            jax.device_put(seq_pad.view("<u4")),
+            jax.device_put(qual_pad.view("<u4")),
             jax.device_put(xs), jax.device_put(ys),
             jnp.int32(b), bins_dev, jnp.uint8(major), table_dev,
         )
@@ -386,20 +389,23 @@ class DeviceEngine:
 
         from ..ops.device_streams import (
             coords_encode_device,
-            encode_positions_from_mask,
+            encode_positions_from_meta32,
             qualcol_encode_device,
         )
-        from ..ops.pallas_tpu import encode_frontend_pallas
+        from ..ops.pallas_tpu import encode_frontend_meta32
 
-        def step(seq, qual, xs, ys, n_reads, bins, major, in_table):
-            packed, nmask, bid = encode_frontend_pallas(seq, qual, bins, major)
+        def step(seq32, qual32, xs, ys, n_reads, bins, major, in_table):
+            packed, meta32 = encode_frontend_meta32(seq32, qual32, bins,
+                                                    major)
+            packed = packed[: (n_cap + 3) // 4]
             qual_out, qual_len = qualcol_encode_device(
-                qual, bins, major, in_table, esc_cap=esc_cap, bid=bid,
+                None, bins, major, in_table, esc_cap=esc_cap,
                 nonmajor_cap=nm_cap, out_size=qfetch,
+                meta32=meta32, qual32=qual32, n=n_cap,
             )
             if want_npos:
-                npos_out, npos_len = encode_positions_from_mask(
-                    nmask, npfetch, pos_cap=np_cap
+                npos_out, npos_len = encode_positions_from_meta32(
+                    meta32, n_cap, npfetch, pos_cap=np_cap
                 )
             else:
                 npos_out = jnp.zeros(npfetch, dtype=jnp.uint8)

@@ -310,6 +310,13 @@ def encode_positions_from_mask(mask: jnp.ndarray, out_size: int,
     else:
         i_n = jnp.arange(n, dtype=jnp.int32)
         g_pos = jnp.sort(jnp.where(mask, i_n, jnp.int32(n)))[:pos_cap]
+    return _positions_from_gpos(g_pos, n, out_size, pos_cap)
+
+
+def _positions_from_gpos(g_pos, n: int, out_size: int, pos_cap: int):
+    """Shared tail of the position-stream encoders: classify the sorted
+    (pos_cap,) candidate positions (n = invalid fill) and emit."""
+    i = jnp.arange(pos_cap, dtype=jnp.int32)
     is_stream = g_pos < n
     seg_start = i == 0
     delta, emits_run, covered, g1, g2, g4 = _classify_stream_positions(
@@ -323,11 +330,37 @@ def encode_positions_from_mask(mask: jnp.ndarray, out_size: int,
     )
 
 
+def encode_positions_from_meta32(meta32: jnp.ndarray, n: int, out_size: int,
+                                 pos_cap: int | None = None):
+    """encode_positions_from_mask over the frontend's word-packed meta
+    stream (bit 7 of each byte = N flag) — no byte-level relayout; the
+    word compaction tests all four flag bits with one AND (round 4)."""
+    nw = meta32.shape[0]
+    if pos_cap is None:
+        pos_cap = n
+    pos_cap = max(1, min(pos_cap, n))
+    # word compaction is always safe: words containing an N <= npos <=
+    # pos_cap, so the pos_cap-word slice never drops one
+    i_w = jnp.arange(nw, dtype=jnp.int32)
+    has = (meta32 & jnp.uint32(0x80808080)) != 0
+    widx = jnp.sort(jnp.where(has, i_w, jnp.int32(nw)))[:pos_cap]
+    mw = jnp.concatenate([meta32, jnp.zeros(1, meta32.dtype)])[widx]
+    lanes = jnp.arange(4, dtype=jnp.int32)[None, :]
+    mb = ((mw[:, None] >> (8 * lanes + 7)) & 1) == 1
+    cand = widx[:, None] * 4 + lanes
+    keys = jnp.where(mb & (cand < n), cand, jnp.int32(n)).reshape(-1)
+    g_pos = jnp.sort(keys)[:pos_cap]
+    return _positions_from_gpos(g_pos, n, out_size, pos_cap)
+
+
 def qualcol_encode_device(qual: jnp.ndarray, bins: jnp.ndarray, major: jnp.ndarray,
                           in_table: jnp.ndarray, esc_cap: int | None = None,
                           bid: jnp.ndarray | None = None,
                           nonmajor_cap: int | None = None,
-                          out_size: int | None = None):
+                          out_size: int | None = None,
+                          meta32: jnp.ndarray | None = None,
+                          qual32: jnp.ndarray | None = None,
+                          n: int | None = None):
     """Full by-column quality encode (reference rfqcodec.cpp:712-765):
     u32le per-bin lengths, concatenated per-bin streams, 5-byte escape
     records — compacted on device in one gather pass.
@@ -341,26 +374,20 @@ def qualcol_encode_device(qual: jnp.ndarray, bins: jnp.ndarray, major: jnp.ndarr
     one pass) should pass tight bucketed bounds — the grouping sort,
     classification scans, and emission sort all shrink from n to
     nonmajor_cap (typically 20-50% of n for Illumina data).
+    Round 4 fast path: meta32/qual32/n — the frontend's word-packed meta
+    stream (encode_frontend_meta32). Grouping-sort keys are built per
+    byte LANE of the u32 words (4 fused planes + concat, order-free ahead
+    of the sort), so no byte-level relayout ever touches HBM.
     Returns (out: (4B + n + 8,) uint8, total_len).
     """
-    n = qual.shape[0]
+    if n is None:
+        n = qual.shape[0]
     nbins = bins.shape[0]
     if esc_cap is None:
         esc_cap = n
     if nonmajor_cap is None:
         nonmajor_cap = n
     nonmajor_cap = max(1, min(nonmajor_cap, n))
-
-    # LUT: qual byte -> bin ordinal; escapes get pseudo-bin B (they follow
-    # the streams in wire order), the major qual gets B+1 (dropped).
-    # Callers may pass bid precomputed (the pallas fused front end emits it
-    # in the same id space).
-    if bid is None:
-        bin_idx = jnp.where(
-            in_table, jnp.int32(nbins + 1), jnp.int32(nbins)
-        )
-        bin_idx = bin_idx.at[bins].set(jnp.arange(nbins, dtype=jnp.int32))
-        bid = bin_idx[qual]  # (n,): 0..B-1 stream, B escape, B+1 major (drop)
 
     # ONE sort both groups the emitting positions (bid <= B) by bin AND
     # compacts away the major-qual ones: key = bid << 24 | pos, major
@@ -376,11 +403,35 @@ def qualcol_encode_device(qual: jnp.ndarray, bins: jnp.ndarray, major: jnp.ndarr
         "packing); split the block"
     )
     i = jnp.arange(m, dtype=jnp.int32)
-    i_n = jnp.arange(n, dtype=jnp.int32)
-    keys_g = jnp.where(
-        bid <= nbins, (bid.astype(jnp.int32) << 24) | i_n,
-        jnp.int32(2**31 - 1),
-    )
+    if meta32 is not None:
+        j4 = 4 * jnp.arange(meta32.shape[0], dtype=jnp.int32)
+        planes = []
+        for k in range(4):
+            bid_k = ((meta32 >> (8 * k)) & 0x7F).astype(jnp.int32)
+            pos_k = j4 + k
+            planes.append(jnp.where(
+                (bid_k <= nbins) & (pos_k < n),
+                (bid_k << 24) | pos_k, jnp.int32(2**31 - 1),
+            ))
+        keys_g = jnp.concatenate(planes)
+    else:
+        # LUT: qual byte -> bin ordinal; escapes get pseudo-bin B (they
+        # follow the streams in wire order), the major qual gets B+1
+        # (dropped). Callers may pass bid precomputed (the pallas fused
+        # front end emits it in the same id space).
+        if bid is None:
+            bin_idx = jnp.where(
+                in_table, jnp.int32(nbins + 1), jnp.int32(nbins)
+            )
+            bin_idx = bin_idx.at[bins].set(
+                jnp.arange(nbins, dtype=jnp.int32)
+            )
+            bid = bin_idx[qual]  # 0..B-1 stream, B escape, B+1 major
+        i_n = jnp.arange(n, dtype=jnp.int32)
+        keys_g = jnp.where(
+            bid <= nbins, (bid.astype(jnp.int32) << 24) | i_n,
+            jnp.int32(2**31 - 1),
+        )
     grouped = jnp.sort(keys_g)[:m]
     g_bid = grouped >> 24  # fill entries -> > nbins
     g_pos = grouped & ((1 << 24) - 1)
@@ -421,7 +472,12 @@ def qualcol_encode_device(qual: jnp.ndarray, bins: jnp.ndarray, major: jnp.ndarr
         e_pos = _gather1(g_pos, eidx, fill=0)
         e_dest = _gather1(dest, eidx, fill=-1)
         e_valid = _gather1(is_esc.astype(jnp.int32), eidx) == 1
-        esc_byte = qual[jnp.clip(e_pos, 0, n - 1)].astype(jnp.int32)
+        if meta32 is not None:
+            ep = jnp.clip(e_pos, 0, n - 1)
+            ew = qual32[ep >> 2]
+            esc_byte = ((ew >> (8 * (ep & 3))) & 0xFF).astype(jnp.int32)
+        else:
+            esc_byte = qual[jnp.clip(e_pos, 0, n - 1)].astype(jnp.int32)
         esc_off = jnp.where(e_valid, e_dest, jnp.int32(2**31 - 1))
 
     def tail(midx):
@@ -439,14 +495,23 @@ def qualcol_encode_device(qual: jnp.ndarray, bins: jnp.ndarray, major: jnp.ndarr
         b3 = jnp.where(
             t == 2, v & 0xFF, jnp.where(t == 3, (p >> 16) & 0xFF, 0)
         )
+        if esc_cap == 0:
+            # no escape records: tokens max out at 4-byte gaps (3 tail
+            # lanes); the 5th byte lane only ever carries escape positions
+            return jnp.stack([b1, b2, b3], axis=1).astype(jnp.int32)
         b4 = jnp.where(t == 3, (p >> 24) & 0xFF, 0)
         return jnp.stack([b1, b2, b3, b4], axis=1).astype(jnp.int32)
 
-    # per-bin lengths for the u32le table
-    lens = jax.ops.segment_sum(
-        jnp.where(is_stream, counts, 0), jnp.clip(g_bid, 0, nbins),
-        num_segments=nbins + 1,
-    )[:nbins]
+    # per-bin lengths for the u32le table. g_bid is SORTED (the grouping
+    # sort), so each bin is a contiguous run: its byte length is a
+    # difference of the counts prefix sum at the run boundaries — two
+    # tiny gathers instead of segment_sum's scatter-add over m (which
+    # measured 18 ms at m=2M on TPU, round 4)
+    bounds = jnp.searchsorted(
+        g_bid, jnp.arange(nbins + 1, dtype=g_bid.dtype), side="left"
+    )
+    cumz = jnp.concatenate([jnp.zeros(1, cum.dtype), cum])
+    lens = cumz[bounds[1:]] - cumz[bounds[:-1]]
     lens_u32 = lens.astype(jnp.uint32)
     hdr = jnp.stack(
         [lens_u32 & 0xFF, (lens_u32 >> 8) & 0xFF,
@@ -456,16 +521,23 @@ def qualcol_encode_device(qual: jnp.ndarray, bins: jnp.ndarray, major: jnp.ndarr
     hdr_off = jnp.arange(4 * nbins, dtype=jnp.int32)
 
     # structural bound on multi-byte elements: per bin the gap deltas sum
-    # to <= n, so 2-byte gaps (< n/128 per bin) and 4-byte gaps are rare;
-    # escapes (5-byte) are bounded by esc_cap (exact count known host-side;
-    # defaults to n = fully general)
-    multi_cap = min(nonmajor_cap, nbins * (n // 64 + 4) + esc_cap)
+    # to <= n, so 2-byte gaps (< n/128 per bin) and 4-byte gaps
+    # (< n/16384 per bin) are rare; escapes (5-byte) are bounded by
+    # esc_cap (exact count known host-side; defaults to n = fully
+    # general). esc_cap == 0 (the common host-proven case) also drops the
+    # emission width to the 4-byte gap-token max — fewer tail lanes in
+    # the layout sort.
+    multi_cap = min(
+        nonmajor_cap,
+        nbins * (n // 128 + n // 16384 + 8) + esc_cap,
+    )
+    w = 4 if esc_cap == 0 else 5
     if out_size is None:
         out_size = 4 * nbins + n + 8
     # callers with an exact host-side stream-size bound (the engine's
     # qfetch) shrink the emission buffer from ~n to the compressed size
     out, _ = _emit_sort_lazy(
-        b0, counts, out_size, dest, total, multi_cap, tail, w=5,
+        b0, counts, out_size, dest, total, multi_cap, tail, w=w,
         extra=(jnp.concatenate([hdr_off, esc_off]),
                jnp.concatenate([hdr, esc_byte])),
         first_mask=(counts >= 1) & ~is_esc,
@@ -870,10 +942,18 @@ def qualcol_decode_device(buf: jnp.ndarray, nbins: int, bins: jnp.ndarray,
     npos = jnp.where(valid, jnp.where(is_run, (b0 & 0x1F) + 1, 1), 0)
     adv = jnp.where(valid, dist + npos - 1, 0)
 
-    # bin id per token + segment starts (per-bin `last` restarts at -1)
-    tok_bin = jnp.clip(
-        jnp.searchsorted(stream_begin, tok_i, side="right") - 1, 0, nbins - 1
-    ).astype(jnp.int32)
+    # bin id per token + segment starts (per-bin `last` restarts at -1).
+    # Small palettes: a compare-sum over the (B,) boundary table fuses
+    # into one elementwise pass; searchsorted lowers to a gather loop.
+    if nbins <= 16:
+        tok_bin = jnp.zeros(tok_i.shape[0], dtype=jnp.int32)
+        for bb in range(1, nbins):
+            tok_bin = tok_bin + (tok_i >= stream_begin[bb]).astype(jnp.int32)
+    else:
+        tok_bin = jnp.clip(
+            jnp.searchsorted(stream_begin, tok_i, side="right") - 1,
+            0, nbins - 1,
+        ).astype(jnp.int32)
     seg_start = jnp.concatenate(
         [jnp.ones(1, bool), tok_bin[1:] != tok_bin[:-1]]
     )

@@ -322,3 +322,56 @@ def encode_frontend_pallas(seq: jnp.ndarray, qual: jnp.ndarray,
         meta_b >= 0x80,
         (meta_b & 0x7F).astype(jnp.int32),
     )
+
+
+def encode_frontend_meta32(seq32: jnp.ndarray, qual32: jnp.ndarray,
+                           bins: jnp.ndarray, major) -> tuple[
+                               jnp.ndarray, jnp.ndarray]:
+    """encode_frontend_pallas without any byte<->word relayout (round 4:
+    the u8->u32 row shuffle alone measured ~8.5 ms at 12 Mbase — more
+    than the kernel itself). Inputs are (n/4,) u32 LITTLE-ENDIAN words of
+    the seq/qual bytes (a free numpy .view on the host, so the device
+    never sees u8), padded to a multiple of 4*128 with 'G'/major bytes.
+    Returns (packed (n/4,) u8, meta32 (n/4,) u32) — meta32 packs one meta
+    byte per base in wire order (bid in bits 0-6 of each byte, N flag in
+    bit 7); consumers build sort keys / masks per byte LANE of the word,
+    which is order-free ahead of a global sort."""
+    nbins = int(bins.shape[0])
+    assert nbins <= 63, nbins
+    # consumers map meta byte k of each word to position 4j+k via an 8k
+    # shift — valid only under the little-endian byte order the host's
+    # numpy '<u4' view uses (true on CPU and TPU; probed once)
+    assert _byte_shifts() == (0, 8, 16, 24)
+    nw = seq32.shape[0]
+    assert nw % _LANES == 0 and nw == qual32.shape[0]
+    rows = nw // _LANES
+    seq_rows = seq32.reshape(rows, _LANES)
+    qual_rows = qual32.reshape(rows, _LANES)
+    bins_pad = jnp.asarray(bins, dtype=jnp.uint32)
+    major_arr = jnp.asarray(major, dtype=jnp.uint32).reshape(1)
+    grid = pl.cdiv(rows, _TILE_ROWS)
+    kernel = functools.partial(_frontend_kernel, nbins)
+    packed, meta = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((_TILE_ROWS, _LANES), lambda i: (i, 0)),
+            pl.BlockSpec((_TILE_ROWS, _LANES), lambda i: (i, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM)
+            if _HAS_PLTPU and not _interpret()
+            else pl.BlockSpec((nbins,), lambda i: (0,)),
+            pl.BlockSpec(memory_space=pltpu.SMEM)
+            if _HAS_PLTPU and not _interpret()
+            else pl.BlockSpec((1,), lambda i: (0,)),
+        ],
+        out_specs=[
+            pl.BlockSpec((_TILE_ROWS, _LANES), lambda i: (i, 0)),
+            pl.BlockSpec((_TILE_ROWS, _LANES), lambda i: (i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((rows, _LANES), jnp.uint8),
+            jax.ShapeDtypeStruct((rows, _LANES), jnp.uint32),
+        ],
+        interpret=_interpret(),
+    )(seq_rows, qual_rows, bins_pad, major_arr)
+    return packed.reshape(-1), meta.reshape(-1)

@@ -274,3 +274,45 @@ def test_emission_wide_path_matches_host(monkeypatch):
         lambda v: D.coords_encode_device(v, 3 * v.shape[0] + 8)
     )(jnp.asarray(vals))
     assert bytes(np.asarray(o3)[: int(l3)]) == want_c.tobytes()
+
+
+def test_frontend_meta32_path_matches_host():
+    """The word-packed frontend path (encode_frontend_meta32 +
+    qualcol/npos consuming meta32 directly — round 4's no-relayout
+    encode) must produce byte-exact streams vs the host kernels."""
+    from repaq_tpu.ops import pallas_tpu as PT
+
+    rng = np.random.default_rng(3)
+    n = 8192  # multiple of 512
+    table = np.array([35, 44, 58], dtype=np.uint8)
+    major = np.uint8(70)
+    qual = rng.choice(np.concatenate([table, np.full(18, major)]), size=n)
+    qual[rng.integers(0, n, size=4)] = 99  # escapes
+    seq = rng.choice(np.frombuffer(b"GATC", dtype=np.uint8), size=n)
+    nmask = rng.random(n) < 0.01
+    seq[nmask] = ord("N")
+
+    want_q = K.encode_qual_by_col(qual, table, int(major))
+    want_np = K.encode_positions(np.flatnonzero(seq == ord("N")))
+    want_packed = K.pack_2bit(np.where(seq == ord("N"), ord("G"), seq))
+
+    s32 = jnp.asarray(seq.view("<u4"))
+    q32 = jnp.asarray(qual.view("<u4"))
+
+    @jax.jit
+    def step(s32_, q32_):
+        packed, meta32 = PT.encode_frontend_meta32(
+            s32_, q32_, jnp.asarray(table), jnp.uint32(major)
+        )
+        qo, ql = D.qualcol_encode_device(
+            None, jnp.asarray(table), major, None,
+            esc_cap=16, meta32=meta32, qual32=q32_, n=n,
+        )
+        no, nl = D.encode_positions_from_meta32(meta32, n, n // 2 + 8,
+                                                pos_cap=256)
+        return packed, qo, ql, no, nl
+
+    packed, qo, ql, no, nl = step(s32, q32)
+    assert bytes(np.asarray(packed)) == want_packed.tobytes()
+    assert bytes(np.asarray(qo)[: int(ql)]) == want_q.tobytes()
+    assert bytes(np.asarray(no)[: int(nl)]) == want_np.tobytes()
