@@ -664,22 +664,33 @@ static void parse_window(const uint8_t* data, int64_t n, int64_t min_match,
     // State is window-local => still thread-count invariant.
     constexpr int NREP = 4;
     constexpr int64_t REP_MIN = 8;
+    // one-step lazy matching (round 4): matches shorter than LAZY_GOOD
+    // are held one position; if i+1 finds a better one, the byte at i
+    // joins the literal run (a 2-bit base for MODE_SEQLZ) and the longer
+    // match wins. Coverage data is exactly where this pays: 20-40 reads
+    // cover each locus, each ending at different error positions, and
+    // greedy often anchors one base too early.
+    constexpr int64_t LAZY_GOOD = 64;
     int64_t rep[NREP] = {0, 0, 0, 0};
 
     int64_t i = p0, lit_start = p0;
     int64_t miss_run = 0;  // LZ4-style skip acceleration through deserts
-    while (i < w_end && i + HB <= n) {
-        uint32_t h = hash_at(data, i);
-        int64_t lim = (w_end < n ? w_end : n) - i;  // no cross-window tail
-        // rep probes FIRST: a long rep match skips the chain walk, whose
-        // candidates cache-miss all over the (up to ~100 MB) history
+    int64_t ins_hi = -1;   // highest chain-inserted position (no dupes:
+                           // re-inserting a position would self-loop)
+    int64_t pend_i = -1, pend_len = 0, pend_pos = -1;
+    bool pend_rep = false;
+
+    // candidate search at position `at` (rep probes first, then the
+    // bounded chain walk); returns acceptance, fills (len, pos, is_rep)
+    auto find_at = [&](int64_t at, uint32_t h, int64_t lim, int64_t& len,
+                       int64_t& posn, bool& is_rep) -> bool {
         int64_t rep_len = 0, rep_dist = 0;
         for (int r = 0; r < NREP; r++) {
             int64_t d = rep[r];
-            if (d <= 0 || i - d < 0) continue;
-            const uint8_t* src = data + i - d;
+            if (d <= 0 || at - d < 0) continue;
+            const uint8_t* src = data + at - d;
             int64_t l = 0;
-            while (l < lim && src[l] == data[i + l]) l++;
+            while (l < lim && src[l] == data[at + l]) l++;
             if (l > rep_len) { rep_len = l; rep_dist = d; }
         }
         int64_t cand = head[h];
@@ -690,10 +701,10 @@ static void parse_window(const uint8_t* data, int64_t n, int64_t min_match,
                 // extend only if it beats best: check the byte at
                 // best_len (best_len < lim guards the probe when a prior
                 // candidate already matched to the limit — UB past it)
-                if (best_len < lim && cand + best_len < i &&
-                    data[cand + best_len] == data[i + best_len]) {
+                if (best_len < lim && cand + best_len < at &&
+                    data[cand + best_len] == data[at + best_len]) {
                     int64_t l = 0;
-                    while (l < lim && data[cand + l] == data[i + l]) l++;
+                    while (l < lim && data[cand + l] == data[at + l]) l++;
                     if (l > best_len) { best_len = l; best_pos = cand; }
                     if (best_len >= 96) break;  // good enough: stop paying
                 }
@@ -701,33 +712,74 @@ static void parse_window(const uint8_t* data, int64_t n, int64_t min_match,
                 walked++;
             }
         }
-        prev_own[i - p0] = head[h];
-        head[h] = (int32_t)i;
         // a rep match is ~3 dist bytes cheaper than a fresh one: take it
         // unless the fresh match is substantially longer
         bool use_rep = rep_len >= REP_MIN && rep_len + 12 >= best_len;
-        if (use_rep || best_len >= min_match) {
-            if (use_rep) { best_len = rep_len; best_pos = i - rep_dist; }
-            int64_t dist = i - best_pos;
-            // move-to-front the used distance into the rep slots
-            int hit = NREP - 1;
-            for (int r = 0; r < NREP; r++) {
-                if (rep[r] == dist) { hit = r; break; }
+        if (use_rep) { len = rep_len; posn = at - rep_dist; is_rep = true; }
+        else { len = best_len; posn = best_pos; is_rep = false; }
+        return use_rep || best_len >= min_match;
+    };
+
+    auto emit = [&](int64_t at, int64_t mlen, int64_t mpos) {
+        int64_t dist = at - mpos;
+        // move-to-front the used distance into the rep slots
+        int hit = NREP - 1;
+        for (int r = 0; r < NREP; r++) {
+            if (rep[r] == dist) { hit = r; break; }
+        }
+        for (int r = hit; r > 0; r--) rep[r] = rep[r - 1];
+        rep[0] = dist;
+        out.push_back({at - lit_start, mlen, dist});
+        // sparse insertion inside the match keeps the chain useful
+        // without quadratic insert cost (ins_hi skips positions the lazy
+        // step already inserted)
+        int64_t end = at + mlen;
+        for (int64_t j = at + 1; j + HB <= n && j < end; j += 5) {
+            if (j <= ins_hi) continue;
+            uint32_t hj = hash_at(data, j);
+            prev_own[j - p0] = head[hj];
+            head[hj] = (int32_t)j;
+            ins_hi = j;
+        }
+        i = end;
+        lit_start = i;
+        miss_run = 0;
+        pend_i = -1;
+    };
+
+    while (i < w_end && i + HB <= n) {
+        uint32_t h = hash_at(data, i);
+        int64_t lim = (w_end < n ? w_end : n) - i;  // no cross-window tail
+        int64_t len, posn;
+        bool is_rep;
+        bool ok = find_at(i, h, lim, len, posn, is_rep);
+        if (i > ins_hi) {
+            prev_own[i - p0] = head[h];
+            head[h] = (int32_t)i;
+            ins_hi = i;
+        }
+        if (pend_i >= 0) {
+            // rep matches carry the same +3-byte advantage here that
+            // acceptance gives them, so a pending rep isn't displaced by
+            // a marginally longer fresh-distance match
+            if (ok && len + (is_rep ? 3 : 0) >
+                          pend_len + (pend_rep ? 3 : 0)) {
+                pend_i = i; pend_len = len; pend_pos = posn;
+                pend_rep = is_rep;
+                i += 1;
+            } else {
+                emit(pend_i, pend_len, pend_pos);
             }
-            for (int r = hit; r > 0; r--) rep[r] = rep[r - 1];
-            rep[0] = dist;
-            out.push_back({i - lit_start, best_len, dist});
-            // sparse insertion inside the match keeps the chain useful
-            // without quadratic insert cost
-            int64_t end = i + best_len;
-            for (int64_t j = i + 1; j + HB <= n && j < end; j += 5) {
-                uint32_t hj = hash_at(data, j);
-                prev_own[j - p0] = head[hj];
-                head[hj] = (int32_t)j;
+            continue;
+        }
+        if (ok) {
+            if (len >= LAZY_GOOD) {
+                emit(i, len, posn);
+            } else {
+                pend_i = i; pend_len = len; pend_pos = posn;
+                pend_rep = is_rep;
+                i += 1;
             }
-            i = end;
-            lit_start = i;
-            miss_run = 0;
         } else {
             // long literal deserts step faster; resets on any match so
             // compressible regions keep full resolution
@@ -735,6 +787,7 @@ static void parse_window(const uint8_t* data, int64_t n, int64_t min_match,
             i += 1 + (sk > 3 ? 3 : sk);
         }
     }
+    if (pend_i >= 0) emit(pend_i, pend_len, pend_pos);
     if (lit_start < w_end || (p0 == 0 && out.empty() && w_end >= n)) {
         out.push_back({w_end - lit_start, 0, 0});
     }
