@@ -613,6 +613,25 @@ static inline uint32_t hash_at(const uint8_t* data, int64_t i) {
     return (uint32_t)(h >> (64 - HASH_BITS));
 }
 
+// 8-bytes-at-a-time common-prefix length (pure reads, so self-overlapping
+// rep matches compare identically to the byte-serial loop). At coverage
+// depth the average seq match is >100 bases — this is ~5x faster than
+// byte stepping and dominates parse time.
+static inline int64_t extend_match(const uint8_t* a, const uint8_t* b,
+                                   int64_t lim) {
+    int64_t l = 0;
+    while (l + 8 <= lim) {
+        uint64_t x, y;
+        memcpy(&x, a + l, 8);
+        memcpy(&y, b + l, 8);
+        uint64_t d = x ^ y;
+        if (d) return l + (__builtin_ctzll(d) >> 3);
+        l += 8;
+    }
+    while (l < lim && a[l] == b[l]) l++;
+    return l;
+}
+
 struct Tok { int64_t lit, ml, dist; };
 
 // Grid-chain storage is COMPACT (ADVICE r3: the per-byte int32 prev
@@ -688,9 +707,7 @@ static void parse_window(const uint8_t* data, int64_t n, int64_t min_match,
         for (int r = 0; r < NREP; r++) {
             int64_t d = rep[r];
             if (d <= 0 || at - d < 0) continue;
-            const uint8_t* src = data + at - d;
-            int64_t l = 0;
-            while (l < lim && src[l] == data[at + l]) l++;
+            int64_t l = extend_match(data + at - d, data + at, lim);
             if (l > rep_len) { rep_len = l; rep_dist = d; }
         }
         int64_t cand = head[h];
@@ -703,8 +720,7 @@ static void parse_window(const uint8_t* data, int64_t n, int64_t min_match,
                 // candidate already matched to the limit — UB past it)
                 if (best_len < lim && cand + best_len < at &&
                     data[cand + best_len] == data[at + best_len]) {
-                    int64_t l = 0;
-                    while (l < lim && data[cand + l] == data[at + l]) l++;
+                    int64_t l = extend_match(data + cand, data + at, lim);
                     if (l > best_len) { best_len = l; best_pos = cand; }
                     if (best_len >= 96) break;  // good enough: stop paying
                 }
