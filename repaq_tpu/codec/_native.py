@@ -120,6 +120,8 @@ def _load():
                               _i64, _i64]
     lib.lz_dist_mtf.restype = None
     lib.lz_dist_mtf.argtypes = [_i64p, _i64p, _i64, ctypes.c_int]
+    lib.quality_scan.restype = None
+    lib.quality_scan.argtypes = [_u8p, _u8p, _i64, _i64p, _i64p, _i64p]
     _LIB = lib
     return _LIB
 
@@ -271,6 +273,21 @@ def pack_2bit(seq: np.ndarray) -> np.ndarray:
     out = np.empty((seq.shape[0] + 3) // 4, dtype=np.uint8)
     lib.pack_2bit(_ptr(seq, _u8p), seq.shape[0], _ptr(out, _u8p))
     return out
+
+
+def quality_scan(seq: np.ndarray, qual: np.ndarray):
+    """One-pass header stats (format/header.quality_stats fast path):
+    returns (seq_hist[256], qual_hist[256], meta[4]) where meta is
+    [first_invalid_byte|-1, first_n_qual|-1, n_qual_differs,
+    nonn_after_matches]."""
+    lib = _load()
+    seq_hist = np.zeros(256, dtype=np.int64)
+    qual_hist = np.zeros(256, dtype=np.int64)
+    meta = np.zeros(4, dtype=np.int64)
+    lib.quality_scan(_ptr(seq, _u8p), _ptr(qual, _u8p), seq.shape[0],
+                     _ptr(seq_hist, _i64p), _ptr(qual_hist, _i64p),
+                     _ptr(meta, _i64p))
+    return seq_hist, qual_hist, meta
 
 
 def unpack_2bit(buf: np.ndarray, length: int) -> np.ndarray:

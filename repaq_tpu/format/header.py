@@ -31,6 +31,7 @@ from ..constants import (
     VERSION_NUM,
 )
 from ..util import read_exact, u16le
+from ..codec import _native
 
 _N = ord("N")
 
@@ -307,6 +308,36 @@ def quality_stats(seq: np.ndarray, qual: np.ndarray) -> dict:
                 "invalid_other": False, "qual_counts": np.zeros(128, np.int64),
                 "n_count": 0, "first_n_qual": -1, "n_qual_differs": False,
                 "nonn_after_matches": False}
+    if _native.available() and seq.shape[0] == qual.shape[0]:
+        # (length-mismatched calls — palette construction from a bare
+        # qual list — take the numpy path below, which never pairs the
+        # two arrays when no N is present)
+        # fused native pass: both histograms + the N-quality relations at
+        # memory bandwidth (~15 ms for a 27M-base chunk vs ~0.5-1.2 s of
+        # separate numpy sweeps — header latency is per FILE, but the
+        # bench corpora are small enough that it showed)
+        sh, qh, meta = _native.quality_scan(
+            np.ascontiguousarray(seq), np.ascontiguousarray(qual)
+        )
+        qual_ge128 = bool(qh[128:].sum() > 0)
+        invalid_lower = invalid_other = False
+        if meta[0] >= 0:
+            if meta[0] in b"atcg":
+                invalid_lower = True
+            else:
+                invalid_other = True
+        n_count = int(sh[_N])
+        differs = bool(meta[2])
+        return {
+            "empty": False, "qual_ge128": qual_ge128,
+            "invalid_lower": invalid_lower, "invalid_other": invalid_other,
+            "qual_counts": (qh[:128] if not qual_ge128
+                            else np.zeros(128, np.int64)),
+            "n_count": n_count,
+            "first_n_qual": int(meta[1]) if n_count else -1,
+            "n_qual_differs": differs,
+            "nonn_after_matches": bool(meta[3]) and not differs,
+        }
     qual_ge128 = bool(np.any(qual >= 128))
     # 256-entry LUT gather, not np.isin: isin's sort path costs seconds
     # on a whole-chunk scan (27M bases) where the gather is ~50 ms

@@ -422,6 +422,53 @@ void reverse_slices(const uint8_t* src, const int64_t* src_starts, uint8_t* dst,
     }
 }
 
+// One-pass header-statistics scan (format/header.py quality_stats — the
+// host mirror of the reference's first-chunk scan, rfqheader.cpp
+// makeQualityTable): byte histograms of seq and qual plus the N-quality
+// relations in a single memory-bandwidth pass instead of six numpy
+// sweeps. out_meta (int64[4]): [first_invalid_byte or -1, first_n_qual
+// or -1, n_qual_differs, nonn_after_matches].
+void quality_scan(const uint8_t* seq, const uint8_t* qual, int64_t n,
+                  int64_t* seq_hist, int64_t* qual_hist,
+                  int64_t* out_meta) {
+    static bool ok[256];
+    static bool init = false;
+    if (!init) {
+        memset(ok, 0, sizeof(ok));
+        ok['A'] = ok['T'] = ok['C'] = ok['G'] = ok['N'] = true;
+        init = true;
+    }
+    // 4 sub-histograms per stream break the store-forwarding dependency
+    // on runs of equal bytes (quality data is mostly one value)
+    int64_t hs[4][256], hq[4][256];
+    memset(hs, 0, sizeof(hs));
+    memset(hq, 0, sizeof(hq));
+    int64_t first_invalid = -1, fq = -1;
+    int64_t differs = 0, nonn_after = 0;
+    for (int64_t i = 0; i < n; i++) {
+        uint8_t s = seq[i], q = qual[i];
+        hs[i & 3][s]++;
+        hq[i & 3][q]++;
+        if (__builtin_expect(!ok[s], 0)) {
+            if (first_invalid < 0) first_invalid = s;
+        }
+        if (__builtin_expect(s == 'N', 0)) {
+            if (fq < 0) fq = q;
+            else differs |= (q != fq);
+        } else if (fq >= 0) {
+            nonn_after |= (q == fq);
+        }
+    }
+    for (int v = 0; v < 256; v++) {
+        seq_hist[v] = hs[0][v] + hs[1][v] + hs[2][v] + hs[3][v];
+        qual_hist[v] = hq[0][v] + hq[1][v] + hq[2][v] + hq[3][v];
+    }
+    out_meta[0] = first_invalid;
+    out_meta[1] = fq;
+    out_meta[2] = differs;
+    out_meta[3] = nonn_after;
+}
+
 // 2-bit base pack/unpack (reference rfqcodec.cpp:588-609, 832-853).
 void pack_2bit(const uint8_t* seq, int64_t n, uint8_t* out) {
     static uint8_t table[256];

@@ -245,3 +245,42 @@ def test_qual_runlen_vectorized_matches_oracle():
                 n,
             )
             assert got.tobytes() == bytes(dec), (bins, trial)
+
+
+def test_quality_scan_native_matches_numpy():
+    """format/header.quality_stats: the fused native pass and the numpy
+    sweeps must produce the identical stats dict (including the invalid-
+    char classification, N-quality relations and >=128 zeroing)."""
+    import numpy as np
+
+    from repaq_tpu.codec import _native
+    from repaq_tpu.format import header as H
+
+    if not _native.available():
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(7)
+    bases = np.frombuffer(b"ACGTN", np.uint8)
+    quals = np.frombuffer(b"F:,#ab", np.uint8)
+    for trial in range(120):
+        n = int(rng.integers(0, 3000))
+        seq = rng.choice(bases, p=[0.3, 0.3, 0.2, 0.19, 0.01], size=n)
+        qual = rng.choice(quals, size=n)
+        if trial % 7 == 3 and n:
+            seq[rng.integers(0, n)] = ord("x")
+        if trial % 11 == 5 and n:
+            seq[rng.integers(0, n)] = ord("a")
+        if trial % 13 == 7 and n:
+            qual[rng.integers(0, n)] = 200
+        if trial % 5 == 1 and n:  # constant-qual N runs hit the
+            qual[:] = ord("F")    # nonn_after_matches branch
+        got = H.quality_stats(seq, qual)
+        avail = _native.available
+        _native.available = lambda: False
+        try:
+            want = H.quality_stats(seq, qual)
+        finally:
+            _native.available = avail
+        for k in want:
+            same = (np.array_equal(got[k], want[k])
+                    if isinstance(want[k], np.ndarray) else got[k] == want[k])
+            assert same, (trial, k, got[k], want[k])
