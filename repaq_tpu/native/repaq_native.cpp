@@ -14,6 +14,8 @@
 #include <thread>
 #include <atomic>
 #include <algorithm>
+#include <chrono>
+#include <cstdio>
 #include <cstdlib>
 
 extern "C" {
@@ -889,6 +891,20 @@ int64_t lz_parse(const uint8_t* data, int64_t n, int64_t min_match,
     // serial grid pass: shared prev chain + head snapshot per window.
     // Compact slot-indexed storage (see grid_slot): ~n/5 dictionary +
     // ~n/3 parse-region entries instead of one int32 per byte.
+    // REPAQ_LZ_DEBUG=1: phase timing to stderr (grid build vs parse)
+    struct DbgClock {
+        bool on;
+        std::chrono::steady_clock::time_point t0;
+        DbgClock() : on(getenv("REPAQ_LZ_DEBUG") != nullptr),
+                     t0(std::chrono::steady_clock::now()) {}
+        double lap() {
+            auto t1 = std::chrono::steady_clock::now();
+            double s = std::chrono::duration<double>(t1 - t0).count();
+            t0 = t1;
+            return s;
+        }
+    } dbg;
+
     const int64_t jc = grid_jc(parse_from), nd = jc / 5;
     const int64_t nslots = nd + (n > jc ? (n - jc) / 3 + 1 : 0);
     std::vector<int32_t> prev_shared(nslots, -1);
@@ -922,6 +938,10 @@ int64_t lz_parse(const uint8_t* data, int64_t n, int64_t min_match,
         }
     }
 
+    if (dbg.on)
+        fprintf(stderr, "[lz] n=%lld from=%lld grid=%.3fs\n",
+                (long long)n, (long long)parse_from, dbg.lap());
+
     std::vector<std::vector<Tok>> toks(nwin);
     int nthreads = (int)std::thread::hardware_concurrency();
     if (const char* env = getenv("REPAQ_LZ_THREADS")) {
@@ -951,6 +971,10 @@ int64_t lz_parse(const uint8_t* data, int64_t n, int64_t min_match,
         for (int t = 0; t < nthreads; t++) ths.emplace_back(worker);
         for (auto& t : ths) t.join();
     }
+
+    if (dbg.on)
+        fprintf(stderr, "[lz]   parse=%.3fs threads=%d\n", dbg.lap(),
+                nthreads);
 
     int64_t ntok = 0;
     for (int64_t w = first_w; w < nwin; w++) {
