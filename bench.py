@@ -35,6 +35,35 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
+_TPU_PROBE: bool | None = None
+
+
+def tpu_available(timeout_s: float = 150.0) -> bool:
+    """True when a non-CPU jax backend answers within timeout. Probed in a
+    SUBPROCESS: a wedged accelerator tunnel makes an in-process
+    jax.devices() hang for tens of minutes (observed 25 min before an
+    error), which would stall every device section of this bench. The
+    result is cached for the run."""
+    global _TPU_PROBE
+    if _TPU_PROBE is not None:
+        return _TPU_PROBE
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; d = jax.devices();"
+             "import sys; sys.exit(0 if d[0].platform != 'cpu' else 3)"],
+            timeout=timeout_s, capture_output=True)
+        _TPU_PROBE = r.returncode == 0
+    except Exception:
+        _TPU_PROBE = False
+    if not _TPU_PROBE:
+        log("device benches skipped: no accelerator answered the %.0fs "
+            "subprocess probe" % timeout_s)
+    return _TPU_PROBE
+
+
 def make_dataset(tmp: str) -> tuple[str, str, int]:
     """Synthetic NovaSeq-like paired-end FASTQ (4 quality bins, ~0.2% N
     with constant '#' qual, 35% overlapping fragments in the orientation
@@ -601,6 +630,8 @@ def bench_device_engine(f1: str, f2: str, total_bytes: int, tmp: str):
     (bench_device_kernels) is the hardware-limited number. First-ever run
     pays XLA compile (~8 min for the PE graph); the persistent compile
     cache (~/.cache/repaq_tpu_xla) makes later runs warm."""
+    if not tpu_available():
+        return None
     try:
         import jax
 
@@ -648,6 +679,8 @@ def bench_device_rans() -> None:
     """Resident (compute-only) device rANS rates for one 16MB order-0
     section — the second stage's per-chip numbers; sections scale across
     chips (parallel/mesh.make_sharded_rans_step)."""
+    if not tpu_available():
+        return
     import jax
     import jax.numpy as jnp
 
@@ -724,6 +757,8 @@ def bench_device_kernels() -> float | None:
     """Per-chip on-device encode-kernel throughput (MB of seq+qual bytes per
     second), with a byte-exactness check of the produced streams against the
     host kernels. Returns None when no accelerator is reachable."""
+    if not tpu_available():
+        return None
     try:
         import jax
         import jax.numpy as jnp
@@ -886,6 +921,8 @@ def bench_device_production() -> float | None:
     byte-exactness-gated against the host kernels before timing."""
     import threading
 
+    if not tpu_available():
+        return None
     try:
         import jax
         import jax.numpy as jnp
