@@ -163,7 +163,9 @@ def qualcol_encode(
     if bin_of[major] == 0xFF:
         bin_of[major] = 0xFE
     out = _scratch("qc_out", 5 * n + 4 * nbins + 1024)
-    scratch = _scratch("qc_scr", 9 * n + 8 * nbins + 2048)
+    # 4n posbuf (u32 non-major positions) + 4n+8*nbins segments + 5n
+    # worst-case escapes
+    scratch = _scratch("qc_scr", 13 * n + 8 * nbins + 2048)
     ln = lib.qualcol_encode_sp(
         _ptr(qual, _u8p), n, _ptr(bins, _u8p), nbins, _ptr(bin_of, _u8p),
         _ptr(out, _u8p), _ptr(scratch, _u8p),

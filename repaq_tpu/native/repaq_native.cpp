@@ -161,11 +161,48 @@ int64_t qualcol_encode(const uint8_t* qual, int64_t n, const uint8_t* bins,
 int64_t qualcol_encode_sp(const uint8_t* qual, int64_t n, const uint8_t* bins,
                           int32_t nbins, const uint8_t* bin_of, uint8_t* out,
                           uint8_t* scratch) {
-    // pass 1: match counts per bin -> segment capacities (<=4 bytes/match)
-    int64_t counts[256] = {0};
-    for (int64_t i = 0; i < n; i++) counts[bin_of[qual[i]]]++;
+    // the major-run fast path is valid only when the major char maps to
+    // 0xFE (it can instead be a real bin when it doubles as the N-base
+    // qual, reference rfqheader.cpp:308-320)
+    int major_char = -1;
+    for (int c = 0; c < 256; c++) {
+        if (bin_of[c] == 0xFE) {
+            major_char = c;
+            break;
+        }
+    }
+    // pass 1: match counts per bin -> segment capacities (<=4 bytes/match),
+    // plus a BRANCHLESS compaction of the non-major positions (chunk
+    // positions fit u32 — the wire escape records already assume it).
+    // Real quality data interleaves major runs with scattered non-major
+    // bytes; a per-byte major/non-major branch mispredicts on every
+    // transition, so pass 1 has no branches at all (4-way counters break
+    // store-to-load forwarding on constant runs) and pass 2 only ever
+    // touches the ~10-40% non-major positions.
+    int64_t counts4[4][256];
+    memset(counts4, 0, sizeof(counts4));
+    int32_t* posbuf = (int32_t*)scratch;
+    int64_t nm = 0;  // non-major count (== posbuf length)
+    if (major_char >= 0) {
+        uint8_t mc = (uint8_t)major_char;
+        for (int64_t i = 0; i < n; i++) {
+            uint8_t q = qual[i];
+            posbuf[nm] = (int32_t)i;
+            nm += (q != mc);
+            counts4[i & 3][bin_of[q]]++;
+        }
+    } else {
+        for (int64_t i = 0; i < n; i++) {
+            posbuf[nm++] = (int32_t)i;
+            counts4[i & 3][bin_of[qual[i]]]++;
+        }
+    }
+    int64_t counts[256];
+    for (int v = 0; v < 256; v++)
+        counts[v] = counts4[0][v] + counts4[1][v] + counts4[2][v]
+                    + counts4[3][v];
     int64_t seg_off[129];
-    int64_t off = 0;
+    int64_t off = 4 * n;  // segment area sits after posbuf
     for (int32_t b = 0; b < nbins; b++) {
         seg_off[b] = off;
         off += 4 * counts[b] + 8;
@@ -183,36 +220,10 @@ int64_t qualcol_encode_sp(const uint8_t* qual, int64_t n, const uint8_t* bins,
     }
     int64_t esc_len = 0;
 
-    // fast path: the major qual is usually the bulk of the chunk and emits
-    // nothing — skip runs of it 8 bytes at a time. Only valid when the
-    // major char maps to 0xFE (it can instead be a real bin when it
-    // doubles as the N-base qual, reference rfqheader.cpp:308-320).
-    int major_char = -1;
-    for (int c = 0; c < 256; c++) {
-        if (bin_of[c] == 0xFE) {
-            major_char = c;
-            break;
-        }
-    }
-    uint64_t major8 = 0;
-    if (major_char >= 0) {
-        major8 = 0x0101010101010101ULL * (uint64_t)major_char;
-    }
-
-    for (int64_t i = 0; i < n; i++) {
-        if (major_char >= 0 && qual[i] == (uint8_t)major_char) {
-            i++;
-            while (i + 8 <= n) {
-                uint64_t w8;
-                memcpy(&w8, qual + i, 8);
-                if (w8 != major8) break;
-                i += 8;
-            }
-            while (i < n && qual[i] == (uint8_t)major_char) i++;
-            if (i >= n) break;
-        }
+    // pass 2: token emission over the compacted non-major positions only
+    for (int64_t j = 0; j < nm; j++) {
+        int64_t i = posbuf[j];
         uint8_t b = bin_of[qual[i]];
-        if (b == 0xFE) continue;  // major qual: never encoded
         if (b == 0xFF) {          // escape record
             esc[esc_len++] = qual[i];
             uint32_t p = (uint32_t)i;
