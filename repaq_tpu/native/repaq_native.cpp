@@ -491,17 +491,41 @@ void pack_2bit(const uint8_t* seq, int64_t n, uint8_t* out) {
         table['G'] = 0; table['A'] = 1; table['T'] = 2; table['C'] = 3;
         init = true;
     }
-    memset(out, 0, (size_t)((n + 3) / 4));
-    for (int64_t i = 0; i < n; i++)
-        out[i >> 2] |= table[seq[i]] << ((i & 3) * 2);
+    int64_t nb = n / 4;
+    for (int64_t b = 0; b < nb; b++) {
+        const uint8_t* s = seq + 4 * b;
+        out[b] = (uint8_t)(table[s[0]] | (table[s[1]] << 2)
+                           | (table[s[2]] << 4) | (table[s[3]] << 6));
+    }
+    if (n & 3) {
+        uint8_t acc = 0;
+        for (int64_t i = nb * 4; i < n; i++)
+            acc |= (uint8_t)(table[seq[i]] << ((i & 3) * 2));
+        out[nb] = acc;
+    }
 }
 
 void unpack_2bit(const uint8_t* buf, int64_t nbytes, uint8_t* out,
                  int64_t length) {
     static const char base[4] = {'G', 'A', 'T', 'C'};
+    // 256-entry packed-byte -> 4-base-chars table: one u32 store per
+    // input byte instead of four shift/mask/LUT steps
+    static uint32_t word[256];
+    static bool init = false;
+    if (!init) {
+        for (int v = 0; v < 256; v++) {
+            uint8_t c[4];
+            for (int k = 0; k < 4; k++) c[k] = (uint8_t)base[(v >> (2 * k)) & 3];
+            memcpy(&word[v], c, 4);
+        }
+        init = true;
+    }
     int64_t avail = nbytes * 4 < length ? nbytes * 4 : length;
-    for (int64_t i = 0; i < avail; i++)
-        out[i] = base[(buf[i >> 2] >> ((i & 3) * 2)) & 3];
+    int64_t nb4 = avail / 4;
+    for (int64_t b = 0; b < nb4; b++)
+        memcpy(out + 4 * b, &word[buf[b]], 4);
+    for (int64_t i = nb4 * 4; i < avail; i++)
+        out[i] = (uint8_t)base[(buf[i >> 2] >> ((i & 3) * 2)) & 3];
     for (int64_t i = avail; i < length; i++) out[i] = 'N';
 }
 
