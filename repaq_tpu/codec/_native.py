@@ -163,9 +163,11 @@ def qualcol_encode(
     if bin_of[major] == 0xFF:
         bin_of[major] = 0xFE
     out = _scratch("qc_out", 5 * n + 4 * nbins + 1024)
-    # 4n posbuf (u32 non-major positions) + 4n+8*nbins segments + 5n
-    # worst-case escapes
-    scratch = _scratch("qc_scr", 13 * n + 8 * nbins + 2048)
+    # 4n posbuf (u32 non-major positions) + segments/escapes. Matches and
+    # escapes split the non-major bytes, so 4*matches + 5*escapes <= 5n:
+    # 9n total — kept tight because the first touch of a freshly grown
+    # scratch page-faults, which dominates single-chunk workloads
+    scratch = _scratch("qc_scr", 9 * n + 8 * nbins + 2048)
     ln = lib.qualcol_encode_sp(
         _ptr(qual, _u8p), n, _ptr(bins, _u8p), nbins, _ptr(bin_of, _u8p),
         _ptr(out, _u8p), _ptr(scratch, _u8p),
