@@ -122,6 +122,9 @@ def _load():
     lib.lz_dist_mtf.argtypes = [_i64p, _i64p, _i64, ctypes.c_int]
     lib.quality_scan.restype = None
     lib.quality_scan.argtypes = [_u8p, _u8p, _i64, _i64p, _i64p, _i64p]
+    lib.assemble_fastq.restype = _i64
+    lib.assemble_fastq.argtypes = [_u8p, _i64p, _u8p, _i64p, _u8p, _i64p,
+                                   _u8p, _i64p, _i64p, _i64, _u8p]
     _LIB = lib
     return _LIB
 
@@ -276,6 +279,31 @@ def pack_2bit(seq: np.ndarray) -> np.ndarray:
     lib = _load()
     out = np.empty((seq.shape[0] + 3) // 4, dtype=np.uint8)
     lib.pack_2bit(_ptr(seq, _u8p), seq.shape[0], _ptr(out, _u8p))
+    return out
+
+
+def assemble_fastq(name_flat, name_off, seq_flat, seq_off, strand_flat,
+                   strand_off, qual_flat, qual_off, idx, total: int):
+    """One-pass FASTQ record assembly for the reads in idx (None = all).
+    total must be the exact output byte count (callers compute it from
+    the length sums). Returns a uint8 array of the records."""
+    lib = _load()
+    out = np.empty(total, dtype=np.uint8)
+    if idx is None:
+        nidx = name_off.shape[0] - 1
+        ip = None
+    else:
+        idx = np.ascontiguousarray(idx, dtype=np.int64)
+        nidx = idx.shape[0]
+        ip = _ptr(idx, _i64p)
+    w = lib.assemble_fastq(
+        _ptr(name_flat, _u8p), _ptr(name_off, _i64p),
+        _ptr(seq_flat, _u8p), _ptr(seq_off, _i64p),
+        _ptr(strand_flat, _u8p), _ptr(strand_off, _i64p),
+        _ptr(qual_flat, _u8p), _ptr(qual_off, _i64p),
+        ip, nidx, _ptr(out, _u8p),
+    )
+    assert w == total, (w, total)
     return out
 
 

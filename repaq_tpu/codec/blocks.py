@@ -136,8 +136,46 @@ class ReadBlock:
             )
         return out
 
+    def to_fastq_buf(self, indices: np.ndarray | None = None) -> np.ndarray:
+        """uint8 array of '@name\\nseq\\n+\\nqual\\n' records for the reads
+        in `indices` (None = all, in order). One native pass when the
+        library is present — the decode hot path calls this with the
+        even/odd PE split so no gather-subset intermediate block, scatter
+        passes, or tobytes copy ever materialize."""
+        from . import _native
+
+        if _native.available():
+            if indices is None:
+                total = int(
+                    self.name_off[-1] + self.seq_off[-1]
+                    + self.strand_off[-1] + self.qual_off[-1] + 4 * self.n
+                )
+                idx = None
+            else:
+                idx = np.ascontiguousarray(indices, dtype=np.int64)
+                total = int(
+                    (np.diff(self.name_off)[idx]).sum()
+                    + (np.diff(self.seq_off)[idx]).sum()
+                    + (np.diff(self.strand_off)[idx]).sum()
+                    + (np.diff(self.qual_off)[idx]).sum() + 4 * idx.shape[0]
+                )
+            return _native.assemble_fastq(
+                self.name_flat, np.ascontiguousarray(self.name_off, np.int64),
+                self.seq_flat, np.ascontiguousarray(self.seq_off, np.int64),
+                self.strand_flat,
+                np.ascontiguousarray(self.strand_off, np.int64),
+                self.qual_flat, np.ascontiguousarray(self.qual_off, np.int64),
+                idx, total,
+            )
+        blk = self if indices is None else self.take(np.asarray(indices))
+        return blk._assemble_np()
+
     def to_fastq_bytes(self) -> bytes:
-        """Assemble '@name\\nseq\\n+\\nqual\\n' records in one scatter pass."""
+        """Assemble '@name\\nseq\\n+\\nqual\\n' records in one pass."""
+        return self.to_fastq_buf().tobytes()
+
+    def _assemble_np(self) -> np.ndarray:
+        """numpy scatter-pass assembly (no-native fallback)."""
         name_lens = np.diff(self.name_off)
         seq_lens = np.diff(self.seq_off)
         strand_lens = np.diff(self.strand_off)
@@ -167,7 +205,7 @@ class ReadBlock:
         put(self.qual_flat, self.qual_off, qual_lens, pos)
         pos = pos + qual_lens
         out[pos] = nl
-        return out.tobytes()
+        return out
 
     def take(self, indices: np.ndarray) -> "ReadBlock":
         """Sub-block of the given read indices (gather copy)."""

@@ -482,6 +482,40 @@ void quality_scan(const uint8_t* seq, const uint8_t* qual, int64_t n,
     out_meta[3] = nonn_after;
 }
 
+// Assemble 'name\nseq\nstrand\nqual\n' FASTQ records (the '@' is part of
+// the stored name) for the reads selected by idx (idx == nullptr: all n
+// in order) in ONE pass — replaces a gather-subset copy followed by four
+// scatter passes and a final tobytes copy on the decode hot path.
+// Returns bytes written.
+int64_t assemble_fastq(const uint8_t* name_flat, const int64_t* name_off,
+                       const uint8_t* seq_flat, const int64_t* seq_off,
+                       const uint8_t* strand_flat, const int64_t* strand_off,
+                       const uint8_t* qual_flat, const int64_t* qual_off,
+                       const int64_t* idx, int64_t nidx, uint8_t* out) {
+    int64_t w = 0;
+    for (int64_t k = 0; k < nidx; k++) {
+        int64_t i = idx ? idx[k] : k;
+        int64_t l;
+        l = name_off[i + 1] - name_off[i];
+        memcpy(out + w, name_flat + name_off[i], (size_t)l);
+        w += l;
+        out[w++] = '\n';
+        l = seq_off[i + 1] - seq_off[i];
+        memcpy(out + w, seq_flat + seq_off[i], (size_t)l);
+        w += l;
+        out[w++] = '\n';
+        l = strand_off[i + 1] - strand_off[i];
+        memcpy(out + w, strand_flat + strand_off[i], (size_t)l);
+        w += l;
+        out[w++] = '\n';
+        l = qual_off[i + 1] - qual_off[i];
+        memcpy(out + w, qual_flat + qual_off[i], (size_t)l);
+        w += l;
+        out[w++] = '\n';
+    }
+    return w;
+}
+
 // 2-bit base pack/unpack (reference rfqcodec.cpp:588-609, 832-853).
 void pack_2bit(const uint8_t* seq, int64_t n, uint8_t* out) {
     static uint8_t table[256];

@@ -874,8 +874,8 @@ def decompress_se_mesh(
             is_last = last_done and j == upto - 1
             if writer2 is not None:
                 idx = np.arange(block.n)
-                o1 = block.take(idx[0::2]).to_fastq_bytes()
-                o2 = block.take(idx[1::2]).to_fastq_bytes()
+                o1 = block.to_fastq_buf(idx[0::2])
+                o2 = block.to_fastq_buf(idx[1::2])
                 if is_last and (chunk.flags & _NL):
                     o1 = o1[:-1]
                 if is_last and (chunk.flags & _NL2):
@@ -883,7 +883,7 @@ def decompress_se_mesh(
                 writer.write(o1)
                 writer2.write(o2)
             else:
-                outstr = block.to_fastq_bytes()
+                outstr = block.to_fastq_buf()
                 if is_last and (chunk.flags & _NL):
                     outstr = outstr[:-1]
                 writer.write(outstr)

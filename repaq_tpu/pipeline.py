@@ -509,7 +509,7 @@ def _decoded_fastq_stream(stream, header: RfqHeader, job, workers: int,
 def _se_decode_job(engine: EngineConfig, header: RfqHeader):
     def job(chunk):
         block = engine.decode_chunk(header, chunk)
-        return block.n, (block.to_fastq_bytes(),)
+        return block.n, (block.to_fastq_buf(),)
 
     return job
 
@@ -519,8 +519,8 @@ def _pe_decode_job(engine: EngineConfig, header: RfqHeader):
         block = engine.decode_chunk(header, chunk)
         idx = np.arange(block.n)
         return block.n, (
-            block.take(idx[0::2]).to_fastq_bytes(),
-            block.take(idx[1::2]).to_fastq_bytes(),
+            block.to_fastq_buf(idx[0::2]),
+            block.to_fastq_buf(idx[1::2]),
         )
 
     return job

@@ -313,3 +313,28 @@ def test_legacy_runlen_chunk_decode(seed):
     assert [(r.seq, r.qual) for r in d1] == [(r.seq, r.qual) for r in d2]
     for got, want in zip(d2, reads):
         assert (got.seq, got.qual) == (want.seq, want.qual)
+
+
+def test_to_fastq_buf_subset_matches_take():
+    """Native one-pass FASTQ assembly (all reads and even/odd subsets)
+    must equal the take()+scatter fallback byte-for-byte."""
+    from repaq_tpu.codec import _native
+
+    rng = random.Random(9)
+    reads = _random_reads(rng, 97, var_len=True)
+    block = ReadBlock.from_reads(reads)
+    want_all = b"".join(r.to_fastq() for r in reads)
+    assert block.to_fastq_buf().tobytes() == want_all
+    idx = np.arange(block.n)
+    for sel in (idx[0::2], idx[1::2], idx[: block.n // 3]):
+        want = b"".join(reads[i].to_fastq() for i in sel.tolist())
+        assert block.to_fastq_buf(sel).tobytes() == want
+    if _native.available():
+        avail = _native.available
+        _native.available = lambda: False
+        try:
+            assert block.to_fastq_buf(idx[1::2]).tobytes() == b"".join(
+                reads[i].to_fastq() for i in idx[1::2].tolist()
+            )
+        finally:
+            _native.available = avail
