@@ -125,6 +125,10 @@ def _load():
     lib.assemble_fastq.restype = _i64
     lib.assemble_fastq.argtypes = [_u8p, _i64p, _u8p, _i64p, _u8p, _i64p,
                                    _u8p, _i64p, _i64p, _i64, _u8p]
+    lib.format_names.restype = _i64
+    lib.format_names.argtypes = [_u8p, _i64p, _i64p, _i64p, _i64p, _i64p,
+                                 _i64p, _u8p, _i64p, _i64p, _i64, _u8p,
+                                 _i64p]
     _LIB = lib
     return _LIB
 
@@ -305,6 +309,38 @@ def assemble_fastq(name_flat, name_off, seq_flat, seq_off, strand_flat,
     )
     assert w == total, (w, total)
     return out
+
+
+def format_names(n1_flat, n1_starts, n1_lens, lane, tile, x, y,
+                 n2_flat, n2_starts, n2_lens, n: int):
+    """Native name reassembly (codec/names.py build_names semantics).
+    Returns (flat uint8 array, int64 offsets[n+1])."""
+    lib = _load()
+
+    def i64(a):
+        return (None if a is None
+                else np.ascontiguousarray(a, dtype=np.int64))
+
+    n1_lens = i64(n1_lens)
+    n2_lens = i64(n2_lens)
+    cap = int(n1_lens.sum()) + 44 * n + 8
+    if n2_lens is not None:
+        cap += int(n2_lens.sum())
+    out = np.empty(cap, dtype=np.uint8)
+    off = np.empty(n + 1, dtype=np.int64)
+
+    def p64(a):
+        return None if a is None else _ptr(a, _i64p)
+
+    w = lib.format_names(
+        _ptr(n1_flat, _u8p), _ptr(i64(n1_starts), _i64p),
+        _ptr(n1_lens, _i64p), p64(i64(lane)), p64(i64(tile)),
+        p64(i64(x)), p64(i64(y)),
+        None if n2_flat is None else _ptr(n2_flat, _u8p),
+        p64(i64(n2_starts)), p64(n2_lens), n, _ptr(out, _u8p),
+        _ptr(off, _i64p),
+    )
+    return out[:w], off
 
 
 def quality_scan(seq: np.ndarray, qual: np.ndarray):

@@ -204,6 +204,18 @@ def build_names(
 ) -> tuple[np.ndarray, np.ndarray]:
     """Reassemble names: name1 [":"+lane][":"+tile][":"+x][":"+y][name2]
     (reference rfqcodec.cpp:1156-1231). Returns (flat, offsets)."""
+    from . import _native
+
+    if _native.available():
+        lt = [None if a is None else a.astype(np.int64)
+              for a in (lane, tile, x, y)]
+        return _native.format_names(
+            np.ascontiguousarray(name1_flat), name1_starts, name1_lens,
+            lt[0], lt[1], lt[2], lt[3],
+            None if name2_flat is None
+            else np.ascontiguousarray(name2_flat),
+            name2_starts, name2_lens, n,
+        )
     total_len = name1_lens.astype(np.int64).copy()
     fields = []
     for arr in (lane, tile, x, y):

@@ -482,6 +482,48 @@ void quality_scan(const uint8_t* seq, const uint8_t* qual, int64_t n,
     out_meta[3] = nonn_after;
 }
 
+// Reassemble read names: name1 [":"+lane][":"+tile][":"+x][":"+y][name2]
+// (reference rfqcodec.cpp:1156-1231; mirrors codec/names.py build_names).
+// Any of lane/tile/x/y/name2 may be null. Fills out_off[n+1]; returns
+// total bytes written.
+static inline int64_t write_dec(uint8_t* p, uint64_t v) {
+    uint8_t tmp[20];
+    int k = 0;
+    do {
+        tmp[k++] = (uint8_t)('0' + v % 10);
+        v /= 10;
+    } while (v);
+    for (int j = 0; j < k; j++) p[j] = tmp[k - 1 - j];
+    return k;
+}
+
+int64_t format_names(const uint8_t* n1_flat, const int64_t* n1_starts,
+                     const int64_t* n1_lens, const int64_t* lane,
+                     const int64_t* tile, const int64_t* x, const int64_t* y,
+                     const uint8_t* n2_flat, const int64_t* n2_starts,
+                     const int64_t* n2_lens, int64_t n, uint8_t* out,
+                     int64_t* out_off) {
+    const int64_t* fields[4] = {lane, tile, x, y};
+    int64_t w = 0;
+    for (int64_t i = 0; i < n; i++) {
+        out_off[i] = w;
+        memcpy(out + w, n1_flat + n1_starts[i], (size_t)n1_lens[i]);
+        w += n1_lens[i];
+        for (int f = 0; f < 4; f++) {
+            if (fields[f]) {
+                out[w++] = ':';
+                w += write_dec(out + w, (uint64_t)fields[f][i]);
+            }
+        }
+        if (n2_flat) {
+            memcpy(out + w, n2_flat + n2_starts[i], (size_t)n2_lens[i]);
+            w += n2_lens[i];
+        }
+    }
+    out_off[n] = w;
+    return w;
+}
+
 // Assemble 'name\nseq\nstrand\nqual\n' FASTQ records (the '@' is part of
 // the stored name) for the reads selected by idx (idx == nullptr: all n
 // in order) in ONE pass — replaces a gather-subset copy followed by four
