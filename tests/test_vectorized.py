@@ -338,3 +338,48 @@ def test_to_fastq_buf_subset_matches_take():
             )
         finally:
             _native.available = avail
+
+
+def test_format_names_native_matches_numpy():
+    """codec/names.build_names: native format_names and the numpy digit
+    matrix must produce identical (flat, offsets) for every field-presence
+    combination."""
+    import numpy as np
+
+    from repaq_tpu.codec import _native, names as N
+
+    if not _native.available():
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(3)
+    for trial in range(40):
+        n = int(rng.integers(1, 200))
+        n1 = [bytes(rng.integers(33, 90, size=int(rng.integers(1, 30)))
+                    .astype(np.uint8)) for _ in range(n)]
+        n1_flat = np.frombuffer(b"".join(n1), dtype=np.uint8)
+        n1_lens = np.array([len(b) for b in n1], dtype=np.int64)
+        n1_starts = np.concatenate([[0], np.cumsum(n1_lens)[:-1]])
+        with_fields = trial % 3 != 0
+        lane = tile = x = y = None
+        if with_fields:
+            lane = rng.integers(0, 9, size=n)
+            tile = rng.integers(0, 30000, size=n)
+            x = rng.integers(0, 1 << 21, size=n)
+            y = rng.integers(0, 1 << 21, size=n)
+        n2_flat = n2_starts = n2_lens = None
+        if trial % 2:
+            n2 = [bytes(rng.integers(33, 90, size=int(rng.integers(0, 12)))
+                        .astype(np.uint8)) for _ in range(n)]
+            n2_flat = np.frombuffer(b"".join(n2), dtype=np.uint8)
+            n2_lens = np.array([len(b) for b in n2], dtype=np.int64)
+            n2_starts = np.concatenate([[0], np.cumsum(n2_lens)[:-1]])
+        args = (n, n1_flat, n1_starts, n1_lens, lane, tile, x, y,
+                n2_flat, n2_starts, n2_lens)
+        got_f, got_o = N.build_names(*args)
+        avail = _native.available
+        _native.available = lambda: False
+        try:
+            want_f, want_o = N.build_names(*args)
+        finally:
+            _native.available = avail
+        assert got_f.tobytes() == want_f.tobytes(), trial
+        assert np.array_equal(got_o, want_o), trial
