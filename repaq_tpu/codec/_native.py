@@ -96,6 +96,8 @@ def _load():
     lib.overlap_pairs.argtypes = [_u8p, _u8p, _i64, _i64, _i64, _i64p]
     lib.copy_slices.restype = None
     lib.copy_slices.argtypes = [_u8p, _i64p, _u8p, _i64p, _i64p, _i64]
+    lib.scan_newlines.restype = _i64
+    lib.scan_newlines.argtypes = [_u8p, _i64, _i64, _i64, _i64p]
     lib.reverse_slices.restype = None
     lib.reverse_slices.argtypes = [_u8p, _i64p, _u8p, _i64p, _i64p, _i64, _u8p]
     lib.pack_2bit.restype = None
@@ -252,6 +254,24 @@ def copy_slices(
         _ptr(np.ascontiguousarray(lens, dtype=np.int64), _i64p),
         len(lens),
     )
+
+
+def scan_newlines(
+    buf: np.ndarray, probe_start: int, start: int, end: int
+) -> np.ndarray | None:
+    """Positions (absolute, int64) of '\\n' bytes in buf[start:end], or
+    None if the window [probe_start, end) contains a danger byte ('\\r'
+    or adjacent newlines) that forces the exact scalar reader."""
+    lib = _load()
+    # newlines can't be adjacent (that's the danger case), so at most
+    # every other byte is one
+    out = np.empty((end - start) // 2 + 2, dtype=np.int64)
+    n = lib.scan_newlines(
+        _ptr(buf, _u8p), probe_start, start, end, _ptr(out, _i64p)
+    )
+    if n < 0:
+        return None
+    return out[:n]
 
 
 def reverse_slices(

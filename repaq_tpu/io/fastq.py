@@ -37,6 +37,7 @@ from typing import Optional
 
 import numpy as np
 
+from ..codec import _native
 from ..codec.blocks import ReadBlock, gather_slices, lens_to_offsets
 from ..codec.oracle import FastqRead
 
@@ -139,13 +140,22 @@ class FastqReader:
             return True
         # include the previous byte so '\n\n' across the scan seam is seen
         probe_start = max(start - 1, self._buf_used)
-        probe = self._buf[probe_start:]
-        if b"\r" in probe or b"\n\n" in probe:
-            return False
-        if probe_start == 0 and self._gbase == 0 and probe.startswith(b"\n"):
+        if probe_start == 0 and self._gbase == 0 and self._buf[:1] == b"\n":
             return False  # file starts with an empty line
-        new = np.frombuffer(self._buf, dtype=np.uint8, count=len(self._buf) - start, offset=start)
-        nl = np.flatnonzero(new == _NL) + start
+        if _native.available():
+            # one memchr pass: danger probe + newline positions together
+            view = np.frombuffer(self._buf, dtype=np.uint8)
+            nl = _native.scan_newlines(view, probe_start, start,
+                                       len(self._buf))
+            if nl is None:
+                return False
+        else:
+            probe = self._buf[probe_start:]
+            if b"\r" in probe or b"\n\n" in probe:
+                return False
+            new = np.frombuffer(self._buf, dtype=np.uint8,
+                                count=len(self._buf) - start, offset=start)
+            nl = np.flatnonzero(new == _NL) + start
         if nl.size:
             self._nl_parts.append(nl)
         self._scanned = len(self._buf)
@@ -188,14 +198,14 @@ class FastqReader:
             rec_end = np.concatenate([rec_end, [len(self._buf)]])
         return total, seq_lens, rec_end
 
-    def _consume_block(self, k: int) -> tuple[ReadBlock, int]:
-        """Build a ReadBlock from the first k available records and consume
-        them. Returns (block, global e after the k-th record)."""
+    def _line_table(self, k: int):
+        """(line_starts, line_ends, new_used) for the first k available
+        records — the index arithmetic of _consume_block without the
+        gathers or the consumption bookkeeping."""
         nl = self._nl_all()
         lpr = self._lpr
         count_term = min(k, nl.shape[0] // lpr)
         used = self._buf_used
-        flat = np.frombuffer(self._buf, dtype=np.uint8)
 
         line_starts = np.empty(lpr * count_term, dtype=np.int64)
         line_starts[0] = used
@@ -215,6 +225,22 @@ class FastqReader:
             new_used = len(self._buf) + 1  # mirrors the reference's end+1
         else:
             new_used = int(nl[lpr * count_term - 1]) + 1
+        return line_starts, line_ends, new_used
+
+    def _commit_consume(self, new_used: int) -> int:
+        """Mark bytes through new_used consumed; returns global offset e."""
+        self._buf_used = new_used
+        self._nl = self._nl[np.searchsorted(self._nl, new_used) :]
+        e = self._gbase + min(new_used, len(self._buf))
+        self._compact()
+        return e
+
+    def _consume_block(self, k: int) -> tuple[ReadBlock, int]:
+        """Build a ReadBlock from the first k available records and consume
+        them. Returns (block, global e after the k-th record)."""
+        lpr = self._lpr
+        line_starts, line_ends, new_used = self._line_table(k)
+        flat = np.frombuffer(self._buf, dtype=np.uint8)
 
         def part(j):
             starts = line_starts[j::lpr]
@@ -237,10 +263,7 @@ class FastqReader:
             k, name_flat, name_off, seq_flat, seq_off,
             strand_flat, strand_off, qual_flat, qual_off,
         )
-        self._buf_used = new_used
-        self._nl = self._nl[np.searchsorted(self._nl, new_used) :]
-        e = self._gbase + min(new_used, len(self._buf))
-        self._compact()
+        e = self._commit_consume(new_used)
         return block, e
 
     def ensure_available(self, min_records: int) -> int:
@@ -529,13 +552,51 @@ class FastqReaderPair:
                 return self._consume_pairs(m)
 
     def _consume_pairs(self, k: int):
-        b1, e1 = self.left._consume_block(k)
-        b2, e2 = self.right._consume_block(k)
-        return (
-            b1.interleave(b2),
-            self.left._flag_visible(e1),
-            self.right._flag_visible(e2),
+        r1, r2 = self.left, self.right
+        if (
+            not _native.available()
+            or not (r1.has_quality and r2.has_quality)
+            or r1.phred64
+            or r2.phred64
+        ):
+            b1, e1 = r1._consume_block(k)
+            b2, e2 = r2._consume_block(k)
+            return (
+                b1.interleave(b2),
+                r1._flag_visible(e1),
+                r2._flag_visible(e2),
+            )
+        # fused path: scatter each field straight from the two file
+        # buffers into the interleaved layout — one copy of every byte
+        # instead of the gather-then-interleave two (the PE read stage is
+        # ~40% of encode wall; this halves its memory traffic)
+        ls1, le1, nu1 = r1._line_table(k)
+        ls2, le2, nu2 = r2._line_table(k)
+        flat1 = np.frombuffer(r1._buf, dtype=np.uint8)
+        flat2 = np.frombuffer(r2._buf, dtype=np.uint8)
+        fields = []
+        for j in range(4):
+            sa = ls1[j::4]
+            la = le1[j::4] - sa
+            sb = ls2[j::4]
+            lb = le2[j::4] - sb
+            lens = np.empty(2 * k, dtype=np.int64)
+            lens[0::2] = la
+            lens[1::2] = lb
+            off = lens_to_offsets(lens)
+            out = np.empty(int(off[-1]), dtype=np.uint8)
+            _native.copy_slices(flat1, sa, out, off[0:-1:2], la)
+            _native.copy_slices(flat2, sb, out, off[1:-1:2], lb)
+            fields.append((out, off))
+        del flat1, flat2  # views pin the bytearrays against resize
+        e1 = r1._commit_consume(nu1)
+        e2 = r2._commit_consume(nu2)
+        block = ReadBlock(
+            2 * k,
+            fields[0][0], fields[0][1], fields[1][0], fields[1][1],
+            fields[2][0], fields[2][1], fields[3][0], fields[3][1],
         )
+        return block, r1._flag_visible(e1), r2._flag_visible(e2)
 
     def skip_pair_block(self, budget_bases: int) -> tuple[int, bool, bool]:
         """Plan-only twin of read_pair_block: same pair selection, no

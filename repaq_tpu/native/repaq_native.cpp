@@ -418,6 +418,40 @@ void copy_slices(const uint8_t* src, const int64_t* src_starts, uint8_t* dst,
         memcpy(dst + dst_starts[i], src + src_starts[i], (size_t)lens[i]);
 }
 
+// Newline scan for the fast FASTQ reader (io/fastq.py _scan_new): one
+// memchr-driven pass replaces a bytearray slice copy plus three whole-
+// buffer probes ('\r' search, '\n\n' search, flatnonzero). Scans
+// [probe_start, end) for danger bytes (any '\r', or two adjacent '\n' —
+// the quirk inputs that force the exact scalar reader), records the
+// positions of newlines at offsets >= start into out (absolute buffer
+// offsets), and returns the count, or -1 if a danger byte was seen.
+// probe_start <= start includes at most the one byte before start so a
+// "\n\n" straddling the previous scan seam is still caught (mirrors the
+// numpy path's probe window).
+int64_t scan_newlines(const uint8_t* buf, int64_t probe_start, int64_t start,
+                      int64_t end, int64_t* out) {
+    if (end <= probe_start) return 0;
+    if (memchr(buf + probe_start, '\r', (size_t)(end - probe_start)))
+        return -1;
+    int64_t prev = -2;
+    for (int64_t i = probe_start; i < start; i++)
+        if (buf[i] == '\n') prev = i;
+    int64_t count = 0;
+    const uint8_t* p = buf + start;
+    const uint8_t* e = buf + end;
+    while (p < e) {
+        const uint8_t* q =
+            (const uint8_t*)memchr(p, '\n', (size_t)(e - p));
+        if (!q) break;
+        int64_t pos = q - buf;
+        if (pos == prev + 1) return -1;
+        prev = pos;
+        out[count++] = pos;
+        p = q + 1;
+    }
+    return count;
+}
+
 // Reverse-copy each slice (dst slice i = reversed src slice i), optionally
 // mapping bytes through a 256-entry table (revcomp); table==nullptr copies.
 void reverse_slices(const uint8_t* src, const int64_t* src_starts, uint8_t* dst,
