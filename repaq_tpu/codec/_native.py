@@ -98,6 +98,8 @@ def _load():
     lib.copy_slices.argtypes = [_u8p, _i64p, _u8p, _i64p, _i64p, _i64]
     lib.scan_newlines.restype = _i64
     lib.scan_newlines.argtypes = [_u8p, _i64, _i64, _i64, _i64p]
+    lib.all_same_slices.restype = _i64
+    lib.all_same_slices.argtypes = [_u8p, _i64p, _i64, _i64]
     lib.reverse_slices.restype = None
     lib.reverse_slices.argtypes = [_u8p, _i64p, _u8p, _i64p, _i64p, _i64, _u8p]
     lib.pack_2bit.restype = None
@@ -253,6 +255,19 @@ def copy_slices(
         _ptr(np.ascontiguousarray(dst_starts, dtype=np.int64), _i64p),
         _ptr(np.ascontiguousarray(lens, dtype=np.int64), _i64p),
         len(lens),
+    )
+
+
+def all_same_slices(flat: np.ndarray, starts: np.ndarray, L: int) -> bool:
+    """True iff flat[starts[i]:+L] == flat[starts[0]:+L] for all i
+    (early-exit memcmp; no gather matrix)."""
+    lib = _load()
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
+    return bool(
+        lib.all_same_slices(
+            _ptr(np.ascontiguousarray(flat), _u8p), _ptr(starts, _i64p),
+            starts.shape[0], L,
+        )
     )
 
 

@@ -33,6 +33,7 @@ from ..constants import (
 )
 from ..format.chunk import RfqChunk
 from ..format.header import RfqHeader
+from . import _native
 from . import kernels_np as K
 from . import oracle
 from .blocks import ReadBlock, gather_slices, lens_to_offsets
@@ -246,6 +247,8 @@ def _all_same_content(flat, starts, lens) -> bool:
     L = int(lens[0])
     if L == 0:
         return True
+    if _native.available():
+        return _native.all_same_slices(flat, starts, L)
     mat = gather_slices(flat, starts, np.full(n, L, dtype=np.int64)).reshape(n, L)
     return bool((mat == mat[0]).all())
 

@@ -185,11 +185,30 @@ int64_t qualcol_encode_sp(const uint8_t* qual, int64_t n, const uint8_t* bins,
     int64_t nm = 0;  // non-major count (== posbuf length)
     if (major_char >= 0) {
         uint8_t mc = (uint8_t)major_char;
-        for (int64_t i = 0; i < n; i++) {
-            uint8_t q = qual[i];
-            posbuf[nm] = (int32_t)i;
-            nm += (q != mc);
-            counts4[i & 3][bin_of[q]]++;
+        // the per-byte LUT + counter increment on major bytes is most of
+        // pass 1 when the major dominates; when it doesn't, the fused
+        // single pass wins. Pick by a strided sample of the major
+        // fraction (break-even ~0.57 major).
+        int64_t step = n > 65536 ? n >> 16 : 1;
+        int64_t smaj = 0, scnt = 0;
+        for (int64_t i = 0; i < n; i += step, scnt++)
+            smaj += (qual[i] == mc);
+        if (smaj * 7 >= scnt * 4) {
+            // compact first (pure compare+store streaming loop), then
+            // histogram only the compacted non-major positions
+            for (int64_t i = 0; i < n; i++) {
+                posbuf[nm] = (int32_t)i;
+                nm += (qual[i] != mc);
+            }
+            for (int64_t j = 0; j < nm; j++)
+                counts4[j & 3][bin_of[qual[posbuf[j]]]]++;
+        } else {
+            for (int64_t i = 0; i < n; i++) {
+                uint8_t q = qual[i];
+                posbuf[nm] = (int32_t)i;
+                nm += (q != mc);
+                counts4[i & 3][bin_of[q]]++;
+            }
         }
     } else {
         for (int64_t i = 0; i < n; i++) {
@@ -416,6 +435,18 @@ void copy_slices(const uint8_t* src, const int64_t* src_starts, uint8_t* dst,
                  const int64_t* dst_starts, const int64_t* lens, int64_t n) {
     for (int64_t i = 0; i < n; i++)
         memcpy(dst + dst_starts[i], src + src_starts[i], (size_t)lens[i]);
+}
+
+// All-slices-identical predicate (codec/vectorized.py _all_same_content,
+// the "same name / same strand" chunk flags, rfqcodec.cpp:171-287): each
+// slice memcmp'd against slice 0 with early exit — no (n, L) gather
+// matrix materialized.
+int64_t all_same_slices(const uint8_t* flat, const int64_t* starts,
+                        int64_t n, int64_t L) {
+    const uint8_t* first = flat + starts[0];
+    for (int64_t i = 1; i < n; i++)
+        if (memcmp(flat + starts[i], first, (size_t)L)) return 0;
+    return 1;
 }
 
 // Newline scan for the fast FASTQ reader (io/fastq.py _scan_new): one
