@@ -409,9 +409,9 @@ def bench_scaling(f1: str, total_bytes_hint: int, tmp: str) -> None:
         "t0 = time.time()\n"
         "compress_distributed_jax(in1, out1, chunk_size=1_000_000,\n"
         "    num_processes=int(nproc), process_id=int(pid), timings=t)\n"
-        "print('ELAPSED %.3f ENC %.3f GATHER %.3f PART %d'\n"
+        "print('ELAPSED %.3f ENC %.3f GATHER %.3f PART %d SYNC %.3f'\n"
         "      % (time.time() - t0, t['encode_s'], t['gather_s'],\n"
-        "         t['part_bytes']))\n"
+        "         t['part_bytes'], t.get('sync_s', 0.0)))\n"
     )
     import socket
 
@@ -442,24 +442,30 @@ def bench_scaling(f1: str, total_bytes_hint: int, tmp: str) -> None:
             stats.append({
                 "elapsed": float(toks[1]), "enc": float(toks[3]),
                 "gather": float(toks[5]), "part": int(toks[7]),
+                "sync": float(toks[9]) if len(toks) > 9 else 0.0,
             })
         os.unlink(out)
         # init/import excluded: measured from after process-group setup
         return stats
 
-    s1 = run(1)
-    s2 = run(2)
+    # best-of-2: first-run numbers on this VM pay the host's lazy
+    # guest-RAM backing for every fresh allocation (see bench_nova_scale)
+    s1 = min((run(1) for _ in range(2)),
+             key=lambda s: max(st["elapsed"] for st in s))
+    s2 = min((run(2) for _ in range(2)),
+             key=lambda s: max(st["elapsed"] for st in s))
     t1 = max(st["elapsed"] for st in s1)
     t2 = max(st["elapsed"] for st in s2)
     gather2 = max(st["gather"] for st in s2)
+    sync2 = max(st["sync"] for st in s2)
     part2 = max(st["part"] for st in s2)
     eff = t1 / (2 * t2)
     log(
         "  jaxdist transport at real part sizes (%.0f MB corpus): 2p "
-        "part %.1f MB, slab gather %.2fs (%.0f MB/s) vs encode %.2fs "
-        "-> transport fraction %.1f%%"
+        "part %.1f MB, slab gather %.2fs (%.0f MB/s) + rank-skew sync "
+        "%.2fs vs encode %.2fs -> transport fraction %.1f%%"
         % (big_bytes / 1e6, part2 / 1e6, gather2, part2 / 1e6 /
-           max(gather2, 1e-3), max(st["enc"] for st in s2),
+           max(gather2, 1e-3), sync2, max(st["enc"] for st in s2),
            100 * gather2 / max(t2, 1e-3))
     )
     # decompose: the plan is replicated per rank (serial fraction), the
@@ -1150,12 +1156,14 @@ def main() -> None:
         from repaq_tpu.format.rfqz import RfqzReader, RfqzWriter
 
         zpath = os.path.join(tmp, "bench.rfqz")
-        t0 = time.time()
-        w = RfqzWriter(zpath)
-        pipeline.compress_pe(f1, f2, "", out_stream=w,
-                             chunk_size=16_000_000)
-        w.close()
-        z_s = time.time() - t0
+        z_s = float("inf")  # best-of-2 (lazy guest-RAM backing, see nova)
+        for _rep in range(2):
+            t0 = time.time()
+            w = RfqzWriter(zpath)
+            pipeline.compress_pe(f1, f2, "", out_stream=w,
+                                 chunk_size=16_000_000)
+            w.close()
+            z_s = min(z_s, time.time() - t0)
         z_bytes = os.path.getsize(zpath)
         # the ratio denominator must be the SAME chunking the stage
         # actually compressed (16Mb chunks), not the 1Mb-chunk bench.rfq
@@ -1165,9 +1173,11 @@ def main() -> None:
         os.unlink(rfq16)
         z1 = os.path.join(tmp, "z_R1.fq")
         z2 = os.path.join(tmp, "z_R2.fq")
-        t0 = time.time()
-        pipeline.decompress_pe("", z1, z2, in_stream=RfqzReader(zpath))
-        z_dec_s = time.time() - t0
+        z_dec_s = float("inf")
+        for _rep in range(2):
+            t0 = time.time()
+            pipeline.decompress_pe("", z1, z2, in_stream=RfqzReader(zpath))
+            z_dec_s = min(z_dec_s, time.time() - t0)
         assert filecmp.cmp(f1, z1, shallow=False) and filecmp.cmp(
             f2, z2, shallow=False
         ), "rfqz roundtrip mismatch"

@@ -168,6 +168,15 @@ def compress_distributed_jax(
     if timings is not None:
         timings["encode_s"] = _time.time() - t0
         timings["part_bytes"] = len(part)
+        # separate rank-skew wait from transport: the first collective
+        # blocks until the slowest rank arrives, so on a time-shared box
+        # (or with any encode imbalance) it would otherwise be booked as
+        # gather time. A zero-byte barrier absorbs the skew here.
+        t0 = _time.time()
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("repaq_gather_start")
+        timings["sync_s"] = _time.time() - t0
         t0 = _time.time()
     if process_id == 0:
         with open(out1, "wb") as f:
