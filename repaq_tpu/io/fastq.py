@@ -208,8 +208,9 @@ class FastqReader:
         used = self._buf_used
 
         line_starts = np.empty(lpr * count_term, dtype=np.int64)
-        line_starts[0] = used
-        line_starts[1:] = nl[: lpr * count_term - 1] + 1
+        if count_term:  # a lone unterminated record has no full rows
+            line_starts[0] = used
+            line_starts[1:] = nl[: lpr * count_term - 1] + 1
         line_ends = nl[: lpr * count_term].copy()
         if k > count_term:
             # unterminated final record (lpr-1 newlines + tail)

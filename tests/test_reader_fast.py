@@ -1,0 +1,161 @@
+"""Fast-reader internals: the native newline scanner and the fused PE
+interleave gather must agree byte-for-byte with their pure-numpy
+fallbacks on adversarial inputs (reference fastqreader.cpp semantics are
+proven separately by the golden/interop suites; these tests pin the two
+round-4 host fast paths to the fallback behavior)."""
+
+import numpy as np
+import pytest
+
+from repaq_tpu.codec import _native
+from repaq_tpu.io import fastq as fq
+
+needs_native = pytest.mark.skipif(
+    not _native.available(), reason="native library unavailable"
+)
+
+
+def _numpy_scan(buf: bytes, probe_start: int, start: int):
+    """The pre-native _scan_new logic, as a reference."""
+    probe = buf[probe_start:]
+    if b"\r" in probe or b"\n\n" in probe:
+        return None
+    new = np.frombuffer(buf, dtype=np.uint8, count=len(buf) - start,
+                        offset=start)
+    return np.flatnonzero(new == ord("\n")) + start
+
+
+@needs_native
+def test_scan_newlines_matches_numpy_fuzz():
+    rng = np.random.default_rng(7)
+    alphabet = np.frombuffer(b"AC\nGT", dtype=np.uint8)
+    danger = np.frombuffer(b"\r\n", dtype=np.uint8)
+    for trial in range(300):
+        n = int(rng.integers(1, 400))
+        buf = rng.choice(alphabet, size=n).astype(np.uint8)
+        if trial % 3 == 0 and n > 2:
+            # inject danger bytes (CR or adjacent newlines)
+            k = int(rng.integers(1, 4))
+            pos = rng.integers(0, n, size=k)
+            buf[pos] = rng.choice(danger, size=k)
+        raw = buf.tobytes()
+        start = int(rng.integers(0, n))
+        probe_start = max(start - 1, 0)
+        want = _numpy_scan(raw, probe_start, start)
+        got = _native.scan_newlines(buf, probe_start, start, n)
+        if want is None:
+            # the numpy probe sees danger anywhere in [probe_start, end);
+            # so must the native scan
+            assert got is None, (trial, raw)
+        else:
+            assert got is not None, (trial, raw)
+            np.testing.assert_array_equal(got, want)
+
+
+@needs_native
+def test_scan_newlines_seam_cases():
+    # '\n\n' straddling the seam: first '\n' is the probe byte
+    buf = np.frombuffer(b"AC\n\nGT", dtype=np.uint8)
+    assert _native.scan_newlines(buf, 2, 3, 6) is None
+    # seam after the pair: probe window [3,6) has a single '\n', no
+    # danger — the previous scan's window already saw the '\n\n'
+    assert _native.scan_newlines(buf, 3, 4, 6).size == 0
+    # CR anywhere in the probed window is danger
+    buf = np.frombuffer(b"ACGT\rA", dtype=np.uint8)
+    assert _native.scan_newlines(buf, 0, 0, 6) is None
+    # clean window: positions are absolute
+    buf = np.frombuffer(b"A\nCC\nG", dtype=np.uint8)
+    got = _native.scan_newlines(buf, 0, 0, 6)
+    np.testing.assert_array_equal(got, [1, 4])
+    # empty window
+    assert _native.scan_newlines(buf, 3, 3, 3).size == 0
+
+
+def _rand_pe_files(tmp_path, rng, n_pairs, crlf=False, tail_no_nl=False):
+    paths = []
+    for mate in (1, 2):
+        recs = []
+        for i in range(n_pairs):
+            L = int(rng.integers(1, 40))
+            seq = bytes(rng.choice(np.frombuffer(b"ACGTN", np.uint8),
+                                   size=L))
+            qual = bytes(rng.integers(33, 74, size=L, dtype=np.uint8))
+            name = b"@r%d/%d" % (i, mate)
+            recs.append(b"%s\n%s\n+\n%s\n" % (name, seq, qual))
+        data = b"".join(recs)
+        if tail_no_nl:
+            data = data[:-1]
+        p = tmp_path / ("pe_R%d.fq" % mate)
+        p.write_bytes(data)
+        paths.append(str(p))
+    return paths
+
+
+@needs_native
+def test_fused_pair_consume_matches_fallback(tmp_path, monkeypatch):
+    rng = np.random.default_rng(11)
+    for trial in range(8):
+        n = int(rng.integers(1, 60))
+        p1, p2 = _rand_pe_files(tmp_path, rng, n, tail_no_nl=(trial % 3 == 0))
+        budget = int(rng.integers(20, 400))
+
+        def read_all(use_native):
+            if not use_native:
+                monkeypatch.setattr(_native, "available", lambda: False)
+            else:
+                monkeypatch.undo()
+            rp = fq.FastqReaderPair(p1, p2)
+            blocks = []
+            while True:
+                blk, f1, f2 = rp.read_pair_block(budget)
+                if blk is None or blk.n == 0:
+                    break
+                blocks.append((blk, f1, f2))
+            rp.left.close()
+            if rp.right:
+                rp.right.close()
+            return blocks
+
+        a = read_all(True)
+        b = read_all(False)
+        assert len(a) == len(b)
+        for (ba, fa1, fa2), (bb, fb1, fb2) in zip(a, b):
+            assert (fa1, fa2) == (fb1, fb2)
+            assert ba.n == bb.n
+            for fld in ("name", "seq", "strand", "qual"):
+                np.testing.assert_array_equal(
+                    getattr(ba, fld + "_flat"), getattr(bb, fld + "_flat"))
+                np.testing.assert_array_equal(
+                    getattr(ba, fld + "_off"), getattr(bb, fld + "_off"))
+
+
+def test_single_unterminated_record_roundtrips(tmp_path):
+    """A file that is exactly one record with no trailing newline has
+    zero fully-terminated rows (count_term == 0) — this crashed the bulk
+    reader's line-table arithmetic before round 4 (verified byte-exact
+    against the reference binary after the fix)."""
+    from repaq_tpu import pipeline
+
+    src = tmp_path / "one.fq"
+    src.write_bytes(b"@r0\nACGT\n+\nIIII")
+    rfq = tmp_path / "one.rfq"
+    back = tmp_path / "back.fq"
+    pipeline.compress_se(str(src), str(rfq))
+    pipeline.decompress(str(rfq), str(back))
+    assert back.read_bytes() == src.read_bytes()
+
+
+@needs_native
+def test_all_same_slices_matches_gather():
+    rng = np.random.default_rng(3)
+    for _ in range(100):
+        n = int(rng.integers(1, 50))
+        L = int(rng.integers(1, 12))
+        flat = rng.integers(0, 4, size=n * L + 8, dtype=np.uint8)
+        starts = (np.arange(n, dtype=np.int64) * L)
+        if rng.random() < 0.5:
+            flat[: n * L] = np.tile(flat[:L], n)  # force all-same
+        want = bool(
+            (flat[: n * L].reshape(n, L) == flat[:L]).all()
+        )
+        assert _native.all_same_slices(flat, starts, L) == want
