@@ -94,14 +94,19 @@ def _load():
     lib.token_starts.argtypes = [_i64p, _i64, _i64p]
     lib.overlap_pairs.restype = None
     lib.overlap_pairs.argtypes = [_u8p, _u8p, _i64, _i64, _i64, _i64p]
+    # hottest per-chunk entry points take raw pointer ints (c_void_p):
+    # data_as(POINTER(..)) costs ~2 us per argument in marshalling, which
+    # showed up at ~8% of encode wall at 13 calls/chunk. Their wrappers
+    # bind every array to a local so the buffer outlives the call.
+    _vp = ctypes.c_void_p
     lib.copy_slices.restype = None
-    lib.copy_slices.argtypes = [_u8p, _i64p, _u8p, _i64p, _i64p, _i64]
+    lib.copy_slices.argtypes = [_vp, _vp, _vp, _vp, _vp, _i64]
     lib.scan_newlines.restype = _i64
-    lib.scan_newlines.argtypes = [_u8p, _i64, _i64, _i64, _i64p]
+    lib.scan_newlines.argtypes = [_vp, _i64, _i64, _i64, _vp]
     lib.all_same_slices.restype = _i64
-    lib.all_same_slices.argtypes = [_u8p, _i64p, _i64, _i64]
+    lib.all_same_slices.argtypes = [_vp, _vp, _i64, _i64]
     lib.reverse_slices.restype = None
-    lib.reverse_slices.argtypes = [_u8p, _i64p, _u8p, _i64p, _i64p, _i64, _u8p]
+    lib.reverse_slices.argtypes = [_vp, _vp, _vp, _vp, _vp, _i64, _vp]
     lib.pack_2bit.restype = None
     lib.pack_2bit.argtypes = [_u8p, _i64, _u8p]
     lib.unpack_2bit.restype = None
@@ -248,13 +253,13 @@ def copy_slices(
     lens: np.ndarray,
 ) -> None:
     lib = _load()
+    # locals keep every buffer alive across the raw-pointer call
+    ss = np.ascontiguousarray(src_starts, dtype=np.int64)
+    ds = np.ascontiguousarray(dst_starts, dtype=np.int64)
+    ln = np.ascontiguousarray(lens, dtype=np.int64)
     lib.copy_slices(
-        _ptr(src, _u8p),
-        _ptr(np.ascontiguousarray(src_starts, dtype=np.int64), _i64p),
-        _ptr(dst, _u8p),
-        _ptr(np.ascontiguousarray(dst_starts, dtype=np.int64), _i64p),
-        _ptr(np.ascontiguousarray(lens, dtype=np.int64), _i64p),
-        len(lens),
+        src.ctypes.data, ss.ctypes.data, dst.ctypes.data, ds.ctypes.data,
+        ln.ctypes.data, len(ln),
     )
 
 
@@ -262,11 +267,11 @@ def all_same_slices(flat: np.ndarray, starts: np.ndarray, L: int) -> bool:
     """True iff flat[starts[i]:+L] == flat[starts[0]:+L] for all i
     (early-exit memcmp; no gather matrix)."""
     lib = _load()
+    flat = np.ascontiguousarray(flat)
     starts = np.ascontiguousarray(starts, dtype=np.int64)
     return bool(
         lib.all_same_slices(
-            _ptr(np.ascontiguousarray(flat), _u8p), _ptr(starts, _i64p),
-            starts.shape[0], L,
+            flat.ctypes.data, starts.ctypes.data, starts.shape[0], L
         )
     )
 
@@ -282,7 +287,7 @@ def scan_newlines(
     # every other byte is one
     out = np.empty((end - start) // 2 + 2, dtype=np.int64)
     n = lib.scan_newlines(
-        _ptr(buf, _u8p), probe_start, start, end, _ptr(out, _i64p)
+        buf.ctypes.data, probe_start, start, end, out.ctypes.data
     )
     if n < 0:
         return None
@@ -299,18 +304,17 @@ def reverse_slices(
 ) -> None:
     lib = _load()
     tbl = (
-        _ptr(np.ascontiguousarray(table, dtype=np.uint8), _u8p)
+        np.ascontiguousarray(table, dtype=np.uint8)
         if table is not None
         else None
     )
+    ss = np.ascontiguousarray(src_starts, dtype=np.int64)
+    ds = np.ascontiguousarray(dst_starts, dtype=np.int64)
+    ln = np.ascontiguousarray(lens, dtype=np.int64)
     lib.reverse_slices(
-        _ptr(src, _u8p),
-        _ptr(np.ascontiguousarray(src_starts, dtype=np.int64), _i64p),
-        _ptr(dst, _u8p),
-        _ptr(np.ascontiguousarray(dst_starts, dtype=np.int64), _i64p),
-        _ptr(np.ascontiguousarray(lens, dtype=np.int64), _i64p),
-        len(lens),
-        tbl,
+        src.ctypes.data, ss.ctypes.data, dst.ctypes.data, ds.ctypes.data,
+        ln.ctypes.data, len(ln),
+        tbl.ctypes.data if tbl is not None else None,
     )
 
 
