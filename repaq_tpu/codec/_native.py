@@ -74,31 +74,33 @@ def _load():
         lib = ctypes.CDLL(_SO)
     except OSError:
         return None
-    lib.positions_encode.restype = _i64
-    lib.positions_encode.argtypes = [_u8p, _i64, ctypes.c_uint8, _u8p, _u8p]
-    lib.positions_decode.restype = _i64
-    lib.positions_decode.argtypes = [_u8p, _i64, _i64p]
-    lib.positions_scatter.restype = None
-    lib.positions_scatter.argtypes = [_u8p, _i64, ctypes.c_uint8, _u8p]
-    lib.qualcol_encode.restype = _i64
-    lib.qualcol_encode.argtypes = [_u8p, _i64, _u8p, _i32, ctypes.c_uint8, _u8p, _u8p]
-    lib.qualcol_encode_sp.restype = _i64
-    lib.qualcol_encode_sp.argtypes = [_u8p, _i64, _u8p, _i32, _u8p, _u8p, _u8p]
-    lib.qualcol_decode.restype = None
-    lib.qualcol_decode.argtypes = [_u8p, _i64, _u8p, _i32, _u8p, _i64]
-    lib.coords_encode.restype = _i64
-    lib.coords_encode.argtypes = [_i64p, _i64, _u8p]
-    lib.coords_decode.restype = _i64
-    lib.coords_decode.argtypes = [_u8p, _i64, _i64p, _i64]
-    lib.token_starts.restype = _i64
-    lib.token_starts.argtypes = [_i64p, _i64, _i64p]
-    lib.overlap_pairs.restype = None
-    lib.overlap_pairs.argtypes = [_u8p, _u8p, _i64, _i64, _i64, _i64p]
-    # hottest per-chunk entry points take raw pointer ints (c_void_p):
-    # data_as(POINTER(..)) costs ~2 us per argument in marshalling, which
-    # showed up at ~8% of encode wall at 13 calls/chunk. Their wrappers
-    # bind every array to a local so the buffer outlives the call.
+    # per-chunk entry points take raw pointer ints (c_void_p):
+    # data_as(POINTER(..)) costs ~2 us per pointer argument in
+    # marshalling, which showed up at ~8% of encode and ~14% of decode
+    # wall at nova scale. Every wrapper binds its arrays to locals so the
+    # buffers outlive the call. (The per-SECTION rANS/LZ entry points
+    # keep typed pointers — a handful of calls per file.)
     _vp = ctypes.c_void_p
+    lib.positions_encode.restype = _i64
+    lib.positions_encode.argtypes = [_vp, _i64, ctypes.c_uint8, _vp, _vp]
+    lib.positions_decode.restype = _i64
+    lib.positions_decode.argtypes = [_vp, _i64, _vp]
+    lib.positions_scatter.restype = None
+    lib.positions_scatter.argtypes = [_vp, _i64, ctypes.c_uint8, _vp]
+    lib.qualcol_encode.restype = _i64
+    lib.qualcol_encode.argtypes = [_vp, _i64, _vp, _i32, ctypes.c_uint8, _vp, _vp]
+    lib.qualcol_encode_sp.restype = _i64
+    lib.qualcol_encode_sp.argtypes = [_vp, _i64, _vp, _i32, _vp, _vp, _vp]
+    lib.qualcol_decode.restype = None
+    lib.qualcol_decode.argtypes = [_vp, _i64, _vp, _i32, _vp, _i64]
+    lib.coords_encode.restype = _i64
+    lib.coords_encode.argtypes = [_vp, _i64, _vp]
+    lib.coords_decode.restype = _i64
+    lib.coords_decode.argtypes = [_vp, _i64, _vp, _i64]
+    lib.token_starts.restype = _i64
+    lib.token_starts.argtypes = [_vp, _i64, _vp]
+    lib.overlap_pairs.restype = None
+    lib.overlap_pairs.argtypes = [_vp, _vp, _i64, _i64, _i64, _vp]
     lib.copy_slices.restype = None
     lib.copy_slices.argtypes = [_vp, _vp, _vp, _vp, _vp, _i64]
     lib.scan_newlines.restype = _i64
@@ -108,9 +110,9 @@ def _load():
     lib.reverse_slices.restype = None
     lib.reverse_slices.argtypes = [_vp, _vp, _vp, _vp, _vp, _i64, _vp]
     lib.pack_2bit.restype = None
-    lib.pack_2bit.argtypes = [_u8p, _i64, _u8p]
+    lib.pack_2bit.argtypes = [_vp, _i64, _vp]
     lib.unpack_2bit.restype = None
-    lib.unpack_2bit.argtypes = [_u8p, _i64, _u8p, _i64]
+    lib.unpack_2bit.argtypes = [_vp, _i64, _vp, _i64]
     lib.rans_encode.restype = _i64
     lib.rans_encode.argtypes = [_u8p, _i64, _i64p, _i64, _i32p, _i32p,
                                 _i32, _u8p, _i64p]
@@ -118,9 +120,9 @@ def _load():
     lib.rans_decode.argtypes = [_u8p, _i64p, _i64, _i64p, _i32p, _i32p,
                                 _u8p, _i32, _u8p]
     lib.atoi_spans.restype = None
-    lib.atoi_spans.argtypes = [_u8p, _i64p, _i64p, _i64, _i64p]
+    lib.atoi_spans.argtypes = [_vp, _vp, _vp, _i64, _vp]
     lib.parse_names_batch.restype = None
-    lib.parse_names_batch.argtypes = [_u8p, _i64p, _i64, _i64p]
+    lib.parse_names_batch.argtypes = [_vp, _vp, _i64, _vp]
     lib.lz_parse.restype = _i64
     lib.lz_parse.argtypes = [_u8p, _i64, _i64, _i64p, _i64p, _i64p, _i64,
                              _i64]
@@ -130,14 +132,14 @@ def _load():
     lib.lz_dist_mtf.restype = None
     lib.lz_dist_mtf.argtypes = [_i64p, _i64p, _i64, ctypes.c_int]
     lib.quality_scan.restype = None
-    lib.quality_scan.argtypes = [_u8p, _u8p, _i64, _i64p, _i64p, _i64p]
+    lib.quality_scan.argtypes = [_vp, _vp, _i64, _vp, _vp, _vp]
     lib.assemble_fastq.restype = _i64
-    lib.assemble_fastq.argtypes = [_u8p, _i64p, _u8p, _i64p, _u8p, _i64p,
-                                   _u8p, _i64p, _i64p, _i64, _u8p]
+    lib.assemble_fastq.argtypes = [_vp, _vp, _vp, _vp, _vp, _vp,
+                                   _vp, _vp, _vp, _i64, _vp]
     lib.format_names.restype = _i64
-    lib.format_names.argtypes = [_u8p, _i64p, _i64p, _i64p, _i64p, _i64p,
-                                 _i64p, _u8p, _i64p, _i64p, _i64, _u8p,
-                                 _i64p]
+    lib.format_names.argtypes = [_vp, _vp, _vp, _vp, _vp, _vp,
+                                 _vp, _vp, _vp, _vp, _i64, _vp,
+                                 _vp]
     _LIB = lib
     return _LIB
 
@@ -151,7 +153,7 @@ def positions_encode(data: np.ndarray, q: int) -> np.ndarray:
     n = data.shape[0]
     out = _scratch("pe_out", n + 64)
     ln = lib.positions_encode(
-        _ptr(data, _u8p), n, q, _ptr(out, _u8p), None
+        data.ctypes.data, n, q, out.ctypes.data, None
     )
     return out[:ln].copy()
 
@@ -160,7 +162,7 @@ def positions_decode(buf: np.ndarray) -> np.ndarray:
     lib = _load()
     # a 1-byte run token decodes to <=32 positions
     out = np.empty(buf.shape[0] * 32 + 1, dtype=np.int64)
-    cnt = lib.positions_decode(_ptr(buf, _u8p), buf.shape[0], _ptr(out, _i64p))
+    cnt = lib.positions_decode(buf.ctypes.data, buf.shape[0], out.ctypes.data)
     return out[:cnt]
 
 
@@ -185,8 +187,8 @@ def qualcol_encode(
     # scratch page-faults, which dominates single-chunk workloads
     scratch = _scratch("qc_scr", 9 * n + 8 * nbins + 2048)
     ln = lib.qualcol_encode_sp(
-        _ptr(qual, _u8p), n, _ptr(bins, _u8p), nbins, _ptr(bin_of, _u8p),
-        _ptr(out, _u8p), _ptr(scratch, _u8p),
+        qual.ctypes.data, n, bins.ctypes.data, nbins, bin_of.ctypes.data,
+        out.ctypes.data, scratch.ctypes.data,
     )
     return out[:ln].copy()
 
@@ -198,8 +200,8 @@ def qualcol_decode(
     qual = np.full(length, major, dtype=np.uint8)
     bins = np.ascontiguousarray(bins, dtype=np.uint8)
     lib.qualcol_decode(
-        _ptr(buf, _u8p), buf.shape[0], _ptr(bins, _u8p), bins.shape[0],
-        _ptr(qual, _u8p), length,
+        buf.ctypes.data, buf.shape[0], bins.ctypes.data, bins.shape[0],
+        qual.ctypes.data, length,
     )
     return qual
 
@@ -208,7 +210,7 @@ def coords_encode(vals: np.ndarray) -> np.ndarray:
     lib = _load()
     vals = np.ascontiguousarray(vals, dtype=np.int64)
     out = np.empty(vals.shape[0] * 3 + 8, dtype=np.uint8)
-    ln = lib.coords_encode(_ptr(vals, _i64p), vals.shape[0], _ptr(out, _u8p))
+    ln = lib.coords_encode(vals.ctypes.data, vals.shape[0], out.ctypes.data)
     if ln < 0:
         from ..format.header import RfqFormatError
 
@@ -222,7 +224,7 @@ def coords_encode(vals: np.ndarray) -> np.ndarray:
 def coords_decode(buf: np.ndarray, num: int) -> np.ndarray:
     lib = _load()
     out = np.zeros(num, dtype=np.int64)
-    lib.coords_decode(_ptr(buf, _u8p), buf.shape[0], _ptr(out, _i64p), num)
+    lib.coords_decode(buf.ctypes.data, buf.shape[0], out.ctypes.data, num)
     return out
 
 
@@ -230,7 +232,7 @@ def token_starts(lens: np.ndarray) -> np.ndarray:
     lib = _load()
     lens = np.ascontiguousarray(lens, dtype=np.int64)
     out = np.empty(lens.shape[0], dtype=np.int64)
-    n = lib.token_starts(_ptr(lens, _i64p), lens.shape[0], _ptr(out, _i64p))
+    n = lib.token_starts(lens.ctypes.data, lens.shape[0], out.ctypes.data)
     return out[:n]
 
 
@@ -241,7 +243,7 @@ def overlap_pairs(r1: np.ndarray, r2: np.ndarray) -> np.ndarray:
     out = np.zeros(p, dtype=np.int64)
     r1 = np.ascontiguousarray(r1)
     r2 = np.ascontiguousarray(r2)
-    lib.overlap_pairs(_ptr(r1, _u8p), _ptr(r2, _u8p), p, l1, l2, _ptr(out, _i64p))
+    lib.overlap_pairs(r1.ctypes.data, r2.ctypes.data, p, l1, l2, out.ctypes.data)
     return out
 
 
@@ -321,7 +323,7 @@ def reverse_slices(
 def pack_2bit(seq: np.ndarray) -> np.ndarray:
     lib = _load()
     out = np.empty((seq.shape[0] + 3) // 4, dtype=np.uint8)
-    lib.pack_2bit(_ptr(seq, _u8p), seq.shape[0], _ptr(out, _u8p))
+    lib.pack_2bit(seq.ctypes.data, seq.shape[0], out.ctypes.data)
     return out
 
 
@@ -338,13 +340,13 @@ def assemble_fastq(name_flat, name_off, seq_flat, seq_off, strand_flat,
     else:
         idx = np.ascontiguousarray(idx, dtype=np.int64)
         nidx = idx.shape[0]
-        ip = _ptr(idx, _i64p)
+        ip = idx.ctypes.data
     w = lib.assemble_fastq(
-        _ptr(name_flat, _u8p), _ptr(name_off, _i64p),
-        _ptr(seq_flat, _u8p), _ptr(seq_off, _i64p),
-        _ptr(strand_flat, _u8p), _ptr(strand_off, _i64p),
-        _ptr(qual_flat, _u8p), _ptr(qual_off, _i64p),
-        ip, nidx, _ptr(out, _u8p),
+        name_flat.ctypes.data, name_off.ctypes.data,
+        seq_flat.ctypes.data, seq_off.ctypes.data,
+        strand_flat.ctypes.data, strand_off.ctypes.data,
+        qual_flat.ctypes.data, qual_off.ctypes.data,
+        ip, nidx, out.ctypes.data,
     )
     assert w == total, (w, total)
     return out
@@ -360,8 +362,13 @@ def format_names(n1_flat, n1_starts, n1_lens, lane, tile, x, y,
         return (None if a is None
                 else np.ascontiguousarray(a, dtype=np.int64))
 
+    # every converted array is BOUND to a local: a raw .ctypes.data int
+    # does not keep its buffer alive the way data_as did
+    n1_starts = i64(n1_starts)
     n1_lens = i64(n1_lens)
+    n2_starts = i64(n2_starts)
     n2_lens = i64(n2_lens)
+    lane, tile, x, y = i64(lane), i64(tile), i64(x), i64(y)
     cap = int(n1_lens.sum()) + 44 * n + 8
     if n2_lens is not None:
         cap += int(n2_lens.sum())
@@ -369,15 +376,14 @@ def format_names(n1_flat, n1_starts, n1_lens, lane, tile, x, y,
     off = np.empty(n + 1, dtype=np.int64)
 
     def p64(a):
-        return None if a is None else _ptr(a, _i64p)
+        return None if a is None else a.ctypes.data
 
     w = lib.format_names(
-        _ptr(n1_flat, _u8p), _ptr(i64(n1_starts), _i64p),
-        _ptr(n1_lens, _i64p), p64(i64(lane)), p64(i64(tile)),
-        p64(i64(x)), p64(i64(y)),
-        None if n2_flat is None else _ptr(n2_flat, _u8p),
-        p64(i64(n2_starts)), p64(n2_lens), n, _ptr(out, _u8p),
-        _ptr(off, _i64p),
+        n1_flat.ctypes.data, n1_starts.ctypes.data,
+        n1_lens.ctypes.data, p64(lane), p64(tile), p64(x), p64(y),
+        None if n2_flat is None else n2_flat.ctypes.data,
+        p64(n2_starts), p64(n2_lens), n, out.ctypes.data,
+        off.ctypes.data,
     )
     return out[:w], off
 
@@ -391,16 +397,16 @@ def quality_scan(seq: np.ndarray, qual: np.ndarray):
     seq_hist = np.zeros(256, dtype=np.int64)
     qual_hist = np.zeros(256, dtype=np.int64)
     meta = np.zeros(4, dtype=np.int64)
-    lib.quality_scan(_ptr(seq, _u8p), _ptr(qual, _u8p), seq.shape[0],
-                     _ptr(seq_hist, _i64p), _ptr(qual_hist, _i64p),
-                     _ptr(meta, _i64p))
+    lib.quality_scan(seq.ctypes.data, qual.ctypes.data, seq.shape[0],
+                     seq_hist.ctypes.data, qual_hist.ctypes.data,
+                     meta.ctypes.data)
     return seq_hist, qual_hist, meta
 
 
 def unpack_2bit(buf: np.ndarray, length: int) -> np.ndarray:
     lib = _load()
     out = np.empty(length, dtype=np.uint8)
-    lib.unpack_2bit(_ptr(buf, _u8p), buf.shape[0], _ptr(out, _u8p), length)
+    lib.unpack_2bit(buf.ctypes.data, buf.shape[0], out.ctypes.data, length)
     return out
 
 
@@ -443,7 +449,7 @@ def parse_names_batch(flat: np.ndarray, off: np.ndarray) -> np.ndarray:
     off = np.ascontiguousarray(off, dtype=np.int64)
     flat = np.ascontiguousarray(flat, dtype=np.uint8)
     lib.parse_names_batch(
-        _ptr(flat, _u8p), _ptr(off, _i64p), n, _ptr(out, _i64p)
+        flat.ctypes.data, off.ctypes.data, n, out.ctypes.data
     )
     return out
 
@@ -530,7 +536,7 @@ def atoi_spans(flat: np.ndarray, starts: np.ndarray, ends: np.ndarray) -> np.nda
     starts = np.ascontiguousarray(starts, dtype=np.int64)
     ends = np.ascontiguousarray(ends, dtype=np.int64)
     lib.atoi_spans(
-        _ptr(flat, _u8p), _ptr(starts, _i64p), _ptr(ends, _i64p), n,
-        _ptr(out, _i64p),
+        flat.ctypes.data, starts.ctypes.data, ends.ctypes.data, n,
+        out.ctypes.data,
     )
     return out
