@@ -29,10 +29,12 @@ int64_t positions_encode(const uint8_t* data, int64_t n, uint8_t q,
     int64_t last = -1;
     int64_t cur = 0;
     while (cur < n) {
-        while (data[cur] != q) {
-            cur++;
-            if (cur >= n) return buf_len;
-        }
+        // SIMD skip to the next match: target symbols (N bases, sparse
+        // quality bins) are typically <1% of the stream
+        const uint8_t* hit =
+            (const uint8_t*)memchr(data + cur, q, (size_t)(n - cur));
+        if (!hit) return buf_len;
+        cur = hit - data;
         if (mask) mask[cur] = 1;
         if (cur - last == 1 && cur > 1) {
             int64_t run = 1;
