@@ -107,6 +107,9 @@ def _load():
     lib.scan_newlines.argtypes = [_vp, _i64, _i64, _i64, _vp]
     lib.all_same_slices.restype = _i64
     lib.all_same_slices.argtypes = [_vp, _vp, _i64, _i64]
+    lib.name2_predicates.restype = None
+    lib.name2_predicates.argtypes = [_vp, _vp, _vp, _i64, _i64,
+                                     ctypes.c_int, _vp, _vp]
     lib.reverse_slices.restype = None
     lib.reverse_slices.argtypes = [_vp, _vp, _vp, _vp, _vp, _i64, _vp]
     lib.pack_2bit.restype = None
@@ -276,6 +279,23 @@ def all_same_slices(flat: np.ndarray, starts: np.ndarray, L: int) -> bool:
             flat.ctypes.data, starts.ctypes.data, starts.shape[0], L
         )
     )
+
+
+def name2_predicates(flat, starts, lens, diff_pos: int, diff_char: int):
+    """(eq_first bool[n], pair_ok bool[n//2]) for the name2 chunk flags —
+    per-slice memcmp, no gather matrices."""
+    lib = _load()
+    flat = np.ascontiguousarray(flat)
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
+    lens = np.ascontiguousarray(lens, dtype=np.int64)
+    n = starts.shape[0]
+    eq_first = np.empty(n, dtype=np.uint8)
+    pair_ok = np.empty(n // 2, dtype=np.uint8)
+    lib.name2_predicates(
+        flat.ctypes.data, starts.ctypes.data, lens.ctypes.data, n,
+        diff_pos, diff_char, eq_first.ctypes.data, pair_ok.ctypes.data,
+    )
+    return eq_first.view(bool), pair_ok.view(bool)
 
 
 def scan_newlines(

@@ -534,49 +534,60 @@ def _compute_name2_same_and_interleave(
     name2Same predicate depends on where/why degradation happened."""
     n = block.n
     lens = meta["name2_len"].astype(np.int64)
-    n2_0 = _name2_bytes(block, meta, 0)
-    len0 = len(n2_0)
-
-    eq_first = np.zeros(n, dtype=bool)
-    same_len_as_first = lens == len0
-    if same_len_as_first.any() and len0 > 0:
-        idxs = np.flatnonzero(same_len_as_first)
-        mat = gather_slices(
-            block.name_flat,
-            meta["name2_start"][idxs],
-            np.full(idxs.shape[0], len0, dtype=np.int64),
-        ).reshape(-1, len0)
-        first = np.frombuffer(n2_0, dtype=np.uint8)
-        eq_first[idxs] = (mat == first).all(axis=1)
-    elif len0 == 0:
-        eq_first = lens == 0
-
-    if not can_interleave:
-        return bool(eq_first.all()), False
-
-    # pair-level consistency
     diff_pos, diff_char = header.name2_diff_pos, header.name2_diff_char
-    pairs = n // 2
-    name2_ok = np.zeros(pairs, dtype=bool)
-    if bool((lens == lens[0]).all()):
-        L = int(lens[0])
-        if L == 0:
-            name2_ok[:] = diff_char == 0
-        else:
-            mat = gather_slices(
-                block.name_flat, meta["name2_start"], lens
-            ).reshape(n, L)
-            even = mat[0::2].copy()
-            if diff_char != 0 and diff_pos < L:
-                even[:, diff_pos] = diff_char
-            name2_ok = (even == mat[1::2]).all(axis=1)
+
+    if _native.available():
+        eq_first, name2_ok = _native.name2_predicates(
+            block.name_flat, meta["name2_start"], lens, diff_pos,
+            diff_char,
+        )
+        if not can_interleave:
+            return bool(eq_first.all()), False
     else:
-        for pidx in range(pairs):
-            a = bytearray(_name2_bytes(block, meta, 2 * pidx))
-            b = _name2_bytes(block, meta, 2 * pidx + 1)
-            if diff_char != 0 and diff_pos < len(a):
-                a[diff_pos] = diff_char
-            name2_ok[pidx] = bytes(a) == b
+        n2_0 = _name2_bytes(block, meta, 0)
+        len0 = len(n2_0)
+
+        eq_first = np.zeros(n, dtype=bool)
+        same_len_as_first = lens == len0
+        if same_len_as_first.any() and len0 > 0:
+            idxs = np.flatnonzero(same_len_as_first)
+            mat = gather_slices(
+                block.name_flat,
+                meta["name2_start"][idxs],
+                np.full(idxs.shape[0], len0, dtype=np.int64),
+            ).reshape(-1, len0)
+            first = np.frombuffer(n2_0, dtype=np.uint8)
+            eq_first[idxs] = (mat == first).all(axis=1)
+        elif len0 == 0:
+            eq_first = lens == 0
+
+        if not can_interleave:
+            return bool(eq_first.all()), False
+
+        # pair-level consistency
+        pairs = n // 2
+        name2_ok = np.zeros(pairs, dtype=bool)
+        if bool((lens == lens[0]).all()):
+            L = int(lens[0])
+            if L == 0:
+                # oracle.py:513-516 substitutes only when diff_pos <
+                # len(name2): empty name2s always compare equal
+                name2_ok[:] = True
+            else:
+                mat = gather_slices(
+                    block.name_flat, meta["name2_start"], lens
+                ).reshape(n, L)
+                even = mat[0::2].copy()
+                if diff_char != 0 and diff_pos < L:
+                    even[:, diff_pos] = diff_char
+                name2_ok = (even == mat[1::2]).all(axis=1)
+        else:
+            for pidx in range(pairs):
+                a = bytearray(_name2_bytes(block, meta, 2 * pidx))
+                b = _name2_bytes(block, meta, 2 * pidx + 1)
+                if diff_char != 0 and diff_pos < len(a):
+                    a[diff_pos] = diff_char
+                name2_ok[pidx] = bytes(a) == b
 
     lane = meta["lane"]
     tile = meta["tile"]

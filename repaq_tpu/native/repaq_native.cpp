@@ -439,6 +439,43 @@ void copy_slices(const uint8_t* src, const int64_t* src_starts, uint8_t* dst,
         memcpy(dst + dst_starts[i], src + src_starts[i], (size_t)lens[i]);
 }
 
+// Name2 chunk predicates (codec/vectorized.py
+// _compute_name2_same_and_interleave, reference rfqcodec.cpp:233-270)
+// without gather matrices: eq_first[i] = name2_i == name2_0 (length +
+// bytes); pair_ok[p] = name2_{2p} with byte diff_pos substituted by
+// diff_char (when diff_char != 0 and diff_pos < len) equals
+// name2_{2p+1}. Caller applies the reference's sequential degradation
+// logic on top.
+void name2_predicates(const uint8_t* flat, const int64_t* starts,
+                      const int64_t* lens, int64_t n, int64_t diff_pos,
+                      int diff_char, uint8_t* eq_first, uint8_t* pair_ok) {
+    const uint8_t* first = flat + starts[0];
+    int64_t len0 = lens[0];
+    for (int64_t i = 0; i < n; i++) {
+        eq_first[i] =
+            lens[i] == len0 &&
+            (len0 == 0 || !memcmp(flat + starts[i], first, (size_t)len0));
+    }
+    for (int64_t p = 0; p < n / 2; p++) {
+        int64_t la = lens[2 * p], lb = lens[2 * p + 1];
+        if (la != lb) {
+            pair_ok[p] = 0;
+            continue;
+        }
+        const uint8_t* a = flat + starts[2 * p];
+        const uint8_t* b = flat + starts[2 * p + 1];
+        if (diff_char != 0 && diff_pos < la) {
+            pair_ok[p] =
+                (diff_pos == 0 || !memcmp(a, b, (size_t)diff_pos)) &&
+                b[diff_pos] == (uint8_t)diff_char &&
+                !memcmp(a + diff_pos + 1, b + diff_pos + 1,
+                        (size_t)(la - diff_pos - 1));
+        } else {
+            pair_ok[p] = !memcmp(a, b, (size_t)la);
+        }
+    }
+}
+
 // All-slices-identical predicate (codec/vectorized.py _all_same_content,
 // the "same name / same strand" chunk flags, rfqcodec.cpp:171-287): each
 // slice memcmp'd against slice 0 with early exit — no (n, L) gather

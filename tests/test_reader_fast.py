@@ -146,6 +146,38 @@ def test_single_unterminated_record_roundtrips(tmp_path):
 
 
 @needs_native
+def test_name2_predicates_match_oracle_semantics():
+    """eq_first / pair_ok vs a direct rendering of oracle.py:495-521
+    (substitution only when diff_pos < len; empty name2s compare equal)."""
+    rng = np.random.default_rng(5)
+    for _ in range(200):
+        n = 2 * int(rng.integers(1, 20))
+        lens = rng.integers(0, 6, size=n).astype(np.int64)
+        if rng.random() < 0.3:
+            lens[:] = lens[0]  # homogeneous case
+        flat = rng.integers(65, 68, size=int(lens.sum()) + 1,
+                            dtype=np.uint8)
+        starts = np.zeros(n, dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        diff_pos = int(rng.integers(0, 5))
+        diff_char = int(rng.choice([0, 66]))
+        eq_first, pair_ok = _native.name2_predicates(
+            flat, starts, lens, diff_pos, diff_char)
+
+        def nm(i):
+            return flat[starts[i]: starts[i] + lens[i]].tobytes()
+
+        for i in range(n):
+            assert eq_first[i] == (nm(i) == nm(0))
+        for p in range(n // 2):
+            a = bytearray(nm(2 * p))
+            b = nm(2 * p + 1)
+            if diff_char != 0 and diff_pos < len(a):
+                a[diff_pos] = diff_char
+            assert pair_ok[p] == (bytes(a) == b), (p, a, b)
+
+
+@needs_native
 def test_all_same_slices_matches_gather():
     rng = np.random.default_rng(3)
     for _ in range(100):
