@@ -18,6 +18,11 @@
 #include <cstdio>
 #include <cstdlib>
 
+#if defined(__AVX512VBMI__) && defined(__AVX512BW__)
+#include <immintrin.h>
+#define REPAQ_AVX512_VBMI 1
+#endif
+
 extern "C" {
 
 // Gap/run position stream for one symbol (reference rfqcodec.cpp:625-710).
@@ -196,9 +201,24 @@ int64_t qualcol_encode_sp(const uint8_t* qual, int64_t n, const uint8_t* bins,
         for (int64_t i = 0; i < n; i += step, scnt++)
             smaj += (qual[i] == mc);
         if (smaj * 7 >= scnt * 4) {
-            // compact first (pure compare+store streaming loop), then
-            // histogram only the compacted non-major positions
-            for (int64_t i = 0; i < n; i++) {
+            // compact first, then histogram only the compacted
+            // non-major positions
+            int64_t i = 0;
+#ifdef REPAQ_AVX512_VBMI
+            // 16 positions per vpcompressd step
+            const __m128i mcv = _mm_set1_epi8((char)mc);
+            const __m512i lane = _mm512_set_epi32(
+                15, 14, 13, 12, 11, 10, 9, 8, 7, 6, 5, 4, 3, 2, 1, 0);
+            for (; i + 16 <= n; i += 16) {
+                __m128i b = _mm_loadu_si128((const __m128i*)(qual + i));
+                __mmask16 m = _mm_cmpneq_epi8_mask(b, mcv);
+                __m512i idx =
+                    _mm512_add_epi32(lane, _mm512_set1_epi32((int)i));
+                _mm512_mask_compressstoreu_epi32(posbuf + nm, m, idx);
+                nm += __builtin_popcount((unsigned)m);
+            }
+#endif
+            for (; i < n; i++) {
                 posbuf[nm] = (int32_t)i;
                 nm += (qual[i] != mc);
             }
@@ -524,9 +544,58 @@ int64_t scan_newlines(const uint8_t* buf, int64_t probe_start, int64_t start,
 
 // Reverse-copy each slice (dst slice i = reversed src slice i), optionally
 // mapping bytes through a 256-entry table (revcomp); table==nullptr copies.
+// On AVX-512 VBMI hosts the 64-byte body of each slice runs as one vpermb
+// reverse plus a 4x vpermb / 2-blend 256-entry lookup (the revcomp path is
+// hot in BOTH directions: odd-mate revcomp on encode, un-revcomp on
+// decode); sub-64-byte tails stay scalar.
 void reverse_slices(const uint8_t* src, const int64_t* src_starts, uint8_t* dst,
                     const int64_t* dst_starts, const int64_t* lens, int64_t n,
                     const uint8_t* table) {
+#ifdef REPAQ_AVX512_VBMI
+    const __m512i rev_idx = _mm512_set_epi8(
+        0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18,
+        19, 20, 21, 22, 23, 24, 25, 26, 27, 28, 29, 30, 31, 32, 33, 34, 35,
+        36, 37, 38, 39, 40, 41, 42, 43, 44, 45, 46, 47, 48, 49, 50, 51, 52,
+        53, 54, 55, 56, 57, 58, 59, 60, 61, 62, 63);
+    __m512i t0{}, t1{}, t2{}, t3{};
+    const __m512i b6 = _mm512_set1_epi8(0x40);
+    const __m512i b7 = _mm512_set1_epi8((char)0x80);
+    if (table) {
+        t0 = _mm512_loadu_si512(table);
+        t1 = _mm512_loadu_si512(table + 64);
+        t2 = _mm512_loadu_si512(table + 128);
+        t3 = _mm512_loadu_si512(table + 192);
+    }
+    for (int64_t i = 0; i < n; i++) {
+        const uint8_t* s = src + src_starts[i];
+        uint8_t* d = dst + dst_starts[i];
+        int64_t L = lens[i];
+        int64_t j = 0;
+        for (; j + 64 <= L; j += 64) {
+            __m512i v = _mm512_loadu_si512(s + L - j - 64);
+            v = _mm512_permutexvar_epi8(rev_idx, v);
+            if (table) {
+                // vpermb indexes by the low 6 bits; bits 6/7 select the
+                // table quarter
+                __m512i r0 = _mm512_permutexvar_epi8(v, t0);
+                __m512i r1 = _mm512_permutexvar_epi8(v, t1);
+                __m512i r2 = _mm512_permutexvar_epi8(v, t2);
+                __m512i r3 = _mm512_permutexvar_epi8(v, t3);
+                __mmask64 m6 = _mm512_test_epi8_mask(v, b6);
+                __mmask64 m7 = _mm512_test_epi8_mask(v, b7);
+                v = _mm512_mask_blend_epi8(
+                    m7, _mm512_mask_blend_epi8(m6, r0, r1),
+                    _mm512_mask_blend_epi8(m6, r2, r3));
+            }
+            _mm512_storeu_si512(d + j, v);
+        }
+        if (table) {
+            for (; j < L; j++) d[j] = table[s[L - 1 - j]];
+        } else {
+            for (; j < L; j++) d[j] = s[L - 1 - j];
+        }
+    }
+#else
     for (int64_t i = 0; i < n; i++) {
         const uint8_t* s = src + src_starts[i];
         uint8_t* d = dst + dst_starts[i];
@@ -537,6 +606,7 @@ void reverse_slices(const uint8_t* src, const int64_t* src_starts, uint8_t* dst,
             for (int64_t j = 0; j < L; j++) d[j] = s[L - 1 - j];
         }
     }
+#endif
 }
 
 // One-pass header-statistics scan (format/header.py quality_stats — the
