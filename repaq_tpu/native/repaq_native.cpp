@@ -413,6 +413,46 @@ int64_t token_starts(const int64_t* lens, int64_t n, int64_t* out) {
 
 // First-match PE overlap (reference rfqcodec.cpp:1391-1438): r1/r2 are
 // (pairs, L1)/(pairs, L2) row-major; out gets +o forward / -o backward / 0.
+#ifdef REPAQ_AVX512_VBMI
+// First match of `needle`'s prefix against `hay`'s suffixes, smallest
+// overlap o in [12, minlen] first (identical order to the scalar scan):
+// one vpcmpeqb tests needle[0] at 64 candidate addresses, candidates are
+// visited high-address-first (= ascending o), then the scalar 8-byte
+// word + memcmp confirm. All 64-byte loads stay inside the row: the
+// window never reads above hay+hl-12.
+static inline int64_t overlap_scan_avx(const uint8_t* hay, int64_t hl,
+                                       const uint8_t* needle,
+                                       int64_t minlen) {
+    int64_t lo = hl - minlen, hi = hl - 12;
+    int64_t span = hi - lo + 1;
+    if (span <= 0) return 0;
+    uint64_t n8;
+    memcpy(&n8, needle, 8);
+    const __m512i fb = _mm512_set1_epi8((char)needle[0]);
+    int64_t done = 0;
+    while (done < span) {
+        int64_t cnt = span - done < 64 ? span - done : 64;
+        int64_t base = hi - done - cnt + 1;
+        __mmask64 valid =
+            cnt == 64 ? ~0ULL : ((1ULL << cnt) - 1);
+        __mmask64 m = _mm512_mask_cmpeq_epi8_mask(
+            valid, _mm512_loadu_si512(hay + base), fb);
+        while (m) {
+            int i = 63 - __builtin_clzll((unsigned long long)m);
+            uint64_t w;
+            memcpy(&w, hay + base + i, 8);
+            int64_t o = hl - (base + i);
+            if (w == n8 &&
+                memcmp(hay + base + i, needle, (size_t)o) == 0)
+                return o;
+            m &= ~(1ULL << i);
+        }
+        done += cnt;
+    }
+    return 0;
+}
+#endif
+
 void overlap_pairs(const uint8_t* r1, const uint8_t* r2, int64_t pairs,
                    int64_t l1, int64_t l2, int64_t* out) {
     int64_t minlen = l1 < l2 ? l1 : l2;
@@ -420,6 +460,10 @@ void overlap_pairs(const uint8_t* r1, const uint8_t* r2, int64_t pairs,
         const uint8_t* a = r1 + p * l1;
         const uint8_t* b = r2 + p * l2;
         int64_t found = 0;
+#ifdef REPAQ_AVX512_VBMI
+        found = overlap_scan_avx(a, l1, b, minlen);
+        if (!found) found = -overlap_scan_avx(b, l2, a, minlen);
+#else
         // 8-byte prefilter: candidate o must start with the other read's
         // first 8 bytes (o >= 12 > 8 keeps all loads in-bounds); the full
         // memcmp runs only on prefilter hits — random data almost never
@@ -447,6 +491,7 @@ void overlap_pairs(const uint8_t* r1, const uint8_t* r2, int64_t pairs,
                 }
             }
         }
+#endif
         out[p] = found;
     }
 }
