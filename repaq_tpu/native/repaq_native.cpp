@@ -1444,6 +1444,59 @@ void parse_names_batch(const uint8_t* flat, const int64_t* off, int64_t n,
         int64_t last_colon_pos = 0;
         int64_t coords_start_at = 0, coords_end_at = 0;
         int64_t lane = 0, tile = 0, x = 0, y = 0;
+#ifdef REPAQ_AVX512_VBMI
+        if (len <= 64) {
+            // one masked load + two compares give every ':' / ' ' event;
+            // the state machine then steps event to event instead of
+            // byte to byte (identical decisions to the scalar loop)
+            __mmask64 valid = len == 64 ? ~0ULL : ((1ULL << len) - 1);
+            __m512i v = _mm512_maskz_loadu_epi8(valid, flat + s);
+            __mmask64 mc = _mm512_mask_cmpeq_epi8_mask(
+                valid, v, _mm512_set1_epi8(':'));
+            __mmask64 msp = _mm512_mask_cmpeq_epi8_mask(
+                valid, v, _mm512_set1_epi8(' '));
+            __mmask64 ev = mc | msp;
+            while (ev) {
+                int64_t i = __builtin_ctzll((unsigned long long)ev);
+                int is_colon = (mc >> i) & 1;
+                if (is_colon) colon++;
+                if (colon >= 4 && colon <= 7) {
+                    int64_t val = atoi_span_one(
+                        flat, s + last_colon_pos + 1, s + i);
+                    if (is_colon) {
+                        if (colon == 4) {
+                            lane = val;
+                            coords_start_at = last_colon_pos + 1;
+                        } else if (colon == 5) {
+                            tile = val;
+                        } else if (colon == 6) {
+                            x = val;
+                        } else if (colon == 7) {
+                            y = val;
+                        }
+                    } else {
+                        if (colon == 4) {
+                            lane = val;
+                            coords_start_at = last_colon_pos + 1;
+                        } else if (colon == 5) {
+                            tile = val;
+                        } else if (colon == 6) {
+                            y = val;
+                        } else if (colon == 7) {
+                            y = val;
+                        }
+                    }
+                }
+                if (is_colon) last_colon_pos = i;
+                if (!is_colon || colon == 7) {
+                    coords_end_at = i;
+                    break;
+                }
+                ev &= ev - 1;
+            }
+            goto emit;
+        }
+#endif
         for (int64_t i = 0; i < len; i++) {
             uint8_t c = flat[s + i];
             int is_colon = c == ':';
@@ -1472,6 +1525,9 @@ void parse_names_batch(const uint8_t* flat, const int64_t* off, int64_t n,
                 break;
             }
         }
+#ifdef REPAQ_AVX512_VBMI
+    emit:;
+#endif
         int64_t* row = out + 9 * k;
         if (coords_start_at > 0 && coords_end_at > 0) {
             row[0] = 1;
