@@ -787,7 +787,44 @@ void pack_2bit(const uint8_t* seq, int64_t n, uint8_t* out) {
         init = true;
     }
     int64_t nb = n / 4;
-    for (int64_t b = 0; b < nb; b++) {
+    int64_t b = 0;
+#ifdef REPAQ_AVX512_VBMI
+    // 64 bases -> 16 packed bytes: vpermb classify on the low 6 bits,
+    // exactness restored by rebuilding the canonical char and masking
+    // mismatches to 0 (scalar table maps every non-GATC byte to 0);
+    // then 2-bit fields combine via multiply-add pairs and the 16
+    // low bytes gather out with one vpermb.
+    {
+        static const uint8_t GATC[4] = {'G', 'A', 'T', 'C'};
+        uint8_t cls[64];
+        memset(cls, 0, 64);
+        cls['G' & 63] = 0; cls['A' & 63] = 1;
+        cls['T' & 63] = 2; cls['C' & 63] = 3;
+        const __m512i vcls = _mm512_loadu_si512(cls);
+        uint8_t chr[64];
+        for (int i = 0; i < 64; i++) chr[i] = GATC[i & 3];
+        const __m512i vchr = _mm512_loadu_si512(chr);
+        const __m512i w14 = _mm512_set1_epi16(0x0401);   // bytes [1, 4]
+        const __m512i w116 = _mm512_set1_epi32(0x00100001);  // u16 [1, 16]
+        uint8_t gidx[64];
+        memset(gidx, 0, 64);
+        for (int i = 0; i < 16; i++) gidx[i] = (uint8_t)(4 * i);
+        const __m512i vg = _mm512_loadu_si512(gidx);
+        for (; b + 16 <= nb; b += 16) {
+            __m512i v = _mm512_loadu_si512(seq + 4 * b);
+            __m512i code = _mm512_permutexvar_epi8(v, vcls);
+            __mmask64 ok = _mm512_cmpeq_epi8_mask(
+                _mm512_permutexvar_epi8(code, vchr), v);
+            code = _mm512_maskz_mov_epi8(ok, code);
+            __m512i p = _mm512_maddubs_epi16(code, w14);
+            p = _mm512_madd_epi16(p, w116);
+            p = _mm512_permutexvar_epi8(vg, p);
+            _mm_storeu_si128((__m128i*)(out + b),
+                             _mm512_castsi512_si128(p));
+        }
+    }
+#endif
+    for (; b < nb; b++) {
         const uint8_t* s = seq + 4 * b;
         out[b] = (uint8_t)(table[s[0]] | (table[s[1]] << 2)
                            | (table[s[2]] << 4) | (table[s[3]] << 6));
@@ -817,7 +854,36 @@ void unpack_2bit(const uint8_t* buf, int64_t nbytes, uint8_t* out,
     }
     int64_t avail = nbytes * 4 < length ? nbytes * 4 : length;
     int64_t nb4 = avail / 4;
-    for (int64_t b = 0; b < nb4; b++)
+    int64_t b = 0;
+#ifdef REPAQ_AVX512_VBMI
+    // 16 packed bytes -> 64 bases: replicate each byte 4x (vpermb),
+    // vpmultishiftqb pulls each output's 2-bit field to the bottom
+    // (offset 8*j + 2*(j&3) per qword position, wrap bits masked off),
+    // and a final vpermb maps code -> base char.
+    {
+        uint8_t ridx[64];
+        for (int i = 0; i < 64; i++) ridx[i] = (uint8_t)(i >> 2);
+        const __m512i vr = _mm512_loadu_si512(ridx);
+        uint8_t sh[64];
+        for (int i = 0; i < 64; i++)
+            sh[i] = (uint8_t)(8 * (i & 7) + 2 * (i & 3));
+        const __m512i vsh = _mm512_loadu_si512(sh);
+        uint8_t chr[64];
+        for (int i = 0; i < 64; i++) chr[i] = (uint8_t)base[i & 3];
+        const __m512i vchr = _mm512_loadu_si512(chr);
+        const __m512i three = _mm512_set1_epi8(3);
+        for (; b + 16 <= nb4; b += 16) {
+            __m512i v = _mm512_castsi128_si512(
+                _mm_loadu_si128((const __m128i*)(buf + b)));
+            v = _mm512_permutexvar_epi8(vr, v);
+            v = _mm512_multishift_epi64_epi8(vsh, v);
+            v = _mm512_and_si512(v, three);
+            v = _mm512_permutexvar_epi8(v, vchr);
+            _mm512_storeu_si512(out + 4 * b, v);
+        }
+    }
+#endif
+    for (; b < nb4; b++)
         memcpy(out + 4 * b, &word[buf[b]], 4);
     for (int64_t i = nb4 * 4; i < avail; i++)
         out[i] = (uint8_t)base[(buf[i >> 2] >> ((i & 3) * 2)) & 3];
