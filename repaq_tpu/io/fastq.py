@@ -42,6 +42,7 @@ from ..codec.blocks import ReadBlock, gather_slices, lens_to_offsets
 from ..codec.oracle import FastqRead
 
 FQ_BUF_SIZE = 1 << 20
+_ZERO_BLOCK = bytes(FQ_BUF_SIZE)
 
 _NL = ord("\n")
 _CR = ord("\r")
@@ -85,19 +86,26 @@ class FastqReader:
     # block fetching
     # ------------------------------------------------------------------
     def _fetch_block(self) -> None:
-        data = self._file.read(FQ_BUF_SIZE)
-        while data is not None and 0 < len(data) < FQ_BUF_SIZE:
-            more = self._file.read(FQ_BUF_SIZE - len(data))
-            if not more:
-                break
-            data += more
-        data = data or b""
-        self._total_size += len(data)
-        if data:
-            self._last_byte = data[-1]
-        if len(data) < FQ_BUF_SIZE:
+        # readinto a pre-grown region: saves one full copy of the input
+        # (read() materializes a bytes object that += then copies again)
+        old = len(self._buf)
+        self._buf += _ZERO_BLOCK
+        got = 0
+        mv = memoryview(self._buf)
+        try:
+            while got < FQ_BUF_SIZE:
+                k = self._file.readinto(mv[old + got : old + FQ_BUF_SIZE])
+                if not k:
+                    break
+                got += k
+        finally:
+            mv.release()  # release the export before the bytearray resizes
+        if got < FQ_BUF_SIZE:
+            del self._buf[old + got :]
             self._eof = True
-        self._buf += data
+        self._total_size += got
+        if got:
+            self._last_byte = self._buf[-1]
 
     def _compact(self) -> None:
         if self._buf_used > FQ_BUF_SIZE:
