@@ -110,6 +110,8 @@ def _load():
     lib.name2_predicates.restype = None
     lib.name2_predicates.argtypes = [_vp, _vp, _vp, _i64, _i64,
                                      ctypes.c_int, _vp, _vp]
+    lib.rans_parse_table.restype = _i64
+    lib.rans_parse_table.argtypes = [_vp, _i64, _i64, _i64, _vp]
     lib.reverse_slices.restype = None
     lib.reverse_slices.argtypes = [_vp, _vp, _vp, _vp, _vp, _i64, _vp]
     lib.pack_2bit.restype = None
@@ -279,6 +281,17 @@ def all_same_slices(flat: np.ndarray, starts: np.ndarray, L: int) -> bool:
             flat.ctypes.data, starts.ctypes.data, starts.shape[0], L
         )
     )
+
+
+def rans_parse_table(buf: np.ndarray, off: int, scale: int):
+    """(freqs[256] int64, new_off) or a negative code in new_off:
+    -1 truncated, -2 not ascending, -3 bitmap mismatch, -4 sum corrupt."""
+    lib = _load()
+    freqs = np.empty(256, dtype=np.int64)
+    new_off = lib.rans_parse_table(
+        buf.ctypes.data, buf.shape[0], off, scale, freqs.ctypes.data
+    )
+    return freqs, new_off
 
 
 def name2_predicates(flat, starts, lens, diff_pos: int, diff_char: int):

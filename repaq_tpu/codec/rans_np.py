@@ -110,6 +110,20 @@ def serialize_table(freqs: np.ndarray) -> bytes:
 
 
 def parse_table(buf: memoryview, off: int) -> tuple[np.ndarray, int]:
+    from . import _native
+
+    if _native.available():
+        arr = np.frombuffer(buf, dtype=np.uint8)
+        freqs, new_off = _native.rans_parse_table(arr, off, SCALE)
+        if new_off >= 0:
+            return freqs, new_off
+        if new_off == -1:
+            raise RansTruncated("rANS section truncated (table)")
+        if new_off == -2:
+            raise ValueError("rANS table symbol list not ascending")
+        if new_off == -3:
+            raise ValueError("rANS table symbol bitmap count mismatch")
+        raise ValueError("rANS frequency table corrupt (sum > %d)" % SCALE)
     if len(buf) - off < 1:
         raise RansTruncated("rANS section truncated (table header)")
     npresent = buf[off] + 1

@@ -504,6 +504,57 @@ void copy_slices(const uint8_t* src, const int64_t* src_starts, uint8_t* dst,
         memcpy(dst + dst_starts[i], src + src_starts[i], (size_t)lens[i]);
 }
 
+// Compact rANS frequency-table parse (codec/rans_np.py parse_table —
+// byte-identical semantics incl. the error taxonomy). Returns the new
+// offset, or -1 truncated, -2 symbol list not ascending, -3 bitmap
+// count mismatch, -4 frequency sum corrupt.
+int64_t rans_parse_table(const uint8_t* buf, int64_t len, int64_t off,
+                         int64_t scale, int64_t* freqs) {
+    memset(freqs, 0, 256 * sizeof(int64_t));
+    if (len - off < 1) return -1;
+    int npresent = buf[off] + 1;
+    off++;
+    uint8_t syms[256];
+    int ns = 0;
+    if (npresent == 256) {
+        for (int i = 0; i < 256; i++) syms[i] = (uint8_t)i;
+        ns = 256;
+    } else if (npresent <= 32) {
+        if (len - off < npresent) return -1;
+        for (int i = 0; i < npresent; i++) syms[i] = buf[off + i];
+        off += npresent;
+        ns = npresent;
+        for (int i = 1; i < ns; i++)
+            if (syms[i] <= syms[i - 1]) return -2;
+    } else {
+        if (len - off < 32) return -1;
+        for (int b = 0; b < 32; b++) {
+            unsigned m = buf[off + b];
+            while (m) {
+                int bit = __builtin_ctz(m);
+                syms[ns++] = (uint8_t)(8 * b + bit);
+                m &= m - 1;
+            }
+        }
+        off += 32;
+        if (ns != npresent) return -3;
+    }
+    int64_t total = 0;
+    for (int i = 0; i < ns - 1; i++) {
+        if (len - off < 1) return -1;
+        int64_t v = buf[off++];
+        if (v & 0x80) {
+            if (len - off < 1) return -1;
+            v = (v & 0x7F) | ((int64_t)buf[off++] << 7);
+        }
+        freqs[syms[i]] = v + 1;
+        total += v + 1;
+    }
+    if (ns == 0 || total >= scale) return -4;
+    freqs[syms[ns - 1]] = scale - total;
+    return off;
+}
+
 // Name2 chunk predicates (codec/vectorized.py
 // _compute_name2_same_and_interleave, reference rfqcodec.cpp:233-270)
 // without gather matrices: eq_first[i] = name2_i == name2_0 (length +
