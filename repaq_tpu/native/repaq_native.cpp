@@ -1038,40 +1038,202 @@ int64_t rans_encode(const uint8_t* data, int64_t n, const int64_t* lane_off,
 // Decode all lanes. payload: flat per-lane image; lane_counts: per-lane
 // payload bytes; sym_lut: 4096 (order 0) or 256*4096 (order 1) u8;
 // out: n bytes.
+// One lane decoded from an explicit resume point (the scalar body shared
+// by the reference path and the SIMD groups' tails).
+static inline void rans_decode_lane(
+    const uint8_t* src, int64_t avail, uint32_t state, int64_t ptr,
+    uint32_t prev, int64_t p, int64_t p_end, const int32_t* freq,
+    const int32_t* cum, const uint8_t* sym_lut, int32_t order,
+    uint8_t* out) {
+    for (; p < p_end; p++) {
+        uint32_t slot = state & 0xFFF;
+        uint8_t sym;
+        uint32_t f, c;
+        if (order) {
+            sym = sym_lut[(size_t)prev * 4096 + slot];
+            f = (uint32_t)freq[(size_t)prev * 256 + sym];
+            c = (uint32_t)cum[(size_t)prev * 256 + sym];
+        } else {
+            sym = sym_lut[slot];
+            f = (uint32_t)freq[sym];
+            c = (uint32_t)cum[sym];
+        }
+        state = f * (state >> 12) + slot - c;
+        if (state < (1u << 16) && ptr < avail) {
+            state = (state << 16) | ((uint32_t)src[ptr] << 8) |
+                    (uint32_t)src[ptr + 1];
+            ptr += 2;
+        }
+        out[p] = sym;
+        prev = sym;
+    }
+}
+
 void rans_decode(const uint8_t* payload, const int64_t* lane_counts,
                  int64_t lanes, const int64_t* lane_off, const int32_t* freq,
                  const int32_t* cum, const uint8_t* sym_lut, int32_t order,
                  uint8_t* out) {
+#ifdef REPAQ_AVX512_VBMI
+    // 16 lanes decode in lockstep: one vpgatherdd against a fused
+    // ((f-1)<<20 | c<<8 | sym) u32 table answers symbol, frequency and
+    // cumulative in a single load, the state recurrence runs in vector
+    // registers, and renorm words gather straight from the payload.
+    // Each lane's output span is contiguous, so the 16 symbols per step
+    // store as plain byte writes. Lanes leave the SIMD loop when their
+    // input tail is within one gather of the lane end (or their span is
+    // done) and finish on the exact scalar body above — bit-identical
+    // states by construction.
+    int64_t total_payload = 0;
+    for (int64_t li = 0; li < lanes; li++) total_payload += lane_counts[li];
+    if (lanes >= 16 && total_payload < (int64_t)1 << 31) {
+        int64_t n_ctx = order ? 256 : 1;
+        uint64_t* table =
+            (uint64_t*)malloc((size_t)n_ctx * 4096 * sizeof(uint64_t));
+        if (table) {
+            // exact mirror of the scalar lookups (sym via sym_lut, f/c by
+            // that symbol) so SIMD and scalar decode identically even on
+            // corrupt tables: f << 32 | c << 16 | sym, every field exact
+            // (a 32-bit packing cannot hold f in 0..4096 plus c and sym)
+            for (int64_t ctx = 0; ctx < n_ctx; ctx++) {
+                const int32_t* fr = freq + ctx * 256;
+                const int32_t* cu = cum + ctx * 256;
+                const uint8_t* sl = sym_lut + ctx * 4096;
+                uint64_t* row = table + ctx * 4096;
+                for (int slot = 0; slot < 4096; slot++) {
+                    uint8_t s = sl[slot];
+                    row[slot] = ((uint64_t)(uint32_t)fr[s] << 32) |
+                                ((uint64_t)((uint32_t)cu[s] & 0xFFFF)
+                                 << 16) |
+                                (uint64_t)s;
+                }
+            }
+            int64_t start = 0;
+            int64_t li = 0;
+            std::vector<int64_t> starts(lanes);
+            for (int64_t k = 0; k < lanes; k++) {
+                starts[k] = start;
+                start += lane_counts[k];
+            }
+            const __m512i m12 = _mm512_set1_epi32(0xFFF);
+            const __m512i m8 = _mm512_set1_epi32(0xFF);
+            const __m512i two = _mm512_set1_epi32(2);
+            const __m512i four = _mm512_set1_epi32(4);
+            const __m512i renorm_lim = _mm512_set1_epi32(1 << 16);
+            for (; li + 16 <= lanes; li += 16) {
+                uint32_t st[16], pr[16];
+                int32_t pt[16], en[16];
+                int64_t pos[16], pend[16];
+                int64_t nsimd = INT64_MAX;
+                for (int k = 0; k < 16; k++) {
+                    const uint8_t* src = payload + starts[li + k];
+                    st[k] = (uint32_t)src[0] | ((uint32_t)src[1] << 8) |
+                            ((uint32_t)src[2] << 16) |
+                            ((uint32_t)src[3] << 24);
+                    pt[k] = (int32_t)(starts[li + k] + 4);
+                    en[k] = (int32_t)(starts[li + k] + lane_counts[li + k]);
+                    pos[k] = lane_off[li + k];
+                    pend[k] = lane_off[li + k + 1];
+                    pr[k] = 0;
+                    int64_t span = pend[k] - pos[k];
+                    if (span < nsimd) nsimd = span;
+                }
+                __m512i vstate = _mm512_loadu_si512(st);
+                __m512i vptr = _mm512_loadu_si512(pt);
+                __m512i vend = _mm512_loadu_si512(en);
+                __m512i vprev = _mm512_setzero_si512();
+                int64_t step = 0;
+                for (; step < nsimd; step++) {
+                    // every lane must keep a full 4-byte renorm gather
+                    // in-bounds; drop to scalar for the tail otherwise
+                    __mmask16 safe = _mm512_cmple_epi32_mask(
+                        _mm512_add_epi32(vptr, four), vend);
+                    if (safe != 0xFFFF) break;
+                    __m512i slot = _mm512_and_si512(vstate, m12);
+                    __m512i idx = order
+                        ? _mm512_or_si512(_mm512_slli_epi32(vprev, 12), slot)
+                        : slot;
+                    __m512i elo = _mm512_i64gather_epi64(
+                        _mm512_cvtepu32_epi64(
+                            _mm512_castsi512_si256(idx)),
+                        table, 8);
+                    __m512i ehi = _mm512_i64gather_epi64(
+                        _mm512_cvtepu32_epi64(
+                            _mm512_extracti64x4_epi64(idx, 1)),
+                        table, 8);
+                    __m512i f = _mm512_inserti64x4(
+                        _mm512_castsi256_si512(_mm512_cvtepi64_epi32(
+                            _mm512_srli_epi64(elo, 32))),
+                        _mm512_cvtepi64_epi32(_mm512_srli_epi64(ehi, 32)),
+                        1);
+                    __m512i csym = _mm512_inserti64x4(
+                        _mm512_castsi256_si512(_mm512_cvtepi64_epi32(elo)),
+                        _mm512_cvtepi64_epi32(ehi), 1);
+                    __m512i c = _mm512_srli_epi32(csym, 16);
+                    __m512i sym = _mm512_and_si512(csym, m8);
+                    vstate = _mm512_add_epi32(
+                        _mm512_sub_epi32(
+                            _mm512_mullo_epi32(
+                                f, _mm512_srli_epi32(vstate, 12)),
+                            c),
+                        slot);
+                    __mmask16 need =
+                        _mm512_cmplt_epu32_mask(vstate, renorm_lim);
+                    if (need) {
+                        __m512i w = _mm512_mask_i32gather_epi32(
+                            _mm512_setzero_si512(), need, vptr, payload, 1);
+                        __m512i word = _mm512_or_si512(
+                            _mm512_slli_epi32(_mm512_and_si512(w, m8), 8),
+                            _mm512_and_si512(_mm512_srli_epi32(w, 8), m8));
+                        vstate = _mm512_mask_blend_epi32(
+                            need, vstate,
+                            _mm512_or_si512(_mm512_slli_epi32(vstate, 16),
+                                            word));
+                        vptr = _mm512_mask_add_epi32(vptr, need, vptr, two);
+                    }
+                    uint8_t syms[16];
+                    _mm_storeu_si128((__m128i*)syms,
+                                     _mm512_cvtepi32_epi8(sym));
+                    for (int k = 0; k < 16; k++)
+                        out[pos[k] + step] = syms[k];
+                    vprev = sym;
+                }
+                // scalar tails from the exact lane states
+                _mm512_storeu_si512(st, vstate);
+                _mm512_storeu_si512(pt, vptr);
+                uint32_t prtmp[16];
+                _mm512_storeu_si512(prtmp, vprev);
+                for (int k = 0; k < 16; k++) {
+                    rans_decode_lane(
+                        payload + starts[li + k],
+                        lane_counts[li + k], st[k],
+                        (int64_t)pt[k] - starts[li + k], prtmp[k],
+                        pos[k] + step, pend[k], freq, cum, sym_lut, order,
+                        out);
+                }
+            }
+            // lanes not in a full group of 16
+            for (; li < lanes; li++) {
+                const uint8_t* src = payload + starts[li];
+                uint32_t state = (uint32_t)src[0] | ((uint32_t)src[1] << 8) |
+                                 ((uint32_t)src[2] << 16) |
+                                 ((uint32_t)src[3] << 24);
+                rans_decode_lane(src, lane_counts[li], state, 4, 0,
+                                 lane_off[li], lane_off[li + 1], freq, cum,
+                                 sym_lut, order, out);
+            }
+            free(table);
+            return;
+        }
+    }
+#endif
     int64_t start = 0;
     for (int64_t li = 0; li < lanes; li++) {
         const uint8_t* src = payload + start;
         int64_t avail = lane_counts[li];
         uint32_t state = (uint32_t)src[0] | ((uint32_t)src[1] << 8) |
                          ((uint32_t)src[2] << 16) | ((uint32_t)src[3] << 24);
-        int64_t ptr = 4;
-        uint32_t prev = 0;
-        for (int64_t p = lane_off[li]; p < lane_off[li + 1]; p++) {
-            uint32_t slot = state & 0xFFF;
-            uint8_t sym;
-            uint32_t f, c;
-            if (order) {
-                sym = sym_lut[(size_t)prev * 4096 + slot];
-                f = (uint32_t)freq[(size_t)prev * 256 + sym];
-                c = (uint32_t)cum[(size_t)prev * 256 + sym];
-            } else {
-                sym = sym_lut[slot];
-                f = (uint32_t)freq[sym];
-                c = (uint32_t)cum[sym];
-            }
-            state = f * (state >> 12) + slot - c;
-            if (state < (1u << 16) && ptr < avail) {
-                state = (state << 16) | ((uint32_t)src[ptr] << 8) |
-                        (uint32_t)src[ptr + 1];
-                ptr += 2;
-            }
-            out[p] = sym;
-            prev = sym;
-        }
+        rans_decode_lane(src, avail, state, 4, 0, lane_off[li],
+                         lane_off[li + 1], freq, cum, sym_lut, order, out);
         start += avail;
     }
 }
