@@ -993,10 +993,222 @@ void atoi_spans(const uint8_t* flat, const int64_t* starts,
 // freq/cum: 256 (order 0) or 256*256 (order 1, row = prev byte context)
 // int32 tables; out: payload buffer (cap >= 2n + 4*lanes); counts: per-lane
 // payload byte counts. Returns total payload bytes.
+// One lane encoded from an explicit resume point (shared by the scalar
+// path and the SIMD groups' tails). Appends renorm words to *words.
+static inline uint32_t rans_encode_lane(
+    const uint8_t* data, int64_t lo, int64_t p_start, uint32_t state,
+    const int32_t* freq, const int32_t* cum, int32_t order,
+    uint16_t* words, int64_t* nw) {
+    for (int64_t p = p_start; p >= lo; p--) {
+        uint8_t sym = data[p];
+        uint32_t ctx = (order && p > lo) ? data[p - 1] : 0u;
+        const int32_t* f_row = order ? freq + (size_t)ctx * 256 : freq;
+        const int32_t* c_row = order ? cum + (size_t)ctx * 256 : cum;
+        uint32_t f = (uint32_t)f_row[sym];
+        uint32_t c = (uint32_t)c_row[sym];
+        if ((state >> 20) >= f) {
+            words[(*nw)++] = (uint16_t)(state & 0xFFFF);
+            state >>= 16;
+        }
+        state = ((state / f) << 12) + (state % f) + c;
+    }
+    return state;
+}
+
 int64_t rans_encode(const uint8_t* data, int64_t n, const int64_t* lane_off,
                     int64_t lanes, const int32_t* freq, const int32_t* cum,
                     int32_t order, uint8_t* out, int64_t* counts) {
     (void)n;
+#ifdef REPAQ_AVX512_VBMI
+    // 16 lanes encode in lockstep. One backward qword gather per 8 lanes
+    // yields both data[p] and data[p-1] (symbol + order-1 context); a
+    // gathered u64 entry (mlo<<32 | mhi<<30 | l<<26 | f<<13 | c) carries
+    // the Granlund-Montgomery 33-bit reciprocal, so the per-symbol
+    // division runs as multiply+shift in 64-bit lanes — exact for every
+    // state < 2^32 (verified over the renorm-bounded domain). Lanes
+    // finish on the exact scalar body when p drops below the safe gather
+    // window or their span runs out.
+    if (lanes >= 16 && n >= 64) {
+        int64_t n_ctx = order ? 256 : 1;
+        uint64_t* table =
+            (uint64_t*)malloc((size_t)n_ctx * 256 * sizeof(uint64_t));
+        if (table) {
+            for (int64_t ctx = 0; ctx < n_ctx; ctx++) {
+                const int32_t* fr = freq + ctx * 256;
+                const int32_t* cu = cum + ctx * 256;
+                for (int s = 0; s < 256; s++) {
+                    uint64_t f = (uint64_t)(uint32_t)fr[s];
+                    uint64_t c = (uint64_t)((uint32_t)cu[s] & 0x1FFF);
+                    uint64_t l = 0, mlo = 0, mhi = 0;
+                    if (f) {
+                        while (((uint64_t)1 << l) < f) l++;
+                        unsigned __int128 m =
+                            (((unsigned __int128)1 << (32 + l)) + f - 1)
+                            / f;
+                        mlo = (uint64_t)(m & 0xFFFFFFFFull);
+                        mhi = (uint64_t)(m >> 32);  // 0 or 1
+                    }
+                    table[ctx * 256 + s] = (mlo << 32) | (mhi << 30) |
+                                           (l << 26) | ((f & 0x1FFF) << 13)
+                                           | c;
+                }
+            }
+            int64_t total = 0;
+            int64_t li = 0;
+            const __m512i m13 = _mm512_set1_epi64(0x1FFF);
+            const __m512i m16 = _mm512_set1_epi64(0xFFFF);
+            for (; li + 16 <= lanes; li += 16) {
+                int64_t spans[16], lo[16], hi[16];
+                int64_t min_span = INT64_MAX, min_hi = INT64_MAX;
+                int64_t wcap = 0;
+                for (int k = 0; k < 16; k++) {
+                    lo[k] = lane_off[li + k];
+                    hi[k] = lane_off[li + k + 1];
+                    spans[k] = hi[k] - lo[k];
+                    if (spans[k] < min_span) min_span = spans[k];
+                    if (hi[k] < min_hi) min_hi = hi[k];
+                    wcap += spans[k] > 0 ? spans[k] : 1;
+                }
+                uint16_t* wbuf = new uint16_t[(size_t)wcap];
+                uint16_t* words[16];
+                int64_t nw[16];
+                {
+                    int64_t woff = 0;
+                    for (int k = 0; k < 16; k++) {
+                        words[k] = wbuf + woff;
+                        woff += spans[k] > 0 ? spans[k] : 1;
+                        nw[k] = 0;
+                    }
+                }
+                // SIMD steps s = 0 .. s_max: needs p_k-7 >= 0 for the
+                // qword gather and p_k > lo_k for context validity
+                int64_t s_max = min_span - 2;
+                if (min_hi - 8 < s_max) s_max = min_hi - 8;
+                uint64_t st[8], pv[8];
+                __m512i vstate[2], vp[2];
+                for (int h = 0; h < 2; h++) {
+                    for (int k = 0; k < 8; k++) {
+                        st[k] = 1u << 16;
+                        pv[k] = (uint64_t)(hi[8 * h + k] - 1);
+                    }
+                    vstate[h] = _mm512_loadu_si512(st);
+                    vp[h] = _mm512_loadu_si512(pv);
+                }
+                int64_t s = 0;
+                for (; s <= s_max; s++) {
+                    for (int h = 0; h < 2; h++) {
+                        // data[p-7 .. p] in one qword gather per lane
+                        __m512i w = _mm512_i64gather_epi64(
+                            _mm512_add_epi64(
+                                vp[h], _mm512_set1_epi64(-7)),
+                            data, 1);
+                        __m512i sym = _mm512_srli_epi64(w, 56);
+                        __m512i idx = sym;
+                        if (order) {
+                            __m512i ctx = _mm512_and_si512(
+                                _mm512_srli_epi64(w, 48),
+                                _mm512_set1_epi64(0xFF));
+                            idx = _mm512_add_epi64(
+                                _mm512_slli_epi64(ctx, 8), sym);
+                        }
+                        __m512i e =
+                            _mm512_i64gather_epi64(idx, table, 8);
+                        __m512i c = _mm512_and_si512(e, m13);
+                        __m512i f = _mm512_and_si512(
+                            _mm512_srli_epi64(e, 13), m13);
+                        __m512i l = _mm512_and_si512(
+                            _mm512_srli_epi64(e, 26),
+                            _mm512_set1_epi64(0xF));
+                        __m512i mhi = _mm512_and_si512(
+                            _mm512_srli_epi64(e, 30),
+                            _mm512_set1_epi64(1));
+                        __m512i mlo = _mm512_srli_epi64(e, 32);
+                        // renorm: (state >> 20) >= f
+                        __mmask8 need = _mm512_cmpge_epu64_mask(
+                            _mm512_srli_epi64(vstate[h], 20), f);
+                        if (need) {
+                            uint64_t tmp[8];
+                            _mm512_storeu_si512(tmp, _mm512_and_si512(
+                                vstate[h], m16));
+                            for (int k = 0; k < 8; k++)
+                                if ((need >> k) & 1) {
+                                    int lane = 8 * h + k;
+                                    words[lane][nw[lane]++] =
+                                        (uint16_t)tmp[k];
+                                }
+                            vstate[h] = _mm512_mask_srli_epi64(
+                                vstate[h], need, vstate[h], 16);
+                        }
+                        // q = ((state*mlo)>>32 + state*mhi) >> l
+                        __m512i t = _mm512_add_epi64(
+                            _mm512_srli_epi64(
+                                _mm512_mul_epu32(vstate[h], mlo), 32),
+                            _mm512_mul_epu32(vstate[h], mhi));
+                        __m512i q = _mm512_srlv_epi64(t, l);
+                        __m512i r = _mm512_sub_epi64(
+                            vstate[h], _mm512_mul_epu32(q, f));
+                        vstate[h] = _mm512_add_epi64(
+                            _mm512_add_epi64(
+                                _mm512_slli_epi64(q, 12), r),
+                            c);
+                        vp[h] = _mm512_add_epi64(
+                            vp[h], _mm512_set1_epi64(-1));
+                    }
+                }
+                // scalar tails from the exact lane states
+                for (int h = 0; h < 2; h++) {
+                    _mm512_storeu_si512(st, vstate[h]);
+                    _mm512_storeu_si512(pv, vp[h]);
+                    for (int k = 0; k < 8; k++) {
+                        int lane = 8 * h + k;
+                        uint32_t state = rans_encode_lane(
+                            data, lo[lane], (int64_t)pv[k],
+                            (uint32_t)st[k], freq, cum, order,
+                            words[lane], &nw[lane]);
+                        uint8_t* dst = out + total;
+                        dst[0] = (uint8_t)(state & 0xFF);
+                        dst[1] = (uint8_t)((state >> 8) & 0xFF);
+                        dst[2] = (uint8_t)((state >> 16) & 0xFF);
+                        dst[3] = (uint8_t)((state >> 24) & 0xFF);
+                        int64_t b = 4;
+                        for (int64_t j = nw[lane] - 1; j >= 0; j--) {
+                            dst[b++] = (uint8_t)(words[lane][j] >> 8);
+                            dst[b++] = (uint8_t)(words[lane][j] & 0xFF);
+                        }
+                        counts[li + lane] = b;
+                        total += b;
+                    }
+                }
+                delete[] wbuf;
+            }
+            for (; li < lanes; li++) {
+                int64_t lo = lane_off[li], hi = lane_off[li + 1];
+                int64_t max_words = hi - lo;
+                uint16_t* words =
+                    new uint16_t[(size_t)(max_words > 0 ? max_words : 1)];
+                int64_t nw = 0;
+                uint32_t state = rans_encode_lane(
+                    data, lo, hi - 1, 1u << 16, freq, cum, order, words,
+                    &nw);
+                uint8_t* dst = out + total;
+                dst[0] = (uint8_t)(state & 0xFF);
+                dst[1] = (uint8_t)((state >> 8) & 0xFF);
+                dst[2] = (uint8_t)((state >> 16) & 0xFF);
+                dst[3] = (uint8_t)((state >> 24) & 0xFF);
+                int64_t b = 4;
+                for (int64_t k = nw - 1; k >= 0; k--) {
+                    dst[b++] = (uint8_t)(words[k] >> 8);
+                    dst[b++] = (uint8_t)(words[k] & 0xFF);
+                }
+                counts[li] = b;
+                total += b;
+                delete[] words;
+            }
+            free(table);
+            return total;
+        }
+    }
+#endif
     int64_t total = 0;
     // scratch for one lane's words (encoder order)
     for (int64_t li = 0; li < lanes; li++) {
@@ -1004,20 +1216,8 @@ int64_t rans_encode(const uint8_t* data, int64_t n, const int64_t* lane_off,
         int64_t max_words = hi - lo;
         uint16_t* words = new uint16_t[(size_t)(max_words > 0 ? max_words : 1)];
         int64_t nw = 0;
-        uint32_t state = 1u << 16;
-        for (int64_t p = hi - 1; p >= lo; p--) {
-            uint8_t sym = data[p];
-            uint32_t ctx = (order && p > lo) ? data[p - 1] : 0u;
-            const int32_t* f_row = order ? freq + (size_t)ctx * 256 : freq;
-            const int32_t* c_row = order ? cum + (size_t)ctx * 256 : cum;
-            uint32_t f = (uint32_t)f_row[sym];
-            uint32_t c = (uint32_t)c_row[sym];
-            if ((state >> 20) >= f) {
-                words[nw++] = (uint16_t)(state & 0xFFFF);
-                state >>= 16;
-            }
-            state = ((state / f) << 12) + (state % f) + c;
-        }
+        uint32_t state = rans_encode_lane(data, lo, hi - 1, 1u << 16, freq,
+                                          cum, order, words, &nw);
         uint8_t* dst = out + total;
         dst[0] = (uint8_t)(state & 0xFF);
         dst[1] = (uint8_t)((state >> 8) & 0xFF);
