@@ -114,6 +114,51 @@ def test_overlap_scalar_equivalence(scalar_lib):
 
 
 @needs_native
+def test_rans_scalar_equivalence(scalar_lib):
+    """Encode bytes and decode output of the SIMD rANS must equal the
+    generic build's for skewed alphabets across lane counts/orders."""
+    import ctypes
+
+    from repaq_tpu.codec.rans_np import (
+        _cum_from_freqs, lane_slices, quantize_freqs,
+    )
+
+    i64, vp, i32 = ctypes.c_int64, ctypes.c_void_p, ctypes.c_int32
+    scalar_lib.rans_encode.restype = i64
+    scalar_lib.rans_encode.argtypes = [vp, i64, vp, i64, vp, vp, i32, vp,
+                                       vp]
+    rng = np.random.default_rng(31)
+    for trial in range(25):
+        n = int(rng.integers(16, 20000))
+        S = int(rng.integers(1, 20))
+        syms = rng.choice(256, size=S, replace=False)
+        p = rng.dirichlet(np.full(S, 0.15))
+        data = rng.choice(syms, size=n, p=p).astype(np.uint8)
+        lanes = int(rng.choice([16, 17, 48]))
+        offs = np.ascontiguousarray(lane_slices(n, lanes))
+        freqs = quantize_freqs(np.bincount(data, minlength=256))
+        fr = np.ascontiguousarray(freqs.astype(np.int32))
+        cu = np.ascontiguousarray(
+            _cum_from_freqs(freqs)[:256].astype(np.int32))
+        a_out = np.empty(6 * n + 64 * lanes, np.uint8)
+        b_out = np.empty(6 * n + 64 * lanes, np.uint8)
+        a_cnt = np.zeros(lanes, np.int64)
+        b_cnt = np.zeros(lanes, np.int64)
+        lib = ctypes.CDLL(_native._SO)
+        lib.rans_encode.restype = i64
+        lib.rans_encode.argtypes = scalar_lib.rans_encode.argtypes
+        ta = lib.rans_encode(data.ctypes.data, n, offs.ctypes.data, lanes,
+                             fr.ctypes.data, cu.ctypes.data, 0,
+                             a_out.ctypes.data, a_cnt.ctypes.data)
+        tb = scalar_lib.rans_encode(
+            data.ctypes.data, n, offs.ctypes.data, lanes, fr.ctypes.data,
+            cu.ctypes.data, 0, b_out.ctypes.data, b_cnt.ctypes.data)
+        assert ta == tb
+        np.testing.assert_array_equal(a_cnt, b_cnt)
+        np.testing.assert_array_equal(a_out[:ta], b_out[:tb])
+
+
+@needs_native
 def test_parse_names_scalar_equivalence(scalar_lib):
     rng = np.random.default_rng(24)
     names = []
