@@ -496,12 +496,33 @@ void overlap_pairs(const uint8_t* r1, const uint8_t* r2, int64_t pairs,
     }
 }
 
+// Short-slice copy: the gather/assembly passes move tens of millions of
+// 1-200 byte fields per file, where glibc memcpy's dispatch overhead is
+// comparable to the copy itself. Full 64-byte vectors plus one masked
+// load/store tail (masked lanes never fault) — exact, no overrun.
+static inline void copy_small(uint8_t* d, const uint8_t* s, int64_t l) {
+#ifdef REPAQ_AVX512_VBMI
+    while (l >= 64) {
+        _mm512_storeu_si512(d, _mm512_loadu_si512(s));
+        d += 64;
+        s += 64;
+        l -= 64;
+    }
+    if (l) {
+        __mmask64 m = (((__mmask64)1) << l) - 1;
+        _mm512_mask_storeu_epi8(d, m, _mm512_maskz_loadu_epi8(m, s));
+    }
+#else
+    memcpy(d, s, (size_t)l);
+#endif
+}
+
 // Batched slice copy: dst[dst_starts[i] : +lens[i]] = src[src_starts[i] : +lens[i]].
 // Backs both ragged gathers (dst offsets = prefix sums) and scatters.
 void copy_slices(const uint8_t* src, const int64_t* src_starts, uint8_t* dst,
                  const int64_t* dst_starts, const int64_t* lens, int64_t n) {
     for (int64_t i = 0; i < n; i++)
-        memcpy(dst + dst_starts[i], src + src_starts[i], (size_t)lens[i]);
+        copy_small(dst + dst_starts[i], src + src_starts[i], lens[i]);
 }
 
 // Compact rANS frequency-table parse (codec/rans_np.py parse_table —
@@ -809,19 +830,19 @@ int64_t assemble_fastq(const uint8_t* name_flat, const int64_t* name_off,
         int64_t i = idx ? idx[k] : k;
         int64_t l;
         l = name_off[i + 1] - name_off[i];
-        memcpy(out + w, name_flat + name_off[i], (size_t)l);
+        copy_small(out + w, name_flat + name_off[i], l);
         w += l;
         out[w++] = '\n';
         l = seq_off[i + 1] - seq_off[i];
-        memcpy(out + w, seq_flat + seq_off[i], (size_t)l);
+        copy_small(out + w, seq_flat + seq_off[i], l);
         w += l;
         out[w++] = '\n';
         l = strand_off[i + 1] - strand_off[i];
-        memcpy(out + w, strand_flat + strand_off[i], (size_t)l);
+        copy_small(out + w, strand_flat + strand_off[i], l);
         w += l;
         out[w++] = '\n';
         l = qual_off[i + 1] - qual_off[i];
-        memcpy(out + w, qual_flat + qual_off[i], (size_t)l);
+        copy_small(out + w, qual_flat + qual_off[i], l);
         w += l;
         out[w++] = '\n';
     }
