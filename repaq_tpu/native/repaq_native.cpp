@@ -778,14 +778,28 @@ void quality_scan(const uint8_t* seq, const uint8_t* qual, int64_t n,
 // Any of lane/tile/x/y/name2 may be null. Fills out_off[n+1]; returns
 // total bytes written.
 static inline int64_t write_dec(uint8_t* p, uint64_t v) {
-    uint8_t tmp[20];
-    int k = 0;
-    do {
-        tmp[k++] = (uint8_t)('0' + v % 10);
-        v /= 10;
-    } while (v);
-    for (int j = 0; j < k; j++) p[j] = tmp[k - 1 - j];
-    return k;
+    static const char D2[] =
+        "00010203040506070809101112131415161718192021222324"
+        "25262728293031323334353637383940414243444546474849"
+        "50515253545556575859606162636465666768697071727374"
+        "75767778798081828384858687888990919293949596979899";
+    uint8_t tmp[24];
+    int k = 24;
+    while (v >= 100) {  // two digits per division
+        unsigned r = (unsigned)(v % 100);
+        v /= 100;
+        tmp[--k] = (uint8_t)D2[2 * r + 1];
+        tmp[--k] = (uint8_t)D2[2 * r];
+    }
+    if (v >= 10) {
+        tmp[--k] = (uint8_t)D2[2 * v + 1];
+        tmp[--k] = (uint8_t)D2[2 * v];
+    } else {
+        tmp[--k] = (uint8_t)('0' + v);
+    }
+    int n = 24 - k;
+    memcpy(p, tmp + k, (size_t)n);
+    return n;
 }
 
 int64_t format_names(const uint8_t* n1_flat, const int64_t* n1_starts,
