@@ -44,6 +44,27 @@ from ..codec.oracle import FastqRead
 FQ_BUF_SIZE = 1 << 20
 _ZERO_BLOCK = bytes(FQ_BUF_SIZE)
 
+# Grow a bytearray WITHOUT initializing the new bytes: the reader extends
+# its buffer by 1 MB per fetch and immediately readinto()s the region, so
+# the zero-fill of `buf += _ZERO_BLOCK` is a full extra write pass over
+# the input. PyByteArray_Resize leaves grown bytes uninitialized (CPython
+# only guarantees the NUL terminator), which is exactly right here.
+# Falls back to the zero-filled append off CPython.
+try:
+    import ctypes as _ct
+
+    _ba_resize = _ct.pythonapi.PyByteArray_Resize
+    _ba_resize.argtypes = [_ct.py_object, _ct.c_ssize_t]
+    _ba_resize.restype = _ct.c_int
+
+    def _grow_uninit(buf: bytearray, new_len: int) -> None:
+        if _ba_resize(buf, new_len) != 0:  # pragma: no cover
+            raise MemoryError
+except AttributeError:  # pragma: no cover - non-CPython
+
+    def _grow_uninit(buf: bytearray, new_len: int) -> None:
+        buf += _ZERO_BLOCK[: new_len - len(buf)]
+
 _NL = ord("\n")
 _CR = ord("\r")
 
@@ -89,7 +110,7 @@ class FastqReader:
         # readinto a pre-grown region: saves one full copy of the input
         # (read() materializes a bytes object that += then copies again)
         old = len(self._buf)
-        self._buf += _ZERO_BLOCK
+        _grow_uninit(self._buf, old + FQ_BUF_SIZE)
         got = 0
         mv = memoryview(self._buf)
         try:

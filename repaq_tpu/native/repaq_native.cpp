@@ -416,10 +416,9 @@ int64_t token_starts(const int64_t* lens, int64_t n, int64_t* out) {
 #ifdef REPAQ_AVX512_VBMI
 // First match of `needle`'s prefix against `hay`'s suffixes, smallest
 // overlap o in [12, minlen] first (identical order to the scalar scan):
-// one vpcmpeqb tests needle[0] at 64 candidate addresses, candidates are
-// visited high-address-first (= ascending o), then the scalar 8-byte
-// word + memcmp confirm. All 64-byte loads stay inside the row: the
-// window never reads above hay+hl-12.
+// masked vpcmpeqb tests needle[0..2] at 64 candidate addresses,
+// candidates are visited high-address-first (= ascending o), then the
+// scalar 8-byte word + memcmp confirm.
 static inline int64_t overlap_scan_avx(const uint8_t* hay, int64_t hl,
                                        const uint8_t* needle,
                                        int64_t minlen) {
@@ -428,7 +427,19 @@ static inline int64_t overlap_scan_avx(const uint8_t* hay, int64_t hl,
     if (span <= 0) return 0;
     uint64_t n8;
     memcpy(&n8, needle, 8);
-    const __m512i fb = _mm512_set1_epi8((char)needle[0]);
+    // 3-byte prefilter: a candidate must match needle[0..2], not just
+    // needle[0] — on 4-letter base data a 1-byte filter passes ~1/4 of
+    // the ~139 offsets to the scalar confirm loop (~35 bit-extract +
+    // 8-byte-compare iterations per direction); three bytes cut that to
+    // ~2 for two extra shifted loads per block. All loads are masked to
+    // the live candidate lanes (masked-off lanes never fault), so every
+    // touched byte is base+j+2 <= hi+2 = hl-10 for an active lane j —
+    // in-row even for minlen < 64, where the old unmasked 64-byte load
+    // could read past the last row of the matrix. needle[0..2] is
+    // in-bounds: minlen >= 12.
+    const __m512i fb0 = _mm512_set1_epi8((char)needle[0]);
+    const __m512i fb1 = _mm512_set1_epi8((char)needle[1]);
+    const __m512i fb2 = _mm512_set1_epi8((char)needle[2]);
     int64_t done = 0;
     while (done < span) {
         int64_t cnt = span - done < 64 ? span - done : 64;
@@ -436,7 +447,14 @@ static inline int64_t overlap_scan_avx(const uint8_t* hay, int64_t hl,
         __mmask64 valid =
             cnt == 64 ? ~0ULL : ((1ULL << cnt) - 1);
         __mmask64 m = _mm512_mask_cmpeq_epi8_mask(
-            valid, _mm512_loadu_si512(hay + base), fb);
+            valid, _mm512_maskz_loadu_epi8(valid, hay + base), fb0);
+        if (m) {
+            m = _mm512_mask_cmpeq_epi8_mask(
+                m, _mm512_maskz_loadu_epi8(m, hay + base + 1), fb1);
+            if (m)
+                m = _mm512_mask_cmpeq_epi8_mask(
+                    m, _mm512_maskz_loadu_epi8(m, hay + base + 2), fb2);
+        }
         while (m) {
             int i = 63 - __builtin_clzll((unsigned long long)m);
             uint64_t w;
@@ -638,6 +656,52 @@ int64_t all_same_slices(const uint8_t* flat, const int64_t* starts,
 int64_t scan_newlines(const uint8_t* buf, int64_t probe_start, int64_t start,
                       int64_t end, int64_t* out) {
     if (end <= probe_start) return 0;
+#ifdef REPAQ_AVX512_VBMI
+    // One fused pass: each 64-byte block answers the '\r' probe, the
+    // adjacent-'\n' probe (bit j & bit j-1, with a carry bit joining
+    // blocks), and yields the newline positions from the compare mask —
+    // memchr per ~90-byte FASTQ line paid its dispatch cost once per
+    // line, plus a second whole-window memchr for '\r'.
+    int64_t prev = -2;
+    for (int64_t i = probe_start; i < start; i++) {
+        uint8_t c = buf[i];
+        if (c == '\r') return -1;
+        if (c == '\n') {
+            if (i == prev + 1) return -1;
+            prev = i;
+        }
+    }
+    const __m512i nl = _mm512_set1_epi8('\n');
+    const __m512i cr = _mm512_set1_epi8('\r');
+    uint64_t carry = (prev == start - 1) ? 1ULL : 0ULL;
+    int64_t count = 0;
+    int64_t i = start;
+    for (; i + 64 <= end; i += 64) {
+        __m512i v = _mm512_loadu_si512(buf + i);
+        if (_mm512_cmpeq_epi8_mask(v, cr)) return -1;
+        uint64_t m = _mm512_cmpeq_epi8_mask(v, nl);
+        if (m & ((m << 1) | carry)) return -1;
+        carry = m >> 63;
+        while (m) {
+            int b = __builtin_ctzll(m);
+            out[count++] = i + b;
+            m &= m - 1;
+        }
+    }
+    if (i < end) {
+        __mmask64 valid = (1ULL << (end - i)) - 1;
+        __m512i v = _mm512_maskz_loadu_epi8(valid, buf + i);
+        if (_mm512_mask_cmpeq_epi8_mask(valid, v, cr)) return -1;
+        uint64_t m = _mm512_mask_cmpeq_epi8_mask(valid, v, nl);
+        if (m & ((m << 1) | carry)) return -1;
+        while (m) {
+            int b = __builtin_ctzll(m);
+            out[count++] = i + b;
+            m &= m - 1;
+        }
+    }
+    return count;
+#else
     if (memchr(buf + probe_start, '\r', (size_t)(end - probe_start)))
         return -1;
     int64_t prev = -2;
@@ -657,6 +721,7 @@ int64_t scan_newlines(const uint8_t* buf, int64_t probe_start, int64_t start,
         p = q + 1;
     }
     return count;
+#endif
 }
 
 // Reverse-copy each slice (dst slice i = reversed src slice i), optionally
