@@ -31,6 +31,9 @@ last byte of the stream.
 from __future__ import annotations
 
 import gzip
+import mmap
+import os
+import stat
 import sys
 import zlib
 from typing import Optional
@@ -101,12 +104,91 @@ class FastqReader:
         self._nl = np.empty(0, dtype=np.int64)
         self._nl_parts: list = []  # pending newline arrays (merged lazily)
         self._scanned = 0
+        # was the byte just before the current buffer window a '\n'?
+        # (set at compaction; closes the danger-probe seam when a
+        # consume boundary lands exactly on the fetch frontier — see
+        # _scan_new)
+        self._nl_seam = False
+        # mmap fast path for plain regular files: the logical buffer is a
+        # zero-copy window [_gbase, _fetched) of the mapping, so fetching
+        # is pointer arithmetic (no readinto copy) and compaction is free.
+        # _fetched still advances in FQ_BUF_SIZE steps to keep the
+        # reference's lazy-fetch flag timing (_flag_visible) identical.
+        # The exact scalar reader stays bytearray-based: _to_bytearray()
+        # materializes the window and drops the mapping on first use.
+        self._mm: Optional[mmap.mmap] = None
+        self._mview: Optional[np.ndarray] = None
+        self._fsize = 0
+        self._fetched = 0
+        if (
+            not self.zipped
+            and self._file is not sys.stdin.buffer
+            and os.environ.get("REPAQ_TPU_NO_MMAP", "") != "1"
+        ):
+            try:
+                st = os.fstat(self._file.fileno())
+                if stat.S_ISREG(st.st_mode) and st.st_size > 0:
+                    self._mm = mmap.mmap(
+                        self._file.fileno(), 0, prot=mmap.PROT_READ
+                    )
+                    self._mview = np.frombuffer(self._mm, dtype=np.uint8)
+                    self._fsize = st.st_size
+            except (OSError, ValueError):  # pragma: no cover
+                self._mm = None
+                self._mview = None
         self._fetch_block()
+
+    # ------------------------------------------------------------------
+    # logical buffer (bytearray, or a window of the mmap)
+    # ------------------------------------------------------------------
+    def _blen(self) -> int:
+        """Length of the logical buffer."""
+        if self._mm is not None:
+            d = self._fetched - self._gbase
+            return d if d > 0 else 0
+        return len(self._buf)
+
+    def _flat(self) -> np.ndarray:
+        """uint8 view of the logical buffer (zero-copy in both modes)."""
+        if self._mm is not None:
+            return self._mview[self._gbase : max(self._gbase, self._fetched)]
+        return np.frombuffer(self._buf, dtype=np.uint8)
+
+    def _to_bytearray(self) -> None:
+        """Materialize the mmap window into the bytearray and leave mmap
+        mode (entry to the exact scalar reader). The file offset is moved
+        to the fetch frontier so later readinto fetches continue the
+        stream; the mapping is dropped by reference (munmap happens when
+        the last exported view dies)."""
+        if self._mm is None:
+            return
+        if self._gbase < self._fetched:
+            self._buf = bytearray(
+                self._mview[self._gbase : self._fetched].tobytes()
+            )
+        else:
+            self._buf = bytearray()
+        self._file.seek(self._fetched)
+        self._mm = None
+        self._mview = None
 
     # ------------------------------------------------------------------
     # block fetching
     # ------------------------------------------------------------------
     def _fetch_block(self) -> None:
+        if self._mm is not None:
+            # advance the window frontier: no bytes move; eof timing
+            # mirrors the readinto branch (set only by a short fetch)
+            old = self._fetched
+            new = min(old + FQ_BUF_SIZE, self._fsize)
+            got = new - old
+            self._fetched = new
+            self._total_size = new
+            if got < FQ_BUF_SIZE:
+                self._eof = True
+            if got:
+                self._last_byte = int(self._mview[new - 1])
+            return
         # readinto a pre-grown region: saves one full copy of the input
         # (read() materializes a bytes object that += then copies again)
         old = len(self._buf)
@@ -129,11 +211,30 @@ class FastqReader:
             self._last_byte = self._buf[-1]
 
     def _compact(self) -> None:
+        # the slide is clamped to the buffer: a consumed-past-end marker
+        # (_buf_used == blen + 1, unterminated tail) must keep _gbase at
+        # real file offsets — callers read _gbase + min(_buf_used, blen)
+        # as the consumed-through offset
+        if self._mm is not None:
+            # free in mmap mode: slide the window start
+            drop = min(self._buf_used, self._blen())
+            if drop == 0:
+                return
+            self._nl_seam = int(self._mview[self._gbase + drop - 1]) == _NL
+            self._gbase += drop
+            self._buf_used -= drop
+            nl = self._nl_all()
+            self._nl = nl[nl >= drop] - drop
+            self._scanned = max(0, self._scanned - drop)
+            return
         if self._buf_used > FQ_BUF_SIZE:
-            drop = self._buf_used
+            drop = min(self._buf_used, len(self._buf))
+            if drop == 0:
+                return
+            self._nl_seam = self._buf[drop - 1] == _NL
             self._buf = self._buf[drop:]
             self._gbase += drop
-            self._buf_used = 0
+            self._buf_used -= drop
             nl = self._nl_all()
             self._nl = nl[nl >= drop] - drop
             self._scanned = max(0, self._scanned - drop)
@@ -164,30 +265,33 @@ class FastqReader:
     def _scan_new(self) -> bool:
         """Scan unscanned bytes for newlines; returns False if danger bytes
         force scalar mode."""
+        blen = self._blen()
         start = max(self._scanned, self._buf_used)
-        if start >= len(self._buf):
+        if start >= blen:
             return True
+        flat = self._flat()
         # include the previous byte so '\n\n' across the scan seam is seen
-        probe_start = max(start - 1, self._buf_used)
-        if probe_start == 0 and self._gbase == 0 and self._buf[:1] == b"\n":
+        # (a consumed terminator counts: the reference's getLine would
+        # have skipped a '\n' right after it, so adjacency is dangerous
+        # across consume boundaries too)
+        probe_start = max(start - 1, 0)
+        if probe_start == 0 and self._gbase == 0 and flat[0] == _NL:
             return False  # file starts with an empty line
+        if start == 0 and self._gbase > 0 and self._nl_seam and flat[0] == _NL:
+            return False  # '\n\n' straddling a compacted consume boundary
         if _native.available():
-            # one memchr pass: danger probe + newline positions together
-            view = np.frombuffer(self._buf, dtype=np.uint8)
-            nl = _native.scan_newlines(view, probe_start, start,
-                                       len(self._buf))
+            # one fused pass: danger probe + newline positions together
+            nl = _native.scan_newlines(flat, probe_start, start, blen)
             if nl is None:
                 return False
         else:
-            probe = self._buf[probe_start:]
+            probe = flat[probe_start:].tobytes()
             if b"\r" in probe or b"\n\n" in probe:
                 return False
-            new = np.frombuffer(self._buf, dtype=np.uint8,
-                                count=len(self._buf) - start, offset=start)
-            nl = np.flatnonzero(new == _NL) + start
+            nl = np.flatnonzero(flat[start:] == _NL) + start
         if nl.size:
             self._nl_parts.append(nl)
-        self._scanned = len(self._buf)
+        self._scanned = blen
         return True
 
     def _nl_all(self) -> np.ndarray:
@@ -207,7 +311,7 @@ class FastqReader:
         n_lines = nl.shape[0]
         count = n_lines // lpr
         tail_start = int(nl[-1]) + 1 if n_lines else self._buf_used
-        has_tail = self._eof and tail_start < len(self._buf)
+        has_tail = self._eof and tail_start < self._blen()
         if has_tail and n_lines % lpr == lpr - 1:
             # final record with unterminated quality line
             count_extra = 1
@@ -224,7 +328,7 @@ class FastqReader:
             seq_lens = np.concatenate(
                 [seq_lens, [int(nl[lpr * count + 1]) - int(nl[lpr * count]) - 1]]
             )
-            rec_end = np.concatenate([rec_end, [len(self._buf)]])
+            rec_end = np.concatenate([rec_end, [self._blen()]])
         return total, seq_lens, rec_end
 
     def _line_table(self, k: int):
@@ -248,11 +352,11 @@ class FastqReader:
             base = lpr * count_term
             extra_starts[1:] = nl[base : base + lpr - 1] + 1
             extra_ends = np.concatenate(
-                [nl[base : base + lpr - 1], [len(self._buf)]]
+                [nl[base : base + lpr - 1], [self._blen()]]
             )
             line_starts = np.concatenate([line_starts, extra_starts])
             line_ends = np.concatenate([line_ends, extra_ends])
-            new_used = len(self._buf) + 1  # mirrors the reference's end+1
+            new_used = self._blen() + 1  # mirrors the reference's end+1
         else:
             new_used = int(nl[lpr * count_term - 1]) + 1
         return line_starts, line_ends, new_used
@@ -261,7 +365,7 @@ class FastqReader:
         """Mark bytes through new_used consumed; returns global offset e."""
         self._buf_used = new_used
         self._nl = self._nl[np.searchsorted(self._nl, new_used) :]
-        e = self._gbase + min(new_used, len(self._buf))
+        e = self._gbase + min(new_used, self._blen())
         self._compact()
         return e
 
@@ -270,7 +374,7 @@ class FastqReader:
         them. Returns (block, global e after the k-th record)."""
         lpr = self._lpr
         line_starts, line_ends, new_used = self._line_table(k)
-        flat = np.frombuffer(self._buf, dtype=np.uint8)
+        flat = self._flat()
 
         def part(j):
             starts = line_starts[j::lpr]
@@ -368,12 +472,12 @@ class FastqReader:
         lpr = self._lpr
         count_term = min(k, nl.shape[0] // lpr)
         if k > count_term:
-            new_used = len(self._buf) + 1  # unterminated final record
+            new_used = self._blen() + 1  # unterminated final record
         else:
             new_used = int(nl[lpr * count_term - 1]) + 1
         self._buf_used = new_used
         self._nl = self._nl[np.searchsorted(self._nl, new_used) :]
-        e = self._gbase + min(new_used, len(self._buf))
+        e = self._gbase + min(new_used, self._blen())
         self._compact()
         return e
 
@@ -499,6 +603,7 @@ class FastqReader:
         """Scalar record reader (reference fastqreader.cpp:166-196)."""
         if self._dead:
             return None
+        self._to_bytearray()  # the scalar reader works on the bytearray
         # scalar consumption invalidates the fast-path scan cache
         self._nl = np.empty(0, dtype=np.int64)
         self._nl_parts = []
@@ -602,8 +707,8 @@ class FastqReaderPair:
         # ~40% of encode wall; this halves its memory traffic)
         ls1, le1, nu1 = r1._line_table(k)
         ls2, le2, nu2 = r2._line_table(k)
-        flat1 = np.frombuffer(r1._buf, dtype=np.uint8)
-        flat2 = np.frombuffer(r2._buf, dtype=np.uint8)
+        flat1 = r1._flat()
+        flat2 = r2._flat()
         fields = []
         for j in range(4):
             sa = ls1[j::4]

@@ -271,7 +271,7 @@ def plan_chunks(path: str, chunk_size: int = 1_000_000) -> list[ChunkSpec]:
         n, flag = reader.skip_block(budget_bases=chunk_size)
         if n == 0:
             break
-        end = reader._gbase + min(reader._buf_used, len(reader._buf))
+        end = reader._gbase + min(reader._buf_used, reader._blen())
         plan.append(ChunkSpec(offset, end, n, flag))
         offset = end
     reader.close()
@@ -325,6 +325,13 @@ class _RangeReader(FastqReader):
         self._nl = np.empty(0, dtype=np.int64)
         self._nl_parts = []
         self._scanned = 0
+        self._nl_seam = False
+        # bytearray mode only: the custom _fetch_block below reads the
+        # byte range through the file handle
+        self._mm = None
+        self._mview = None
+        self._fsize = 0
+        self._fetched = 0
         self._fetch_block()
 
     def _fetch_block(self) -> None:
@@ -406,12 +413,12 @@ def plan_pair_chunks(
         if n_pairs == 0:
             break
         r1 = pair.left
-        end1 = r1._gbase + min(r1._buf_used, len(r1._buf))
+        end1 = r1._gbase + min(r1._buf_used, r1._blen())
         if interleaved:
             end2 = 0
         else:
             r2 = pair.right
-            end2 = r2._gbase + min(r2._buf_used, len(r2._buf))
+            end2 = r2._gbase + min(r2._buf_used, r2._blen())
         plan.append(PairChunkSpec(off1, end1, off2, end2, n_pairs, f1, f2))
         off1, off2 = end1, end2
     pair.close()

@@ -191,3 +191,105 @@ def test_all_same_slices_matches_gather():
             (flat[: n * L].reshape(n, L) == flat[:L]).all()
         )
         assert _native.all_same_slices(flat, starts, L) == want
+
+
+def _read_scalar_ground_truth(path):
+    """Exact reference semantics: the scalar record reader from offset 0."""
+    r = fq.FastqReader(path)
+    out = []
+    while True:
+        rec = r.read()
+        if rec is None:
+            break
+        out.append(rec)
+    r.close()
+    return out
+
+
+@pytest.mark.parametrize("no_mmap", [False, True])
+def test_consume_boundary_empty_line_at_block_edge(tmp_path, monkeypatch,
+                                                   no_mmap):
+    """'\\n\\n' straddling a consume boundary that lands exactly on the
+    1MB fetch frontier: the danger probe used to skip consumed bytes, so
+    the fast path treated the second newline as a fresh line terminator
+    instead of dropping to the exact scalar reader (which, per the
+    reference's block-frame skip gate, surfaces an empty line and stops
+    the file there)."""
+    if no_mmap:
+        monkeypatch.setenv("REPAQ_TPU_NO_MMAP", "1")
+    # each record exactly 1024 bytes -> 1024 records == FQ_BUF_SIZE
+    name = b"@" + b"n" * 818
+    seq = b"A" * 100
+    qual = b"I" * 100
+    rec = name + b"\n" + seq + b"\n+\n" + qual + b"\n"
+    assert len(rec) == 1024
+    path = tmp_path / "edge.fq"
+    path.write_bytes(rec * 1024 + b"\n" + rec)
+
+    want = _read_scalar_ground_truth(str(path))
+    assert len(want) == 1024  # reference dies at the empty line
+
+    r = fq.FastqReader(str(path))
+    blk, _ = r.read_block(max_records=1024)
+    assert blk is not None and blk.n == 1024
+    blk2, _ = r.read_block(max_records=4)
+    assert blk2 is None  # not a phantom 1025th record
+    r.close()
+
+
+@pytest.mark.parametrize("budget", [64, 1000, 300000])
+def test_mmap_reader_matches_bytearray_reader(tmp_path, monkeypatch, budget):
+    """The mmap window reader and the readinto/bytearray reader must
+    produce identical block sequences and flag timing on multi-MB
+    corpora, including unterminated tails."""
+    rng = np.random.default_rng(23)
+    for trial in range(3):
+        recs = []
+        total = 0
+        lim = int(2.5 * fq.FQ_BUF_SIZE)
+        while total < lim:
+            L = int(rng.integers(1, 260))
+            nm = b"@r" + str(len(recs)).encode()
+            sq = rng.choice(
+                np.frombuffer(b"ACGTN", dtype=np.uint8), size=L
+            ).tobytes()
+            ql = rng.choice(
+                np.frombuffer(b"FF::,#", dtype=np.uint8), size=L
+            ).tobytes()
+            r = nm + b"\n" + sq + b"\n+\n" + ql + b"\n"
+            recs.append(r)
+            total += len(r)
+        data = b"".join(recs)
+        if trial % 2:
+            data = data[:-1]  # no trailing newline
+        path = tmp_path / ("eq%d.fq" % trial)
+        path.write_bytes(data)
+
+        def read_all():
+            r = fq.FastqReader(str(path))
+            out = []
+            while True:
+                blk, flag = r.read_block(budget_bases=budget)
+                if blk is None:
+                    out.append((None, flag))
+                    break
+                out.append(
+                    (
+                        (
+                            blk.n,
+                            blk.name_flat.tobytes(),
+                            blk.seq_flat.tobytes(),
+                            blk.qual_flat.tobytes(),
+                            blk.name_off.tobytes(),
+                        ),
+                        flag,
+                    )
+                )
+            r.close()
+            return out
+
+        monkeypatch.delenv("REPAQ_TPU_NO_MMAP", raising=False)
+        a = read_all()
+        monkeypatch.setenv("REPAQ_TPU_NO_MMAP", "1")
+        b = read_all()
+        assert a == b
