@@ -103,6 +103,11 @@ def _load():
     lib.overlap_pairs.argtypes = [_vp, _vp, _i64, _i64, _i64, _vp]
     lib.copy_slices.restype = None
     lib.copy_slices.argtypes = [_vp, _vp, _vp, _vp, _vp, _i64]
+    lib.pe_interleave.restype = None
+    lib.pe_interleave.argtypes = [
+        _vp, _vp, _vp, _vp, _vp, _vp, _i64,
+        _vp, _vp, _vp, _vp, _vp, _vp, _vp, _vp,
+    ]
     lib.scan_newlines.restype = _i64
     lib.scan_newlines.argtypes = [_vp, _i64, _i64, _i64, _vp]
     lib.all_same_slices.restype = _i64
@@ -267,6 +272,38 @@ def copy_slices(
     lib.copy_slices(
         src.ctypes.data, ss.ctypes.data, dst.ctypes.data, ds.ctypes.data,
         ln.ctypes.data, len(ln),
+    )
+
+
+def pe_interleave(
+    flat1: np.ndarray,
+    ls1: np.ndarray,
+    le1: np.ndarray,
+    flat2: np.ndarray,
+    ls2: np.ndarray,
+    le2: np.ndarray,
+    k: int,
+    fields: list,
+) -> None:
+    """Scatter all 4 fields of k record pairs from the two source
+    buffers into interleaved outputs in ONE sequential pass per source.
+    fields = [(out_j, off_j)] * 4 with off_j the (2k+1)-entry interleaved
+    prefix-sum offsets for field j."""
+    lib = _load()
+    # locals keep every buffer alive across the raw-pointer call
+    a1 = np.ascontiguousarray(ls1, dtype=np.int64)
+    b1 = np.ascontiguousarray(le1, dtype=np.int64)
+    a2 = np.ascontiguousarray(ls2, dtype=np.int64)
+    b2 = np.ascontiguousarray(le2, dtype=np.int64)
+    offs = [np.ascontiguousarray(off, dtype=np.int64) for _, off in fields]
+    outs = [out for out, _ in fields]
+    lib.pe_interleave(
+        flat1.ctypes.data, a1.ctypes.data, b1.ctypes.data,
+        flat2.ctypes.data, a2.ctypes.data, b2.ctypes.data, k,
+        outs[0].ctypes.data, offs[0].ctypes.data,
+        outs[1].ctypes.data, offs[1].ctypes.data,
+        outs[2].ctypes.data, offs[2].ctypes.data,
+        outs[3].ctypes.data, offs[3].ctypes.data,
     )
 
 

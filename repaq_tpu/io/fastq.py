@@ -711,18 +711,14 @@ class FastqReaderPair:
         flat2 = r2._flat()
         fields = []
         for j in range(4):
-            sa = ls1[j::4]
-            la = le1[j::4] - sa
-            sb = ls2[j::4]
-            lb = le2[j::4] - sb
             lens = np.empty(2 * k, dtype=np.int64)
-            lens[0::2] = la
-            lens[1::2] = lb
+            lens[0::2] = le1[j::4] - ls1[j::4]
+            lens[1::2] = le2[j::4] - ls2[j::4]
             off = lens_to_offsets(lens)
-            out = np.empty(int(off[-1]), dtype=np.uint8)
-            _native.copy_slices(flat1, sa, out, off[0:-1:2], la)
-            _native.copy_slices(flat2, sb, out, off[1:-1:2], lb)
-            fields.append((out, off))
+            fields.append((np.empty(int(off[-1]), dtype=np.uint8), off))
+        # all four fields of both mates scatter in one record-order pass
+        # per source buffer (each source cache line is read once)
+        _native.pe_interleave(flat1, ls1, le1, flat2, ls2, le2, k, fields)
         del flat1, flat2  # views pin the bytearrays against resize
         e1 = r1._commit_consume(nu1)
         e2 = r2._commit_consume(nu2)

@@ -543,6 +543,31 @@ void copy_slices(const uint8_t* src, const int64_t* src_starts, uint8_t* dst,
         copy_small(dst + dst_starts[i], src + src_starts[i], lens[i]);
 }
 
+// Fused PE interleave (io/fastq.py _consume_pairs): scatter all four
+// fields of both mates record-by-record, so each source buffer is read
+// ONCE sequentially — the per-field copy_slices formulation swept the
+// same source cache lines four times (record fields share lines at
+// typical 60-150 byte field sizes). ls/le are the 4-lines-per-record
+// line tables (index 4p+j); dj holds the interleaved field-j output
+// offsets (dj[2p] mate 1, dj[2p+1] mate 2, i.e. the prefix-sum array).
+void pe_interleave(const uint8_t* f1, const int64_t* ls1, const int64_t* le1,
+                   const uint8_t* f2, const int64_t* ls2, const int64_t* le2,
+                   int64_t k, uint8_t* out0, const int64_t* d0, uint8_t* out1,
+                   const int64_t* d1, uint8_t* out2, const int64_t* d2,
+                   uint8_t* out3, const int64_t* d3) {
+    uint8_t* outs[4] = {out0, out1, out2, out3};
+    const int64_t* ds[4] = {d0, d1, d2, d3};
+    for (int64_t p = 0; p < k; p++) {
+        int64_t b = 4 * p;
+        for (int j = 0; j < 4; j++)
+            copy_small(outs[j] + ds[j][2 * p], f1 + ls1[b + j],
+                       le1[b + j] - ls1[b + j]);
+        for (int j = 0; j < 4; j++)
+            copy_small(outs[j] + ds[j][2 * p + 1], f2 + ls2[b + j],
+                       le2[b + j] - ls2[b + j]);
+    }
+}
+
 // Compact rANS frequency-table parse (codec/rans_np.py parse_table —
 // byte-identical semantics incl. the error taxonomy). Returns the new
 // offset, or -1 truncated, -2 symbol list not ascending, -3 bitmap
