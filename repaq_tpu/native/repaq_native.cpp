@@ -446,15 +446,16 @@ static inline int64_t overlap_scan_avx(const uint8_t* hay, int64_t hl,
         int64_t base = hi - done - cnt + 1;
         __mmask64 valid =
             cnt == 64 ? ~0ULL : ((1ULL << cnt) - 1);
-        __mmask64 m = _mm512_mask_cmpeq_epi8_mask(
+        // three INDEPENDENT load+compare chains (ANDed at the end):
+        // gating load j+1 on mask j serialized ~15-cycle k-register
+        // round trips per stage and tripled the scan latency
+        __mmask64 m0 = _mm512_mask_cmpeq_epi8_mask(
             valid, _mm512_maskz_loadu_epi8(valid, hay + base), fb0);
-        if (m) {
-            m = _mm512_mask_cmpeq_epi8_mask(
-                m, _mm512_maskz_loadu_epi8(m, hay + base + 1), fb1);
-            if (m)
-                m = _mm512_mask_cmpeq_epi8_mask(
-                    m, _mm512_maskz_loadu_epi8(m, hay + base + 2), fb2);
-        }
+        __mmask64 m1 = _mm512_mask_cmpeq_epi8_mask(
+            valid, _mm512_maskz_loadu_epi8(valid, hay + base + 1), fb1);
+        __mmask64 m2 = _mm512_mask_cmpeq_epi8_mask(
+            valid, _mm512_maskz_loadu_epi8(valid, hay + base + 2), fb2);
+        __mmask64 m = m0 & m1 & m2;
         while (m) {
             int i = 63 - __builtin_clzll((unsigned long long)m);
             uint64_t w;
@@ -701,6 +702,48 @@ int64_t scan_newlines(const uint8_t* buf, int64_t probe_start, int64_t start,
     uint64_t carry = (prev == start - 1) ? 1ULL : 0ULL;
     int64_t count = 0;
     int64_t i = start;
+    // 4 blocks per iteration: the '\r' probe and the adjacent-'\n' probe
+    // each collapse to one test per 256 bytes, and the four position
+    // masks extract with independent loop bodies (at FASTQ line lengths
+    // most blocks carry 0-2 newlines, so the k-register round trips per
+    // block dominated the 1-block loop)
+    for (; i + 256 <= end; i += 256) {
+        __m512i v0 = _mm512_loadu_si512(buf + i);
+        __m512i v1 = _mm512_loadu_si512(buf + i + 64);
+        __m512i v2 = _mm512_loadu_si512(buf + i + 128);
+        __m512i v3 = _mm512_loadu_si512(buf + i + 192);
+        __mmask64 c0 = _mm512_cmpeq_epi8_mask(v0, cr);
+        __mmask64 c1 = _mm512_cmpeq_epi8_mask(v1, cr);
+        __mmask64 c2 = _mm512_cmpeq_epi8_mask(v2, cr);
+        __mmask64 c3 = _mm512_cmpeq_epi8_mask(v3, cr);
+        if ((c0 | c1) | (c2 | c3)) return -1;
+        uint64_t m0 = _mm512_cmpeq_epi8_mask(v0, nl);
+        uint64_t m1 = _mm512_cmpeq_epi8_mask(v1, nl);
+        uint64_t m2 = _mm512_cmpeq_epi8_mask(v2, nl);
+        uint64_t m3 = _mm512_cmpeq_epi8_mask(v3, nl);
+        uint64_t adj = (m0 & ((m0 << 1) | carry)) |
+                       (m1 & ((m1 << 1) | (m0 >> 63))) |
+                       (m2 & ((m2 << 1) | (m1 >> 63))) |
+                       (m3 & ((m3 << 1) | (m2 >> 63)));
+        if (adj) return -1;
+        carry = m3 >> 63;
+        while (m0) {
+            out[count++] = i + __builtin_ctzll(m0);
+            m0 &= m0 - 1;
+        }
+        while (m1) {
+            out[count++] = i + 64 + __builtin_ctzll(m1);
+            m1 &= m1 - 1;
+        }
+        while (m2) {
+            out[count++] = i + 128 + __builtin_ctzll(m2);
+            m2 &= m2 - 1;
+        }
+        while (m3) {
+            out[count++] = i + 192 + __builtin_ctzll(m3);
+            m3 &= m3 - 1;
+        }
+    }
     for (; i + 64 <= end; i += 64) {
         __m512i v = _mm512_loadu_si512(buf + i);
         if (_mm512_cmpeq_epi8_mask(v, cr)) return -1;
