@@ -101,6 +101,10 @@ def _load():
     lib.token_starts.argtypes = [_vp, _i64, _vp]
     lib.overlap_pairs.restype = None
     lib.overlap_pairs.argtypes = [_vp, _vp, _i64, _i64, _i64, _vp]
+    lib.overlap_pairs2.restype = None
+    lib.overlap_pairs2.argtypes = [
+        _vp, _i64, _i64, _vp, _i64, _i64, _i64, _i64, _i64, _vp,
+    ]
     lib.copy_slices.restype = None
     lib.copy_slices.argtypes = [_vp, _vp, _vp, _vp, _vp, _i64]
     lib.pe_interleave.restype = None
@@ -254,6 +258,29 @@ def overlap_pairs(r1: np.ndarray, r2: np.ndarray) -> np.ndarray:
     r1 = np.ascontiguousarray(r1)
     r2 = np.ascontiguousarray(r2)
     lib.overlap_pairs(r1.ctypes.data, r2.ctypes.data, p, l1, l2, out.ctypes.data)
+    return out
+
+
+def overlap_pairs_strided(
+    a_flat: np.ndarray,
+    a_base: int,
+    a_stride: int,
+    b_flat: np.ndarray,
+    b_base: int,
+    b_stride: int,
+    pairs: int,
+    l1: int,
+    l2: int,
+) -> np.ndarray:
+    """overlap_pairs over rows embedded in larger flat buffers (row p of
+    side a at a_base + p*a_stride) — no gather matrices."""
+    lib = _load()
+    out = np.zeros(pairs, dtype=np.int64)
+    lib.overlap_pairs2(
+        a_flat.ctypes.data, a_base, a_stride,
+        b_flat.ctypes.data, b_base, b_stride,
+        pairs, l1, l2, out.ctypes.data,
+    )
     return out
 
 

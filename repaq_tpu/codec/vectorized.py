@@ -313,8 +313,43 @@ def encode_chunk(header: RfqHeader, block: ReadBlock, is_pe: bool = False) -> Rf
     can_interleave = a.can_interleave
 
     # ---- transformed seq/qual (odd reads revcomped when interleaving) ----
+    # Native fast route: instead of materializing a full revcomp'd copy
+    # of the chunk (tseq) and gathering (pairs, L) overlap matrices plus
+    # the stored-span concat out of it, revcomp the odd reads ONCE into a
+    # compact buffer; overlap scans run strided over the reader's
+    # interleaved layout + that buffer, and the stored-span concat pulls
+    # even spans from seq_flat / odd spans from the compact buffer. Same
+    # bytes, ~2.3x less memory traffic on the seq side.
+    odd_rc = odd_rc_off = None
+    off64 = block.seq_off.astype(np.int64)
     if can_interleave:
-        tseq, tqual = _revcomp_odd(block, seq_lens)
+        from . import _native
+
+        if _native.available() and np.array_equal(
+            block.qual_off, block.seq_off
+        ):
+            tseq = None
+            odd_starts = off64[:-1][1::2]
+            odd_lens = seq_lens[1::2]
+            odd_rc_off = lens_to_offsets(odd_lens)
+            odd_rc = np.empty(int(odd_rc_off[-1]), dtype=np.uint8)
+            _native.reverse_slices(
+                block.seq_flat, odd_starts, odd_rc, odd_rc_off[:-1],
+                odd_lens, _COMP,
+            )
+            # tqual: even quals copied, odd quals reversed, in place of
+            # the full-copy-then-reverse
+            tqual = np.empty(len(block.qual_flat), dtype=np.uint8)
+            _native.copy_slices(
+                block.qual_flat, off64[:-1][0::2], tqual, off64[:-1][0::2],
+                seq_lens[0::2],
+            )
+            _native.reverse_slices(
+                block.qual_flat, odd_starts, tqual, odd_starts, odd_lens,
+                None,
+            )
+        else:
+            tseq, tqual = _revcomp_odd(block, seq_lens)
     else:
         tseq, tqual = block.seq_flat, block.qual_flat
 
@@ -326,17 +361,34 @@ def encode_chunk(header: RfqHeader, block: ReadBlock, is_pe: bool = False) -> Rf
         if s >= 2 and bool((even_l == even_l[0]).all()) and bool(
             (odd_l == odd_l[0]).all()
         ):
-            off = block.seq_off
-            r1 = gather_slices(
-                tseq, off[:-1][0::2], np.full(s // 2, even_l[0], dtype=np.int64)
-            ).reshape(s // 2, int(even_l[0]))
-            r2 = gather_slices(
-                tseq, off[:-1][1::2], np.full(s // 2, odd_l[0], dtype=np.int64)
-            ).reshape(s // 2, int(odd_l[0]))
-            ov = _overlap_pairs(r1, r2)
+            if odd_rc is not None:
+                from . import _native
+
+                ov = _native.overlap_pairs_strided(
+                    block.seq_flat, int(off64[0]),
+                    int(even_l[0] + odd_l[0]),
+                    odd_rc, 0, int(odd_l[0]),
+                    s // 2, int(even_l[0]), int(odd_l[0]),
+                )
+            else:
+                off = block.seq_off
+                r1 = gather_slices(
+                    tseq, off[:-1][0::2],
+                    np.full(s // 2, even_l[0], dtype=np.int64),
+                ).reshape(s // 2, int(even_l[0]))
+                r2 = gather_slices(
+                    tseq, off[:-1][1::2],
+                    np.full(s // 2, odd_l[0], dtype=np.int64),
+                ).reshape(s // 2, int(odd_l[0]))
+                ov = _overlap_pairs(r1, r2)
         else:
-            odd_off = lens_to_offsets(odd_l)
-            odd_flat = gather_slices(tseq, block.seq_off[:-1][1::2], odd_l)
+            if odd_rc is not None:
+                odd_flat, odd_off = odd_rc, odd_rc_off
+            else:
+                odd_off = lens_to_offsets(odd_l)
+                odd_flat = gather_slices(
+                    tseq, block.seq_off[:-1][1::2], odd_l
+                )
             ov = _overlap_ragged(block.seq_flat, block.seq_off, odd_flat, odd_off)
         # shift clamp (reference rfqcodec.cpp:379-382)
         shifted = ov + header.overlap_shift
@@ -345,11 +397,26 @@ def encode_chunk(header: RfqHeader, block: ReadBlock, is_pe: bool = False) -> Rf
     # ---- stored sequence pieces (overlap elision) ----
     starts = block.seq_off[:-1].astype(np.int64).copy()
     stored = seq_lens.copy()
+    fwd = None
     if encode_overlap and can_interleave and ov.size:
         fwd = np.maximum(ov, 0)
         starts[1::2] += fwd
         stored[1::2] -= np.abs(ov)
-    seq_concat = gather_slices(tseq, starts, stored)
+    if odd_rc is not None:
+        from . import _native
+
+        out_off = lens_to_offsets(stored)
+        seq_concat = np.empty(int(out_off[-1]), dtype=np.uint8)
+        _native.copy_slices(
+            block.seq_flat, starts[0::2], seq_concat, out_off[:-1][0::2],
+            stored[0::2],
+        )
+        odd_src = odd_rc_off[:-1] + fwd if fwd is not None else odd_rc_off[:-1]
+        _native.copy_slices(
+            odd_rc, odd_src, seq_concat, out_off[:-1][1::2], stored[1::2]
+        )
+    else:
+        seq_concat = gather_slices(tseq, starts, stored)
     qual_concat = tqual
 
     seq_encoded = K.pack_2bit(seq_concat)

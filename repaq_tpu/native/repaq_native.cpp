@@ -472,21 +472,23 @@ static inline int64_t overlap_scan_avx(const uint8_t* hay, int64_t hl,
 }
 #endif
 
-void overlap_pairs(const uint8_t* r1, const uint8_t* r2, int64_t pairs,
-                   int64_t l1, int64_t l2, int64_t* out) {
+// Strided variant: rows live inside larger buffers (a at a_base + p *
+// a_stride, b at b_base + p * b_stride) so callers can scan the reader's
+// interleaved seq layout and a packed revcomp buffer directly — no
+// (pairs, L) gather matrices. Same first-match semantics as
+// overlap_pairs.
+void overlap_pairs2(const uint8_t* a_flat, int64_t a_base, int64_t a_stride,
+                    const uint8_t* b_flat, int64_t b_base, int64_t b_stride,
+                    int64_t pairs, int64_t l1, int64_t l2, int64_t* out) {
     int64_t minlen = l1 < l2 ? l1 : l2;
     for (int64_t p = 0; p < pairs; p++) {
-        const uint8_t* a = r1 + p * l1;
-        const uint8_t* b = r2 + p * l2;
+        const uint8_t* a = a_flat + a_base + p * a_stride;
+        const uint8_t* b = b_flat + b_base + p * b_stride;
         int64_t found = 0;
 #ifdef REPAQ_AVX512_VBMI
         found = overlap_scan_avx(a, l1, b, minlen);
         if (!found) found = -overlap_scan_avx(b, l2, a, minlen);
 #else
-        // 8-byte prefilter: candidate o must start with the other read's
-        // first 8 bytes (o >= 12 > 8 keeps all loads in-bounds); the full
-        // memcmp runs only on prefilter hits — random data almost never
-        // passes, cutting the all-miss scan ~4x
         uint64_t b8, a8;
         memcpy(&b8, b, 8);
         for (int64_t o = 12; o <= minlen; o++) {
@@ -513,6 +515,11 @@ void overlap_pairs(const uint8_t* r1, const uint8_t* r2, int64_t pairs,
 #endif
         out[p] = found;
     }
+}
+
+void overlap_pairs(const uint8_t* r1, const uint8_t* r2, int64_t pairs,
+                   int64_t l1, int64_t l2, int64_t* out) {
+    overlap_pairs2(r1, 0, l1, r2, 0, l2, pairs, l1, l2, out);
 }
 
 // Short-slice copy: the gather/assembly passes move tens of millions of
