@@ -105,6 +105,15 @@ def _load():
     lib.overlap_pairs2.argtypes = [
         _vp, _i64, _i64, _vp, _i64, _i64, _i64, _i64, _i64, _vp,
     ]
+    lib.overlap_pairsx.restype = None
+    lib.overlap_pairsx.argtypes = [
+        _vp, _vp, _vp, _vp, _i64, _i64, _i64, _vp,
+    ]
+    lib.pe_interleave2.restype = None
+    lib.pe_interleave2.argtypes = [
+        _vp, _vp, _vp, _vp, _vp, _vp, _i64,
+        _i64, _vp, _vp, _i64, _vp, _vp,
+    ]
     lib.copy_slices.restype = None
     lib.copy_slices.argtypes = [_vp, _vp, _vp, _vp, _vp, _i64]
     lib.pe_interleave.restype = None
@@ -261,27 +270,59 @@ def overlap_pairs(r1: np.ndarray, r2: np.ndarray) -> np.ndarray:
     return out
 
 
-def overlap_pairs_strided(
+def overlap_pairs_starts(
     a_flat: np.ndarray,
-    a_base: int,
-    a_stride: int,
+    a_starts: np.ndarray,
     b_flat: np.ndarray,
-    b_base: int,
-    b_stride: int,
-    pairs: int,
+    b_starts: np.ndarray,
     l1: int,
     l2: int,
 ) -> np.ndarray:
-    """overlap_pairs over rows embedded in larger flat buffers (row p of
-    side a at a_base + p*a_stride) — no gather matrices."""
+    """overlap_pairs with per-row start offsets on both sides (rows live
+    at arbitrary positions inside larger flat buffers)."""
     lib = _load()
+    a_starts = np.ascontiguousarray(a_starts, dtype=np.int64)
+    b_starts = np.ascontiguousarray(b_starts, dtype=np.int64)
+    pairs = a_starts.shape[0]
     out = np.zeros(pairs, dtype=np.int64)
-    lib.overlap_pairs2(
-        a_flat.ctypes.data, a_base, a_stride,
-        b_flat.ctypes.data, b_base, b_stride,
+    lib.overlap_pairsx(
+        a_flat.ctypes.data, a_starts.ctypes.data,
+        b_flat.ctypes.data, b_starts.ctypes.data,
         pairs, l1, l2, out.ctypes.data,
     )
     return out
+
+
+def pe_interleave_2fields(
+    flat1: np.ndarray,
+    ls1: np.ndarray,
+    le1: np.ndarray,
+    flat2: np.ndarray,
+    ls2: np.ndarray,
+    le2: np.ndarray,
+    k: int,
+    ja: int,
+    fielda: tuple,
+    jb: int,
+    fieldb: tuple,
+) -> None:
+    """pe_interleave limited to line indices ja/jb of each 4-line record
+    (the lazy-span reader materializes only names + strands)."""
+    lib = _load()
+    a1 = np.ascontiguousarray(ls1, dtype=np.int64)
+    b1 = np.ascontiguousarray(le1, dtype=np.int64)
+    a2 = np.ascontiguousarray(ls2, dtype=np.int64)
+    b2 = np.ascontiguousarray(le2, dtype=np.int64)
+    outa, offa = fielda
+    outb, offb = fieldb
+    offa = np.ascontiguousarray(offa, dtype=np.int64)
+    offb = np.ascontiguousarray(offb, dtype=np.int64)
+    lib.pe_interleave2(
+        flat1.ctypes.data, a1.ctypes.data, b1.ctypes.data,
+        flat2.ctypes.data, a2.ctypes.data, b2.ctypes.data, k,
+        ja, outa.ctypes.data, offa.ctypes.data,
+        jb, outb.ctypes.data, offb.ctypes.data,
+    )
 
 
 def copy_slices(

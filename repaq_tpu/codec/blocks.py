@@ -77,6 +77,27 @@ def lens_to_offsets(lens: np.ndarray) -> np.ndarray:
     return off
 
 
+class PESpans:
+    """Zero-copy PE source annotation (set by the reader's mmap fast
+    path): absolute line starts of the seq/qual lines of each pair in the
+    two source windows. Lets encode_chunk consume sequence and quality
+    spans straight from the mapped input, so the block's packed
+    seq_flat/qual_flat never materialize unless some other consumer
+    (verify, header scan, fallback engine) asks for them."""
+
+    __slots__ = ("src1", "src2", "seq_starts1", "seq_starts2",
+                 "qual_starts1", "qual_starts2")
+
+    def __init__(self, src1, src2, seq_starts1, seq_starts2,
+                 qual_starts1, qual_starts2):
+        self.src1 = src1
+        self.src2 = src2
+        self.seq_starts1 = seq_starts1
+        self.seq_starts2 = seq_starts2
+        self.qual_starts1 = qual_starts1
+        self.qual_starts2 = qual_starts2
+
+
 @dataclass
 class ReadBlock:
     n: int
@@ -88,6 +109,55 @@ class ReadBlock:
     strand_off: np.ndarray
     qual_flat: np.ndarray
     qual_off: np.ndarray
+
+    def __post_init__(self):
+        # set via attach_pe_spans; plain attribute so dataclass
+        # construction sites stay positional
+        self.pe_spans = None
+
+    def attach_pe_spans(self, spans: PESpans) -> None:
+        """Mark seq_flat/qual_flat as lazily derivable from the source
+        windows. Caller passes seq_flat=None, qual_flat=None."""
+        self.pe_spans = spans
+
+    def _materialize(self) -> None:
+        # raw accessors: the __getattribute__ hook would re-enter this
+        # method for the None fields being filled in
+        get = object.__getattribute__
+        sp = get(self, "pe_spans")
+        if sp is None:
+            return
+        from . import _native
+
+        if get(self, "seq_flat") is None:
+            seq_off = get(self, "seq_off")
+            lens = np.diff(seq_off)
+            out = np.empty(int(seq_off[-1]), dtype=np.uint8)
+            dst = seq_off[:-1]
+            _native.copy_slices(sp.src1, sp.seq_starts1, out,
+                                dst[0::2], lens[0::2])
+            _native.copy_slices(sp.src2, sp.seq_starts2, out,
+                                dst[1::2], lens[1::2])
+            self.seq_flat = out
+        if get(self, "qual_flat") is None:
+            qual_off = get(self, "qual_off")
+            lens = np.diff(qual_off)
+            out = np.empty(int(qual_off[-1]), dtype=np.uint8)
+            dst = qual_off[:-1]
+            _native.copy_slices(sp.src1, sp.qual_starts1, out,
+                                dst[0::2], lens[0::2])
+            _native.copy_slices(sp.src2, sp.qual_starts2, out,
+                                dst[1::2], lens[1::2])
+            self.qual_flat = out
+
+    def __getattribute__(self, name):
+        if name in ("seq_flat", "qual_flat"):
+            v = object.__getattribute__(self, name)
+            if v is None and object.__getattribute__(self, "pe_spans") is not None:
+                object.__getattribute__(self, "_materialize")()
+                return object.__getattribute__(self, name)
+            return v
+        return object.__getattribute__(self, name)
 
     @property
     def total_bases(self) -> int:

@@ -321,11 +321,35 @@ def encode_chunk(header: RfqHeader, block: ReadBlock, is_pe: bool = False) -> Rf
     # even spans from seq_flat / odd spans from the compact buffer. Same
     # bytes, ~2.3x less memory traffic on the seq side.
     odd_rc = odd_rc_off = None
+    even_src = even_seq_starts = None
     off64 = block.seq_off.astype(np.int64)
     if can_interleave:
         from . import _native
 
-        if _native.available() and np.array_equal(
+        sp = getattr(block, "pe_spans", None)
+        if _native.available() and sp is not None:
+            # lazy-span route: sources are the reader's mapped input
+            # windows; the reader guaranteed qual layout == seq layout
+            tseq = None
+            odd_lens = seq_lens[1::2]
+            odd_rc_off = lens_to_offsets(odd_lens)
+            odd_rc = np.empty(int(odd_rc_off[-1]), dtype=np.uint8)
+            _native.reverse_slices(
+                sp.src2, sp.seq_starts2, odd_rc, odd_rc_off[:-1],
+                odd_lens, _COMP,
+            )
+            tqual = np.empty(int(block.qual_off[-1]), dtype=np.uint8)
+            _native.copy_slices(
+                sp.src1, sp.qual_starts1, tqual, off64[:-1][0::2],
+                seq_lens[0::2],
+            )
+            _native.reverse_slices(
+                sp.src2, sp.qual_starts2, tqual, off64[:-1][1::2],
+                odd_lens, None,
+            )
+            even_src = sp.src1
+            even_seq_starts = sp.seq_starts1
+        elif _native.available() and np.array_equal(
             block.qual_off, block.seq_off
         ):
             tseq = None
@@ -348,6 +372,8 @@ def encode_chunk(header: RfqHeader, block: ReadBlock, is_pe: bool = False) -> Rf
                 block.qual_flat, odd_starts, tqual, odd_starts, odd_lens,
                 None,
             )
+            even_src = block.seq_flat
+            even_seq_starts = off64[:-1][0::2]
         else:
             tseq, tqual = _revcomp_odd(block, seq_lens)
     else:
@@ -364,11 +390,9 @@ def encode_chunk(header: RfqHeader, block: ReadBlock, is_pe: bool = False) -> Rf
             if odd_rc is not None:
                 from . import _native
 
-                ov = _native.overlap_pairs_strided(
-                    block.seq_flat, int(off64[0]),
-                    int(even_l[0] + odd_l[0]),
-                    odd_rc, 0, int(odd_l[0]),
-                    s // 2, int(even_l[0]), int(odd_l[0]),
+                ov = _native.overlap_pairs_starts(
+                    even_src, even_seq_starts, odd_rc, odd_rc_off[:-1],
+                    int(even_l[0]), int(odd_l[0]),
                 )
             else:
                 off = block.seq_off
@@ -408,7 +432,7 @@ def encode_chunk(header: RfqHeader, block: ReadBlock, is_pe: bool = False) -> Rf
         out_off = lens_to_offsets(stored)
         seq_concat = np.empty(int(out_off[-1]), dtype=np.uint8)
         _native.copy_slices(
-            block.seq_flat, starts[0::2], seq_concat, out_off[:-1][0::2],
+            even_src, even_seq_starts, seq_concat, out_off[:-1][0::2],
             stored[0::2],
         )
         odd_src = odd_rc_off[:-1] + fwd if fwd is not None else odd_rc_off[:-1]

@@ -41,7 +41,7 @@ from typing import Optional
 import numpy as np
 
 from ..codec import _native
-from ..codec.blocks import ReadBlock, gather_slices, lens_to_offsets
+from ..codec.blocks import PESpans, ReadBlock, gather_slices, lens_to_offsets
 from ..codec.oracle import FastqRead
 
 FQ_BUF_SIZE = 1 << 20
@@ -709,6 +709,50 @@ class FastqReaderPair:
         ls2, le2, nu2 = r2._line_table(k)
         flat1 = r1._flat()
         flat2 = r2._flat()
+        if r1._mm is not None and r2._mm is not None:
+            # lazy-span tier: seq and qual stay as spans into the mapped
+            # inputs (flat1/flat2 are views pinning the mmaps, so they
+            # outlive consumption); only names + strands materialize.
+            # encode_chunk consumes the spans directly — the packed
+            # seq_flat/qual_flat copies happen only if some consumer
+            # (verify, header scan, fallback engine) asks for them.
+            sl = np.empty(2 * k, dtype=np.int64)
+            sl[0::2] = le1[1::4] - ls1[1::4]
+            sl[1::2] = le2[1::4] - ls2[1::4]
+            ql = np.empty(2 * k, dtype=np.int64)
+            ql[0::2] = le1[3::4] - ls1[3::4]
+            ql[1::2] = le2[3::4] - ls2[3::4]
+            if np.array_equal(sl, ql):
+                nl_ = np.empty(2 * k, dtype=np.int64)
+                nl_[0::2] = le1[0::4] - ls1[0::4]
+                nl_[1::2] = le2[0::4] - ls2[0::4]
+                tl = np.empty(2 * k, dtype=np.int64)
+                tl[0::2] = le1[2::4] - ls1[2::4]
+                tl[1::2] = le2[2::4] - ls2[2::4]
+                name_off = lens_to_offsets(nl_)
+                strand_off = lens_to_offsets(tl)
+                seq_off = lens_to_offsets(sl)
+                name_flat = np.empty(int(name_off[-1]), dtype=np.uint8)
+                strand_flat = np.empty(int(strand_off[-1]), dtype=np.uint8)
+                _native.pe_interleave_2fields(
+                    flat1, ls1, le1, flat2, ls2, le2, k,
+                    0, (name_flat, name_off), 2, (strand_flat, strand_off),
+                )
+                spans = PESpans(
+                    flat1, flat2,
+                    np.ascontiguousarray(ls1[1::4]),
+                    np.ascontiguousarray(ls2[1::4]),
+                    np.ascontiguousarray(ls1[3::4]),
+                    np.ascontiguousarray(ls2[3::4]),
+                )
+                e1 = r1._commit_consume(nu1)
+                e2 = r2._commit_consume(nu2)
+                block = ReadBlock(
+                    2 * k, name_flat, name_off, None, seq_off,
+                    strand_flat, strand_off, None, seq_off,
+                )
+                block.attach_pe_spans(spans)
+                return block, r1._flag_visible(e1), r2._flag_visible(e2)
         fields = []
         for j in range(4):
             lens = np.empty(2 * k, dtype=np.int64)

@@ -522,6 +522,49 @@ void overlap_pairs(const uint8_t* r1, const uint8_t* r2, int64_t pairs,
     overlap_pairs2(r1, 0, l1, r2, 0, l2, pairs, l1, l2, out);
 }
 
+// Per-row-starts variant: row p of side a begins at a_flat + a_starts[p]
+// (rows embedded at arbitrary offsets — e.g. seq lines inside the mapped
+// FASTQ input, where name lengths make the spacing non-uniform).
+void overlap_pairsx(const uint8_t* a_flat, const int64_t* a_starts,
+                    const uint8_t* b_flat, const int64_t* b_starts,
+                    int64_t pairs, int64_t l1, int64_t l2, int64_t* out) {
+    int64_t minlen = l1 < l2 ? l1 : l2;
+    for (int64_t p = 0; p < pairs; p++) {
+        const uint8_t* a = a_flat + a_starts[p];
+        const uint8_t* b = b_flat + b_starts[p];
+        int64_t found = 0;
+#ifdef REPAQ_AVX512_VBMI
+        found = overlap_scan_avx(a, l1, b, minlen);
+        if (!found) found = -overlap_scan_avx(b, l2, a, minlen);
+#else
+        uint64_t b8, a8;
+        memcpy(&b8, b, 8);
+        for (int64_t o = 12; o <= minlen; o++) {
+            uint64_t w;
+            memcpy(&w, a + l1 - o, 8);
+            if (w != b8) continue;
+            if (memcmp(a + l1 - o, b, (size_t)o) == 0) {
+                found = o;
+                break;
+            }
+        }
+        if (!found) {
+            memcpy(&a8, a, 8);
+            for (int64_t o = 12; o <= minlen; o++) {
+                uint64_t w;
+                memcpy(&w, b + l2 - o, 8);
+                if (w != a8) continue;
+                if (memcmp(b + l2 - o, a, (size_t)o) == 0) {
+                    found = -o;
+                    break;
+                }
+            }
+        }
+#endif
+        out[p] = found;
+    }
+}
+
 // Short-slice copy: the gather/assembly passes move tens of millions of
 // 1-200 byte fields per file, where glibc memcpy's dispatch overhead is
 // comparable to the copy itself. Full 64-byte vectors plus one masked
@@ -558,6 +601,26 @@ void copy_slices(const uint8_t* src, const int64_t* src_starts, uint8_t* dst,
 // typical 60-150 byte field sizes). ls/le are the 4-lines-per-record
 // line tables (index 4p+j); dj holds the interleaved field-j output
 // offsets (dj[2p] mate 1, dj[2p+1] mate 2, i.e. the prefix-sum array).
+// Two-field variant (line indices ja/jb of the 4-line record): used when
+// the seq/qual fields stay as lazy spans into the mapped input and only
+// names + strands materialize.
+void pe_interleave2(const uint8_t* f1, const int64_t* ls1, const int64_t* le1,
+                    const uint8_t* f2, const int64_t* ls2, const int64_t* le2,
+                    int64_t k, int64_t ja, uint8_t* outa, const int64_t* da,
+                    int64_t jb, uint8_t* outb, const int64_t* db) {
+    for (int64_t p = 0; p < k; p++) {
+        int64_t b = 4 * p;
+        copy_small(outa + da[2 * p], f1 + ls1[b + ja],
+                   le1[b + ja] - ls1[b + ja]);
+        copy_small(outb + db[2 * p], f1 + ls1[b + jb],
+                   le1[b + jb] - ls1[b + jb]);
+        copy_small(outa + da[2 * p + 1], f2 + ls2[b + ja],
+                   le2[b + ja] - ls2[b + ja]);
+        copy_small(outb + db[2 * p + 1], f2 + ls2[b + jb],
+                   le2[b + jb] - ls2[b + jb]);
+    }
+}
+
 void pe_interleave(const uint8_t* f1, const int64_t* ls1, const int64_t* le1,
                    const uint8_t* f2, const int64_t* ls2, const int64_t* le2,
                    int64_t k, uint8_t* out0, const int64_t* d0, uint8_t* out1,
