@@ -114,6 +114,10 @@ def _load():
         _vp, _vp, _vp, _vp, _vp, _vp, _i64,
         _i64, _vp, _vp, _i64, _vp, _vp,
     ]
+    lib.scatter_pieces_rc.restype = None
+    lib.scatter_pieces_rc.argtypes = [
+        _vp, _vp, _vp, _i64, _vp, _vp, _vp,
+    ]
     lib.copy_slices.restype = None
     lib.copy_slices.argtypes = [_vp, _vp, _vp, _vp, _vp, _i64]
     lib.pe_interleave.restype = None
@@ -291,6 +295,28 @@ def overlap_pairs_starts(
         pairs, l1, l2, out.ctypes.data,
     )
     return out
+
+
+def scatter_pieces_rc(
+    src: np.ndarray,
+    p_starts: np.ndarray,
+    p_lens: np.ndarray,
+    dst: np.ndarray,
+    dst_off: np.ndarray,
+    table: np.ndarray,
+) -> None:
+    """Fused PE decode restore: 3 pieces per row; even rows concatenate,
+    odd rows emit the reverse-complement of the concatenation."""
+    lib = _load()
+    n_rows = dst_off.shape[0] - 1
+    ps = np.ascontiguousarray(p_starts, dtype=np.int64)
+    pl = np.ascontiguousarray(p_lens, dtype=np.int64)
+    do = np.ascontiguousarray(dst_off, dtype=np.int64)
+    tb = np.ascontiguousarray(table, dtype=np.uint8)
+    lib.scatter_pieces_rc(
+        src.ctypes.data, ps.ctypes.data, pl.ctypes.data, n_rows,
+        dst.ctypes.data, do.ctypes.data, tb.ctypes.data,
+    )
 
 
 def pe_interleave_2fields(

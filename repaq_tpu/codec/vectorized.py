@@ -756,6 +756,7 @@ def decode_chunk(header: RfqHeader, chunk: RfqChunk) -> ReadBlock:
         pos = K.decode_positions(np.frombuffer(chunk.npos_buf, dtype=np.uint8))
         seq[pos[pos < seq_len]] = ord("N")
 
+    p_starts = p_lens = None
     if encode_overlap:
         ovb = np.frombuffer(chunk.overlap_buf, dtype=np.int8).astype(np.int64)
         ov = ovb - header.overlap_shift
@@ -772,6 +773,11 @@ def decode_chunk(header: RfqHeader, chunk: RfqChunk) -> ReadBlock:
         bwd = np.maximum(-ov, 0)
         p_starts[2::3][1::2] = src_off[:-1][0::2]
         p_lens[2::3][1::2] = bwd
+
+    from . import _native
+
+    fused_restore = pe_interleaved and _native.available()
+    if encode_overlap and not fused_restore:
         seq = gather_slices(seq, p_starts, p_lens)
 
     if header.dont_encode_qual():
@@ -795,37 +801,59 @@ def decode_chunk(header: RfqHeader, chunk: RfqChunk) -> ReadBlock:
             seq_len,
         )
 
+    if fused_restore:
+        # one write of the chunk instead of three: the overlap expansion
+        # gather, the full-copy, and the odd-row reverse collapse into a
+        # piecewise scatter that emits odd rows reverse-complemented
+        # (rc(p3)+rc(p2)+rc(p1) == rc of the transformed row). The
+        # N-from-quality patch moves AFTER the restore: both arrays
+        # undergo the same per-row permutation and comp('N') == 'N', so
+        # the patched byte set is identical.
+        even_starts = seq_off[:-1][0::2]
+        odd_starts = seq_off[:-1][1::2]
+        even_lens = read_lens[0::2]
+        odd_lens = read_lens[1::2]
+        restored = np.empty(seq_len, dtype=np.uint8)
+        if encode_overlap:
+            _native.scatter_pieces_rc(
+                seq, p_starts, p_lens, restored, seq_off, _COMP
+            )
+        else:
+            _native.copy_slices(
+                seq, even_starts, restored, even_starts, even_lens
+            )
+            _native.reverse_slices(
+                seq, odd_starts, restored, odd_starts, odd_lens, _COMP
+            )
+        seq = restored
+        qrestored = np.empty(seq_len, dtype=np.uint8)
+        _native.copy_slices(
+            qual, even_starts, qrestored, even_starts, even_lens
+        )
+        _native.reverse_slices(
+            qual, odd_starts, qrestored, odd_starts, odd_lens, None
+        )
+        qual = qrestored
+        if not header.encode_n_pos() and header.n_base_qual < 128:
+            seq[qual == header.n_base_qual] = ord("N")
+        return assemble_block(header, chunk, n, read_lens, seq_off, seq, qual)
+
     if not header.encode_n_pos() and header.n_base_qual < 128:
         seq[qual == header.n_base_qual] = ord("N")
 
     if pe_interleaved:
         # revcomp odd reads back to their original orientation
-        from . import _native
-
-        if _native.available():
-            odd_starts = seq_off[:-1][1::2]
-            odd_lens = read_lens[1::2]
-            src_seq = np.ascontiguousarray(seq)
-            src_qual = np.ascontiguousarray(qual)
-            seq = src_seq.copy()
-            qual = src_qual.copy()
-            _native.reverse_slices(
-                src_seq, odd_starts, seq, odd_starts, odd_lens, _COMP
-            )
-            _native.reverse_slices(
-                src_qual, odd_starts, qual, odd_starts, odd_lens, None
-            )
-        else:
-            idx = np.arange(seq_len, dtype=np.int64)
-            rid = np.repeat(np.arange(n, dtype=np.int64), read_lens)
-            local = idx - seq_off[rid]
-            is_odd = (rid & 1) == 1
-            src = np.where(
-                is_odd, seq_off[rid] + (read_lens[rid] - 1 - local), idx
-            )
-            seq2 = seq[src]
-            seq = np.where(is_odd, _COMP[seq2], seq2).astype(np.uint8)
-            qual = np.ascontiguousarray(qual)[src]
+        # (no-native fallback; the native route returned above)
+        idx = np.arange(seq_len, dtype=np.int64)
+        rid = np.repeat(np.arange(n, dtype=np.int64), read_lens)
+        local = idx - seq_off[rid]
+        is_odd = (rid & 1) == 1
+        src = np.where(
+            is_odd, seq_off[rid] + (read_lens[rid] - 1 - local), idx
+        )
+        seq2 = seq[src]
+        seq = np.where(is_odd, _COMP[seq2], seq2).astype(np.uint8)
+        qual = np.ascontiguousarray(qual)[src]
 
     return assemble_block(header, chunk, n, read_lens, seq_off, seq, qual)
 

@@ -929,6 +929,82 @@ void reverse_slices(const uint8_t* src, const int64_t* src_starts, uint8_t* dst,
 #endif
 }
 
+// Fused PE decode restore (codec/vectorized.py decode_chunk): row r of
+// dst is the concatenation of its 3 pieces (overlap expansion: R1-tail /
+// stored span / R1-head) for even rows, and the reverse-complement of
+// that concatenation for odd rows — emitted as rc(p3)+rc(p2)+rc(p1), so
+// the gather-expand pass and the copy-then-reverse un-revcomp pass
+// collapse into ONE write of the chunk.
+void scatter_pieces_rc(const uint8_t* src, const int64_t* p_starts,
+                       const int64_t* p_lens, int64_t n_rows, uint8_t* dst,
+                       const int64_t* dst_off, const uint8_t* table) {
+#ifdef REPAQ_AVX512_VBMI
+    const __m512i rev_idx = _mm512_set_epi8(
+        0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18,
+        19, 20, 21, 22, 23, 24, 25, 26, 27, 28, 29, 30, 31, 32, 33, 34, 35,
+        36, 37, 38, 39, 40, 41, 42, 43, 44, 45, 46, 47, 48, 49, 50, 51, 52,
+        53, 54, 55, 56, 57, 58, 59, 60, 61, 62, 63);
+    const __m512i b6 = _mm512_set1_epi8(0x40);
+    const __m512i b7 = _mm512_set1_epi8((char)0x80);
+    const __m512i t0 = _mm512_loadu_si512(table);
+    const __m512i t1 = _mm512_loadu_si512(table + 64);
+    const __m512i t2 = _mm512_loadu_si512(table + 128);
+    const __m512i t3 = _mm512_loadu_si512(table + 192);
+    for (int64_t r = 0; r < n_rows; r++) {
+        uint8_t* d = dst + dst_off[r];
+        if ((r & 1) == 0) {
+            for (int j = 0; j < 3; j++) {
+                int64_t p = 3 * r + j;
+                copy_small(d, src + p_starts[p], p_lens[p]);
+                d += p_lens[p];
+            }
+        } else {
+            for (int j = 2; j >= 0; j--) {
+                int64_t p = 3 * r + j;
+                const uint8_t* s = src + p_starts[p];
+                int64_t L = p_lens[p];
+                int64_t k = 0;
+                for (; k + 64 <= L; k += 64) {
+                    __m512i v = _mm512_loadu_si512(s + L - k - 64);
+                    v = _mm512_permutexvar_epi8(rev_idx, v);
+                    __m512i r0 = _mm512_permutexvar_epi8(v, t0);
+                    __m512i r1 = _mm512_permutexvar_epi8(v, t1);
+                    __m512i r2 = _mm512_permutexvar_epi8(v, t2);
+                    __m512i r3 = _mm512_permutexvar_epi8(v, t3);
+                    __mmask64 m6 = _mm512_test_epi8_mask(v, b6);
+                    __mmask64 m7 = _mm512_test_epi8_mask(v, b7);
+                    v = _mm512_mask_blend_epi8(
+                        m7, _mm512_mask_blend_epi8(m6, r0, r1),
+                        _mm512_mask_blend_epi8(m6, r2, r3));
+                    _mm512_storeu_si512(d + k, v);
+                }
+                for (; k < L; k++) d[k] = table[s[L - 1 - k]];
+                d += L;
+            }
+        }
+    }
+#else
+    for (int64_t r = 0; r < n_rows; r++) {
+        uint8_t* d = dst + dst_off[r];
+        if ((r & 1) == 0) {
+            for (int j = 0; j < 3; j++) {
+                int64_t p = 3 * r + j;
+                memcpy(d, src + p_starts[p], (size_t)p_lens[p]);
+                d += p_lens[p];
+            }
+        } else {
+            for (int j = 2; j >= 0; j--) {
+                int64_t p = 3 * r + j;
+                const uint8_t* s = src + p_starts[p];
+                int64_t L = p_lens[p];
+                for (int64_t k = 0; k < L; k++) d[k] = table[s[L - 1 - k]];
+                d += L;
+            }
+        }
+    }
+#endif
+}
+
 // One-pass header-statistics scan (format/header.py quality_stats — the
 // host mirror of the reference's first-chunk scan, rfqheader.cpp
 // makeQualityTable): byte histograms of seq and qual plus the N-quality
