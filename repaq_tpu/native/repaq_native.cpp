@@ -1772,7 +1772,27 @@ namespace lz {
 
 constexpr int HASH_BITS = 21;
 constexpr int64_t HSIZE = (int64_t)1 << HASH_BITS;
-constexpr int MAXCHAIN = 32;
+// chain depth and the rep-skip gate are env-tunable for tradeoff scans
+// (REPAQ_LZ_MAXCHAIN / REPAQ_LZ_REPGOOD); defaults match the shipped
+// parse. Same env => same tokens: thread-count invariance is untouched.
+static int lz_maxchain() {
+    static int v = -1;
+    if (v < 0) {
+        const char* e = getenv("REPAQ_LZ_MAXCHAIN");
+        v = e ? atoi(e) : 32;
+        if (v < 1) v = 1;
+    }
+    return v;
+}
+static int lz_repgood() {
+    static int v = -1;
+    if (v < 0) {
+        const char* e = getenv("REPAQ_LZ_REPGOOD");
+        v = e ? atoi(e) : 48;
+        if (v < 1) v = 1;
+    }
+    return v;
+}
 constexpr int64_t HB = 12;        // bytes hashed
 constexpr int64_t WINDOW = 8 << 20;  // fixed parse-window size (see below)
 
@@ -1792,6 +1812,30 @@ static inline uint32_t hash_at(const uint8_t* data, int64_t i) {
 static inline int64_t extend_match(const uint8_t* a, const uint8_t* b,
                                    int64_t lim) {
     int64_t l = 0;
+    // the first 16 bytes stay 8-byte XOR steps: most probes (failed
+    // chain candidates, rep misses at error boundaries) die here and a
+    // vector setup would be pure overhead
+    for (int k = 0; k < 2 && l + 8 <= lim; k++) {
+        uint64_t x, y;
+        memcpy(&x, a + l, 8);
+        memcpy(&y, b + l, 8);
+        uint64_t d = x ^ y;
+        if (d) return l + (__builtin_ctzll(d) >> 3);
+        l += 8;
+    }
+#ifdef REPAQ_AVX512_VBMI
+    // a probe that survived 16 bytes is a real match; coverage data
+    // makes them multi-hundred-base, where 64-byte compares pay
+    if (l == 16) {
+        while (l + 64 <= lim) {
+            __m512i va = _mm512_loadu_si512(a + l);
+            __m512i vb = _mm512_loadu_si512(b + l);
+            uint64_t ne = _mm512_cmpneq_epi8_mask(va, vb);
+            if (ne) return l + (int64_t)__builtin_ctzll(ne);
+            l += 64;
+        }
+    }
+#endif
     while (l + 8 <= lim) {
         uint64_t x, y;
         memcpy(&x, a + l, 8);
@@ -1885,8 +1929,9 @@ static void parse_window(const uint8_t* data, int64_t n, int64_t min_match,
         int64_t cand = head[h];
         int64_t best_len = 0, best_pos = -1;
         int walked = 0;
-        if (rep_len < 48) {
-            while (cand >= 0 && walked < MAXCHAIN) {
+        if (rep_len < lz_repgood()) {
+            const int maxchain = lz_maxchain();
+            while (cand >= 0 && walked < maxchain) {
                 // extend only if it beats best: check the byte at
                 // best_len (best_len < lim guards the probe when a prior
                 // candidate already matched to the limit — UB past it)
