@@ -1920,9 +1920,23 @@ static void parse_window(const uint8_t* data, int64_t n, int64_t min_match,
     auto find_at = [&](int64_t at, uint32_t h, int64_t lim, int64_t& len,
                        int64_t& posn, bool& is_rep) -> bool {
         int64_t rep_len = 0, rep_dist = 0;
+        // issue the four probe loads independently first: rep distances
+        // span megabytes on coverage data, so each first byte is a cache
+        // miss — four parallel misses instead of four serialized
+        // extend_match calls is most of the probe cost. A zero-length
+        // extend never beats rep_len >= 0, so the first-byte reject is
+        // output-identical.
+        uint8_t c0[NREP];
+        bool ok_r[NREP];
         for (int r = 0; r < NREP; r++) {
             int64_t d = rep[r];
-            if (d <= 0 || at - d < 0) continue;
+            ok_r[r] = d > 0 && at - d >= 0;
+            c0[r] = ok_r[r] ? data[at - d] : 0;
+        }
+        uint8_t ca = data[at];
+        for (int r = 0; r < NREP; r++) {
+            if (!ok_r[r] || c0[r] != ca) continue;
+            int64_t d = rep[r];
             int64_t l = extend_match(data + at - d, data + at, lim);
             if (l > rep_len) { rep_len = l; rep_dist = d; }
         }
