@@ -293,3 +293,41 @@ def test_mmap_reader_matches_bytearray_reader(tmp_path, monkeypatch, budget):
         monkeypatch.setenv("REPAQ_TPU_NO_MMAP", "1")
         b = read_all()
         assert a == b
+
+
+@needs_native
+def test_scatter_pieces_rc_matches_numpy():
+    """Fused decode restore kernel: even rows concatenate their 3 pieces,
+    odd rows emit the reverse-complement of the concatenation — checked
+    against the direct numpy construction on random piece tables."""
+    comp = np.zeros(256, dtype=np.uint8)
+    for a, b in zip(b"ACGTN", b"TGCAN"):
+        comp[a] = b
+    rng = np.random.default_rng(41)
+    for trial in range(50):
+        n_rows = int(rng.integers(2, 40)) & ~1
+        src = rng.choice(
+            np.frombuffer(b"ACGTN", dtype=np.uint8), size=4096
+        ).astype(np.uint8)
+        p_starts = np.zeros(3 * n_rows, dtype=np.int64)
+        p_lens = np.zeros(3 * n_rows, dtype=np.int64)
+        for p in range(3 * n_rows):
+            L = int(rng.integers(0, 140))
+            p_lens[p] = L
+            p_starts[p] = int(rng.integers(0, 4096 - max(L, 1)))
+        row_lens = p_lens.reshape(-1, 3).sum(axis=1)
+        dst_off = np.zeros(n_rows + 1, dtype=np.int64)
+        np.cumsum(row_lens, out=dst_off[1:])
+        dst = np.empty(int(dst_off[-1]), dtype=np.uint8)
+        _native.scatter_pieces_rc(src, p_starts, p_lens, dst, dst_off, comp)
+        for r in range(n_rows):
+            pieces = [
+                src[p_starts[3 * r + j]: p_starts[3 * r + j] + p_lens[3 * r + j]]
+                for j in range(3)
+            ]
+            row = np.concatenate(pieces) if pieces else np.empty(0, np.uint8)
+            if r % 2 == 1:
+                row = comp[row][::-1]
+            np.testing.assert_array_equal(
+                dst[dst_off[r]: dst_off[r + 1]], row, err_msg=f"row {r}"
+            )
