@@ -1864,6 +1864,54 @@ static inline int64_t grid_slot(int64_t c, int64_t jc, int64_t nd) {
     return c < jc ? c / 5 : nd + (c - jc) / 3;
 }
 
+// --- candidate table ------------------------------------------------------
+// ChainTab: the grid chain entered via a per-window head snapshot. A
+// bucket-row alternative (8-16 independent candidates per cache line)
+// was measured and rejected — see the round-4 LZ decision record in
+// ARCHITECTURE.md: at ratio parity it gains only ~15% and needs 64 MB
+// table snapshots per window.
+struct ChainTab {
+    std::vector<int32_t> head_v;
+    std::vector<int32_t> prev_own;
+    const int32_t* prev_shared;
+    int64_t p0, jc, nd;
+    ChainTab(const int32_t* snapshot_head, const int32_t* shared,
+             int64_t p0_, int64_t parse_from, int64_t w_end)
+        : head_v(snapshot_head, snapshot_head + HSIZE),
+          prev_own(w_end - p0_, -1), prev_shared(shared), p0(p0_),
+          jc(grid_jc(parse_from)), nd(grid_jc(parse_from) / 5) {}
+    static inline uint32_t hash(const uint8_t* data, int64_t i) {
+        return hash_at(data, i);
+    }
+    inline int64_t prev_of(int64_t c) const {
+        return c >= p0 ? prev_own[c - p0]
+                       : prev_shared[grid_slot(c, jc, nd)];
+    }
+    inline void insert(uint32_t h, int64_t j) {
+        prev_own[j - p0] = head_v[h];
+        head_v[h] = (int32_t)j;
+    }
+    inline void probe(const uint8_t* data, int64_t at, uint32_t h,
+                      int64_t lim, int64_t& best_len, int64_t& best_pos) {
+        int64_t cand = head_v[h];
+        int walked = 0;
+        const int maxchain = lz_maxchain();
+        while (cand >= 0 && walked < maxchain) {
+            // extend only if it beats best: check the byte at best_len
+            // (best_len < lim guards the probe when a prior candidate
+            // already matched to the limit — UB past it)
+            if (best_len < lim && cand + best_len < at &&
+                data[cand + best_len] == data[at + best_len]) {
+                int64_t l = extend_match(data + cand, data + at, lim);
+                if (l > best_len) { best_len = l; best_pos = cand; }
+                if (best_len >= 96) break;  // good enough: stop paying
+            }
+            cand = prev_of(cand);
+            walked++;
+        }
+    }
+};
+
 // Parse one fixed window [w_begin, w_end). The candidate tables are the
 // full-prefix GRID chain (prev_shared: every position j < w_begin,
 // inserted in ascending order — deterministic) entered through this
@@ -1871,25 +1919,15 @@ static inline int64_t grid_slot(int64_t c, int64_t jc, int64_t nd) {
 // private overlay. Matches never extend past w_end. Everything here is a
 // pure function of (data, w_begin, w_end), so the token stream is
 // byte-identical for ANY thread count or schedule.
-static void parse_window(const uint8_t* data, int64_t n, int64_t min_match,
-                         int64_t w_begin, int64_t w_end, int64_t parse_from,
-                         const int32_t* snapshot_head,
-                         const int32_t* prev_shared,
-                         std::vector<Tok>& out) {
+template <class TAB>
+static void parse_window_t(const uint8_t* data, int64_t n,
+                           int64_t min_match, int64_t w_begin, int64_t w_end,
+                           int64_t parse_from, TAB& T,
+                           std::vector<Tok>& out) {
     // parse_from > w_begin: dictionary mode — bytes before parse_from are
-    // match SOURCE only (the grid chain covers them; the caller's
-    // snapshot for this window is taken at parse_from); tokens start
-    // there. The overlay covers [p0, w_end): positions below p0 are
-    // never parsed, so their chain links live in prev_shared.
+    // match SOURCE only (the table covers them via this window's
+    // snapshot, taken at parse_from); tokens start there.
     int64_t p0 = parse_from > w_begin ? parse_from : w_begin;
-    std::vector<int32_t> head_v(snapshot_head, snapshot_head + HSIZE);
-    std::vector<int32_t> prev_own(w_end - p0, -1);
-    int32_t* head = head_v.data();
-    const int64_t jc = grid_jc(parse_from), nd = jc / 5;
-
-    auto prev_of = [&](int64_t c) -> int64_t {
-        return c >= p0 ? prev_own[c - p0] : prev_shared[grid_slot(c, jc, nd)];
-    };
 
     // LZMA-style rep-distance slots: sequencing errors chop long genome
     // matches into (match, 1-2 error bases, match-at-SAME-distance)
@@ -1940,24 +1978,9 @@ static void parse_window(const uint8_t* data, int64_t n, int64_t min_match,
             int64_t l = extend_match(data + at - d, data + at, lim);
             if (l > rep_len) { rep_len = l; rep_dist = d; }
         }
-        int64_t cand = head[h];
         int64_t best_len = 0, best_pos = -1;
-        int walked = 0;
         if (rep_len < lz_repgood()) {
-            const int maxchain = lz_maxchain();
-            while (cand >= 0 && walked < maxchain) {
-                // extend only if it beats best: check the byte at
-                // best_len (best_len < lim guards the probe when a prior
-                // candidate already matched to the limit — UB past it)
-                if (best_len < lim && cand + best_len < at &&
-                    data[cand + best_len] == data[at + best_len]) {
-                    int64_t l = extend_match(data + cand, data + at, lim);
-                    if (l > best_len) { best_len = l; best_pos = cand; }
-                    if (best_len >= 96) break;  // good enough: stop paying
-                }
-                cand = prev_of(cand);
-                walked++;
-            }
+            T.probe(data, at, h, lim, best_len, best_pos);
         }
         // a rep match is ~3 dist bytes cheaper than a fresh one: take it
         // unless the fresh match is substantially longer
@@ -1983,9 +2006,7 @@ static void parse_window(const uint8_t* data, int64_t n, int64_t min_match,
         int64_t end = at + mlen;
         for (int64_t j = at + 1; j + HB <= n && j < end; j += 5) {
             if (j <= ins_hi) continue;
-            uint32_t hj = hash_at(data, j);
-            prev_own[j - p0] = head[hj];
-            head[hj] = (int32_t)j;
+            T.insert(TAB::hash(data, j), j);
             ins_hi = j;
         }
         i = end;
@@ -1995,14 +2016,13 @@ static void parse_window(const uint8_t* data, int64_t n, int64_t min_match,
     };
 
     while (i < w_end && i + HB <= n) {
-        uint32_t h = hash_at(data, i);
+        uint32_t h = TAB::hash(data, i);
         int64_t lim = (w_end < n ? w_end : n) - i;  // no cross-window tail
         int64_t len, posn;
         bool is_rep;
         bool ok = find_at(i, h, lim, len, posn, is_rep);
         if (i > ins_hi) {
-            prev_own[i - p0] = head[h];
-            head[h] = (int32_t)i;
+            T.insert(h, i);
             ins_hi = i;
         }
         if (pend_i >= 0) {
@@ -2039,6 +2059,17 @@ static void parse_window(const uint8_t* data, int64_t n, int64_t min_match,
         out.push_back({w_end - lit_start, 0, 0});
     }
 }
+
+static void parse_window(const uint8_t* data, int64_t n, int64_t min_match,
+                         int64_t w_begin, int64_t w_end, int64_t parse_from,
+                         const int32_t* snapshot_head,
+                         const int32_t* prev_shared,
+                         std::vector<Tok>& out) {
+    int64_t p0 = parse_from > w_begin ? parse_from : w_begin;
+    ChainTab T(snapshot_head, prev_shared, p0, parse_from, w_end);
+    parse_window_t(data, n, min_match, w_begin, w_end, parse_from, T, out);
+}
+
 
 }  // namespace lz
 
@@ -2090,9 +2121,9 @@ int64_t lz_parse(const uint8_t* data, int64_t n, int64_t min_match,
     const int64_t jc = grid_jc(parse_from), nd = jc / 5;
     const int64_t nslots = nd + (n > jc ? (n - jc) / 3 + 1 : 0);
     std::vector<int32_t> prev_shared(nslots, -1);
-    std::vector<int32_t> head_v(HSIZE, -1);
     std::vector<std::vector<int32_t>> snapshots(nwin);
     {
+        std::vector<int32_t> head_v(HSIZE, -1);
         int32_t* head = head_v.data();
         int64_t next_snap = 0;
         // stride-3 grid: every-position insertion makes chains ~2-5x
