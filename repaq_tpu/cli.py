@@ -66,10 +66,11 @@ def build_parser() -> argparse.ArgumentParser:
         "re-measure); default: vectorized host engine",
     )
     p.add_argument(
-        "--workers", "-w", type=int, default=1,
+        "--workers", "-w", type=int, default=0,
         help="codec worker threads for compress AND decompress (chunks are "
         "data-parallel; output is identical for any worker count). "
-        "Extension over the reference.",
+        "0 (default) = auto: one worker per CPU, capped at 8; 1 forces "
+        "the serial path. Extension over the reference.",
     )
     p.add_argument(
         "--profile", action="store_true",
@@ -201,6 +202,11 @@ def main(argv: list[str] | None = None) -> int:
     if len(argv) == 1 and argv[0] == "test":
         return self_test()
     args = build_parser().parse_args(argv)
+    if args.workers < 1:
+        # auto: one codec worker per CPU (capped — returns diminish past
+        # the write-ordering stage), so multi-core hosts parallelize by
+        # default; bytes are identical for any worker count
+        args.workers = max(1, min(8, os.cpu_count() or 1))
 
     mode_count = sum([args.compress, args.decompress, args.compare])
     if mode_count > 1:
