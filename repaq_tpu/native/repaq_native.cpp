@@ -261,7 +261,16 @@ int64_t qualcol_encode_sp(const uint8_t* qual, int64_t n, const uint8_t* bins,
     }
     int64_t esc_len = 0;
 
-    // pass 2: token emission over the compacted non-major positions only
+    // pass 2: token emission over the compacted non-major positions
+    // only. Quality dips run down COLUMNS, so ~90% of real-data tokens
+    // extend a run in the SAME bin as the previous token — keeping the
+    // active bin's (last, pending, pos) in registers turns the per-token
+    // read-modify-write of last[b]/pending[b] (a ~5-cycle
+    // store-forwarding chain between consecutive same-bin tokens) into
+    // single-cycle register ops; bin switches spill/reload.
+    int32_t cur_b = -1;
+    int64_t cur_last = 0, cur_pos = 0;
+    int32_t cur_pending = 0;
     for (int64_t j = 0; j < nm; j++) {
         int64_t i = posbuf[j];
         uint8_t b = bin_of[qual[i]];
@@ -274,31 +283,47 @@ int64_t qualcol_encode_sp(const uint8_t* qual, int64_t n, const uint8_t* bins,
             esc[esc_len++] = (uint8_t)((p >> 24) & 0xFF);
             continue;
         }
-        int64_t d = i - last[b];
+        if ((int32_t)b != cur_b) {
+            if (cur_b >= 0) {
+                last[cur_b] = cur_last;
+                pending[cur_b] = cur_pending;
+                pos[cur_b] = cur_pos;
+            }
+            cur_b = b;
+            cur_last = last[b];
+            cur_pending = pending[b];
+            cur_pos = pos[b];
+        }
+        int64_t d = i - cur_last;
         if (d == 1 && i > 1) {
-            if (++pending[b] == 32) {
-                scratch[pos[b]++] = (uint8_t)0xDF;  // 0xC0 | 31
-                pending[b] = 0;
+            if (++cur_pending == 32) {
+                scratch[cur_pos++] = (uint8_t)0xDF;  // 0xC0 | 31
+                cur_pending = 0;
             }
         } else {
-            if (pending[b]) {
-                scratch[pos[b]++] = (uint8_t)((pending[b] - 1) | 0xC0);
-                pending[b] = 0;
+            if (cur_pending) {
+                scratch[cur_pos++] = (uint8_t)((cur_pending - 1) | 0xC0);
+                cur_pending = 0;
             }
             int64_t v = d - 1;
             if (d <= 128) {
-                scratch[pos[b]++] = (uint8_t)v;
+                scratch[cur_pos++] = (uint8_t)v;
             } else if (d <= (1 << 14)) {
-                scratch[pos[b]++] = (uint8_t)((v >> 8) | 0x80);
-                scratch[pos[b]++] = (uint8_t)(v & 0xFF);
+                scratch[cur_pos++] = (uint8_t)((v >> 8) | 0x80);
+                scratch[cur_pos++] = (uint8_t)(v & 0xFF);
             } else {
-                scratch[pos[b]++] = (uint8_t)((v >> 24) | 0xE0);
-                scratch[pos[b]++] = (uint8_t)((v >> 16) & 0xFF);
-                scratch[pos[b]++] = (uint8_t)((v >> 8) & 0xFF);
-                scratch[pos[b]++] = (uint8_t)(v & 0xFF);
+                scratch[cur_pos++] = (uint8_t)((v >> 24) | 0xE0);
+                scratch[cur_pos++] = (uint8_t)((v >> 16) & 0xFF);
+                scratch[cur_pos++] = (uint8_t)((v >> 8) & 0xFF);
+                scratch[cur_pos++] = (uint8_t)(v & 0xFF);
             }
         }
-        last[b] = i;
+        cur_last = i;
+    }
+    if (cur_b >= 0) {
+        last[cur_b] = cur_last;
+        pending[cur_b] = cur_pending;
+        pos[cur_b] = cur_pos;
     }
     for (int32_t b = 0; b < nbins; b++) {
         if (pending[b]) scratch[pos[b]++] = (uint8_t)((pending[b] - 1) | 0xC0);
