@@ -510,23 +510,31 @@ def bench_nova_scale(tmp: str) -> tuple[float, int] | None:
     # genome sized for 40x coverage: pairs * 2L / genome == 40
     genome_bases = max(1_000_000, pairs_total * 2 * L // 40)
     cache = os.environ.get("REPAQ_NOVA_CACHE", "")
+    shmem_knob = "/sys/kernel/mm/transparent_hugepage/shmem_enabled"
+    shmem_prev = None
     if not cache:
         # default the corpus to tmpfs with huge pages: at 3.5 GB the 4K
         # mapping costs ~15% in dTLB/EPT walks (measured 467 -> 524 MB/s
         # with 2M pages); enabling shmem THP is standard production
-        # tuning and the reader madvises its mappings. Best-effort —
-        # falls back to the plain tmp dir without both.
+        # tuning and the reader madvises its mappings. The prior knob
+        # value is restored at the end of this section (already-allocated
+        # huge pages stay huge); the corpus stays cached in /dev/shm for
+        # reruns — REPAQ_NOVA_CACHE points elsewhere to avoid both.
+        # Best-effort — falls back to the plain tmp dir without them.
         try:
             st = os.statvfs("/dev/shm")
             if st.f_bavail * st.f_frsize > 9 * (1 << 30):
-                with open(
-                    "/sys/kernel/mm/transparent_hugepage/shmem_enabled",
-                    "w",
-                ) as fh:
+                with open(shmem_knob) as fh:
+                    cur = fh.read()
+                    for tok in cur.split():
+                        if tok.startswith("["):
+                            shmem_prev = tok.strip("[]")
+                with open(shmem_knob, "w") as fh:
                     fh.write("force")
                 cache = "/dev/shm/repaq_nova_cache"
         except OSError:
             cache = ""
+            shmem_prev = None
     gen_dir = cache or tmp
     f1 = os.path.join(gen_dir, "nova_R1.fq")
     f2 = os.path.join(gen_dir, "nova_R2.fq")
@@ -676,6 +684,12 @@ def bench_nova_scale(tmp: str) -> tuple[float, int] | None:
         for p in (f1, f2):
             if os.path.exists(p):
                 os.unlink(p)
+    if shmem_prev is not None:
+        try:
+            with open(shmem_knob, "w") as fh:
+                fh.write(shmem_prev)
+        except OSError:  # pragma: no cover
+            pass
     return total / 1e6 / enc_s, total
 
 

@@ -9,8 +9,6 @@ TPU-native replacement for the reference's vector<Read*> object graph
 
 from __future__ import annotations
 
-from dataclasses import dataclass
-
 import numpy as np
 
 from .oracle import FastqRead
@@ -98,21 +96,30 @@ class PESpans:
         self.qual_starts2 = qual_starts2
 
 
-@dataclass
 class ReadBlock:
-    n: int
-    name_flat: np.ndarray
-    name_off: np.ndarray
-    seq_flat: np.ndarray
-    seq_off: np.ndarray
-    strand_flat: np.ndarray
-    strand_off: np.ndarray
-    qual_flat: np.ndarray
-    qual_off: np.ndarray
+    """Positional construction order matches the historical dataclass:
+    (n, name_flat, name_off, seq_flat, seq_off, strand_flat, strand_off,
+    qual_flat, qual_off). seq_flat/qual_flat are properties: when a
+    PESpans annotation is attached (reader mmap fast path), they pass
+    None at construction and materialize from the source windows on
+    first access — every consumer other than the span-aware encoder sees
+    the same packed arrays as before."""
 
-    def __post_init__(self):
-        # set via attach_pe_spans; plain attribute so dataclass
-        # construction sites stay positional
+    __slots__ = ("n", "name_flat", "name_off", "_seq_flat", "seq_off",
+                 "strand_flat", "strand_off", "_qual_flat", "qual_off",
+                 "pe_spans")
+
+    def __init__(self, n, name_flat, name_off, seq_flat, seq_off,
+                 strand_flat, strand_off, qual_flat, qual_off):
+        self.n = n
+        self.name_flat = name_flat
+        self.name_off = name_off
+        self._seq_flat = seq_flat
+        self.seq_off = seq_off
+        self.strand_flat = strand_flat
+        self.strand_off = strand_off
+        self._qual_flat = qual_flat
+        self.qual_off = qual_off
         self.pe_spans = None
 
     def attach_pe_spans(self, spans: PESpans) -> None:
@@ -120,44 +127,45 @@ class ReadBlock:
         windows. Caller passes seq_flat=None, qual_flat=None."""
         self.pe_spans = spans
 
-    def _materialize(self) -> None:
-        # raw accessors: the __getattribute__ hook would re-enter this
-        # method for the None fields being filled in
-        get = object.__getattribute__
-        sp = get(self, "pe_spans")
-        if sp is None:
-            return
-        from . import _native
+    @property
+    def seq_flat(self) -> np.ndarray:
+        if self._seq_flat is None and self.pe_spans is not None:
+            sp = self.pe_spans
+            from . import _native
 
-        if get(self, "seq_flat") is None:
-            seq_off = get(self, "seq_off")
-            lens = np.diff(seq_off)
-            out = np.empty(int(seq_off[-1]), dtype=np.uint8)
-            dst = seq_off[:-1]
+            lens = np.diff(self.seq_off)
+            out = np.empty(int(self.seq_off[-1]), dtype=np.uint8)
+            dst = self.seq_off[:-1]
             _native.copy_slices(sp.src1, sp.seq_starts1, out,
                                 dst[0::2], lens[0::2])
             _native.copy_slices(sp.src2, sp.seq_starts2, out,
                                 dst[1::2], lens[1::2])
-            self.seq_flat = out
-        if get(self, "qual_flat") is None:
-            qual_off = get(self, "qual_off")
-            lens = np.diff(qual_off)
-            out = np.empty(int(qual_off[-1]), dtype=np.uint8)
-            dst = qual_off[:-1]
+            self._seq_flat = out
+        return self._seq_flat
+
+    @seq_flat.setter
+    def seq_flat(self, v) -> None:
+        self._seq_flat = v
+
+    @property
+    def qual_flat(self) -> np.ndarray:
+        if self._qual_flat is None and self.pe_spans is not None:
+            sp = self.pe_spans
+            from . import _native
+
+            lens = np.diff(self.qual_off)
+            out = np.empty(int(self.qual_off[-1]), dtype=np.uint8)
+            dst = self.qual_off[:-1]
             _native.copy_slices(sp.src1, sp.qual_starts1, out,
                                 dst[0::2], lens[0::2])
             _native.copy_slices(sp.src2, sp.qual_starts2, out,
                                 dst[1::2], lens[1::2])
-            self.qual_flat = out
+            self._qual_flat = out
+        return self._qual_flat
 
-    def __getattribute__(self, name):
-        if name in ("seq_flat", "qual_flat"):
-            v = object.__getattribute__(self, name)
-            if v is None and object.__getattribute__(self, "pe_spans") is not None:
-                object.__getattribute__(self, "_materialize")()
-                return object.__getattribute__(self, name)
-            return v
-        return object.__getattribute__(self, name)
+    @qual_flat.setter
+    def qual_flat(self, v) -> None:
+        self._qual_flat = v
 
     @property
     def total_bases(self) -> int:

@@ -390,10 +390,12 @@ def encode_chunk(header: RfqHeader, block: ReadBlock, is_pe: bool = False) -> Rf
             if odd_rc is not None:
                 from . import _native
 
-                ov = _native.overlap_pairs_starts(
-                    even_src, even_seq_starts, odd_rc, odd_rc_off[:-1],
-                    int(even_l[0]), int(odd_l[0]),
-                )
+                if min(int(even_l[0]), int(odd_l[0])) >= MIN_OVERLAP:
+                    ov = _native.overlap_pairs_starts(
+                        even_src, even_seq_starts, odd_rc, odd_rc_off[:-1],
+                        int(even_l[0]), int(odd_l[0]),
+                    )
+                # else: ov stays all-zero (mirrors _overlap_pairs)
             else:
                 off = block.seq_off
                 r1 = gather_slices(

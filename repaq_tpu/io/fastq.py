@@ -116,6 +116,10 @@ class FastqReader:
         # reference's lazy-fetch flag timing (_flag_visible) identical.
         # The exact scalar reader stays bytearray-based: _to_bytearray()
         # materializes the window and drops the mapping on first use.
+        # Tradeoff: a file truncated by ANOTHER process mid-read faults
+        # with SIGBUS instead of the readinto path's silent short read
+        # (both are data loss; the reference misbehaves there too).
+        # REPAQ_TPU_NO_MMAP=1 forces the readinto path.
         self._mm: Optional[mmap.mmap] = None
         self._mview: Optional[np.ndarray] = None
         self._fsize = 0
@@ -249,6 +253,16 @@ class FastqReader:
             self._scanned = max(0, self._scanned - drop)
 
     def close(self) -> None:
+        if self._mm is not None:
+            self._mview = None
+            try:
+                # deterministic munmap when no block still holds a span
+                # view; with live exports the mapping is released when
+                # the last view dies
+                self._mm.close()
+            except BufferError:
+                pass
+            self._mm = None
         if self._file is not sys.stdin.buffer:
             self._file.close()
 

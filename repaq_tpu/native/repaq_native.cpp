@@ -514,6 +514,10 @@ void overlap_pairs2(const uint8_t* a_flat, int64_t a_base, int64_t a_stride,
         found = overlap_scan_avx(a, l1, b, minlen);
         if (!found) found = -overlap_scan_avx(b, l2, a, minlen);
 #else
+        if (minlen < 12) {
+            out[p] = 0;
+            continue;
+        }
         uint64_t b8, a8;
         memcpy(&b8, b, 8);
         for (int64_t o = 12; o <= minlen; o++) {
@@ -562,6 +566,10 @@ void overlap_pairsx(const uint8_t* a_flat, const int64_t* a_starts,
         found = overlap_scan_avx(a, l1, b, minlen);
         if (!found) found = -overlap_scan_avx(b, l2, a, minlen);
 #else
+        if (minlen < 12) {
+            out[p] = 0;
+            continue;
+        }
         uint64_t b8, a8;
         memcpy(&b8, b, 8);
         for (int64_t o = 12; o <= minlen; o++) {
@@ -1801,21 +1809,20 @@ constexpr int64_t HSIZE = (int64_t)1 << HASH_BITS;
 // (REPAQ_LZ_MAXCHAIN / REPAQ_LZ_REPGOOD); defaults match the shipped
 // parse. Same env => same tokens: thread-count invariance is untouched.
 static int lz_maxchain() {
-    static int v = -1;
-    if (v < 0) {
+    // magic-static init: thread-safe under the multithreaded window parse
+    static const int v = [] {
         const char* e = getenv("REPAQ_LZ_MAXCHAIN");
-        v = e ? atoi(e) : 32;
-        if (v < 1) v = 1;
-    }
+        int x = e ? atoi(e) : 32;
+        return x < 1 ? 1 : x;
+    }();
     return v;
 }
 static int lz_repgood() {
-    static int v = -1;
-    if (v < 0) {
+    static const int v = [] {
         const char* e = getenv("REPAQ_LZ_REPGOOD");
-        v = e ? atoi(e) : 48;
-        if (v < 1) v = 1;
-    }
+        int x = e ? atoi(e) : 48;
+        return x < 1 ? 1 : x;
+    }();
     return v;
 }
 constexpr int64_t HB = 12;        // bytes hashed
