@@ -31,8 +31,26 @@ READ_LEN = 150
 PAIRS = 400_000  # ~230 MB of FASTQ text
 
 
+# full diagnostic transcript, persisted next to the bench (the driver's
+# artifact keeps only a tail of stdout/stderr — ADVICE r4: every headline
+# claim must be backed by the round's own artifact)
+_LOG_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_full.log")
+_RESULTS: dict = {}  # structured section results -> final JSON line
+
+
 def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
+    try:
+        with open(_LOG_PATH, "a") as f:
+            f.write(msg + "\n")
+    except OSError:
+        pass
+
+
+def record(**kv) -> None:
+    """Structured result fields carried into the final JSON line."""
+    _RESULTS.update({k: v for k, v in kv.items() if v is not None})
 
 
 _TPU_PROBE: bool | None = None
@@ -372,6 +390,8 @@ def bench_realistic_ratio(tmp: str) -> None:
         "realistic 40x coverage: .rfqz %.2f%% of FASTQ (%.0f MB/s) |%s"
         % (100.0 * z_b / total, total / 1e6 / z_s, xz_line)
     )
+    record(rfqz_40x_pct_of_fastq=round(100.0 * z_b / total, 2),
+           xz_40x_line=xz_line.strip() or None)
     for p in (f1, f2, rfq, zpath):
         if os.path.exists(p):
             os.unlink(p)
@@ -600,6 +620,9 @@ def bench_nova_scale(tmp: str) -> tuple[float, int] | None:
         "encoder's for ANY input, so its 333 MB on real nova is "
         "reproduced by construction)"
         % (enc_s, total / 1e6 / enc_s, rfq_b / 1e6, 100.0 * rfq_b / total))
+    record(nova_encode_mbps=round(total / 1e6 / enc_s, 1),
+           nova_corpus_gb=round(total / 1e9, 2),
+           nova_rfq_cr_pct=round(100.0 * rfq_b / total, 2))
 
     # Decode timing vs decode verification are SEPARATED on purpose: this
     # VM's host backs guest RAM lazily and reclaims freed pages, so any
@@ -621,6 +644,7 @@ def bench_nova_scale(tmp: str) -> tuple[float, int] | None:
         "verified by a second decode to files): %.1fs -> %.0f MB/s | "
         "md5 %s" % (dec_s, total / 1e6 / dec_s,
                     "bit-exact" if ok else "MISMATCH"))
+    record(nova_decode_mbps=round(total / 1e6 / dec_s, 1))
     assert ok, "nova-scale serial roundtrip md5 mismatch"
     os.unlink(d1)
     os.unlink(d2)
@@ -1107,6 +1131,8 @@ def bench_device_production() -> float | None:
     enc_sus = 2 * n / 1e6 / dt
     log("device encode sustained (production, 4 dispatch threads): "
         "%.4fs/step -> %.0f MB/s per chip" % (dt, enc_sus))
+    record(chip_encode_serial_mbps=round(enc_serial, 1),
+           chip_encode_sustained_mbps=round(enc_sus, 1))
 
     # decode at the same block size, caps exactly as the engine computes
     # them host-side from the compressed stream
@@ -1157,10 +1183,16 @@ def bench_device_production() -> float | None:
     dec_sus = 2 * n / 1e6 / dt
     log("device decode sustained (production, 4 dispatch threads): "
         "%.4fs/step -> %.0f MB/s per chip" % (dt, dec_sus))
+    record(chip_decode_sustained_mbps=round(dec_sus, 1))
     return max(enc_serial, enc_sus, dec_sus)
 
 
 def main() -> None:
+    try:  # fresh full-transcript log per run
+        with open(_LOG_PATH, "w") as f:
+            f.write("bench run %s\n" % time.strftime("%Y-%m-%d %H:%M:%S"))
+    except OSError:
+        pass
     # RAM-backed files when available: the measurement is the codec, not
     # this VM's disk, and run-to-run disk variance was +-30%
     base = "/dev/shm" if os.path.isdir("/dev/shm") else None
@@ -1190,6 +1222,8 @@ def main() -> None:
         pipeline.decompress_pe(rfq, d1, d2)
         dec_s = min(dec_s, time.time() - t0)
     log("decode: %.2fs -> %.1f MB/s out" % (dec_s, total_bytes / 1e6 / dec_s))
+    record(stress_encode_mbps=round(total_bytes / 1e6 / enc_s, 1),
+           stress_decode_mbps=round(total_bytes / 1e6 / dec_s, 1))
 
     # bit-exact roundtrip gate
     import filecmp
@@ -1238,6 +1272,8 @@ def main() -> None:
                100.0 * z_bytes / total_bytes, total_bytes / 1e6 / z_s,
                total_bytes / 1e6 / z_dec_s)
         )
+        record(stress_rfqz_pct_of_fastq=round(
+            100.0 * z_bytes / total_bytes, 2))
         for p in (zpath, z1, z2):
             os.unlink(p)
     except Exception as e:
@@ -1312,17 +1348,23 @@ def main() -> None:
                 "; --engine device e2e %.0f/%.0f MB/s enc/dec over a "
                 "~30 MB/s tunnel" % dev_e2e
             )
-        print(
-            json.dumps(
-                {
-                    "metric": metric,
-                    "value": round(rate, 1),
-                    "unit": "MB/s",
-                    "vs_baseline": round(rate / BASELINE_MBPS, 2),
-                }
-            ),
-            flush=True,
-        )
+        payload = {
+            "metric": metric,
+            "value": round(rate, 1),
+            "unit": "MB/s",
+            "vs_baseline": round(rate / BASELINE_MBPS, 2),
+            # explicit host-vs-chip split (VERDICT r4 weak 1: the parsed
+            # value is the HOST single-core rate; the per-chip north-star
+            # numbers are their own fields, not buried in the string)
+            "host_core_encode_mbps": round(rate, 1),
+        }
+        payload.update(_RESULTS)
+        print(json.dumps(payload), flush=True)
+        try:
+            with open(_LOG_PATH, "a") as f:
+                f.write(json.dumps(payload) + "\n")
+        except OSError:
+            pass
 
     # Emit the host headline BEFORE the device sections: a cold XLA
     # compile cache over the tunnel can take tens of minutes, and if the

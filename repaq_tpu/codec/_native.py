@@ -567,11 +567,16 @@ def quality_scan(seq: np.ndarray, qual: np.ndarray):
     return seq_hist, qual_hist, meta
 
 
-def unpack_2bit(buf: np.ndarray, length: int) -> np.ndarray:
+def unpack_2bit(buf: np.ndarray, length: int,
+                out: np.ndarray | None = None) -> np.ndarray:
+    """out (optional): caller-provided uint8 destination of >= length
+    bytes (e.g. a rolling-history window) — avoids a transient allocation
+    for multi-MB streams."""
     lib = _load()
-    out = np.empty(length, dtype=np.uint8)
+    if out is None:
+        out = np.empty(length, dtype=np.uint8)
     lib.unpack_2bit(buf.ctypes.data, buf.shape[0], out.ctypes.data, length)
-    return out
+    return out[:length]
 
 
 def rans_encode(data: np.ndarray, lane_off: np.ndarray, freq: np.ndarray,
@@ -642,14 +647,23 @@ def lz_parse(data: np.ndarray, min_match: int, parse_from: int = 0):
 
 def lz_expand(lit_lens: np.ndarray, match_lens: np.ndarray,
               dists: np.ndarray, lits: np.ndarray, out_len: int,
-              hist: np.ndarray | None = None) -> np.ndarray:
+              hist: np.ndarray | None = None,
+              out: np.ndarray | None = None, start: int = 0) -> np.ndarray:
     """Token expansion; hist (optional) is a dictionary prefix match
-    distances may reach into. Returns only the new out_len bytes."""
+    distances may reach into. Returns only the new out_len bytes.
+
+    out/start (optional, exclusive with hist): expand in place into
+    out[start : start + out_len] with out[:start] already holding the
+    dictionary bytes (the rolling-history path — no transient
+    hist-size + out-size allocation)."""
     lib = _load()
-    start = 0 if hist is None else int(hist.shape[0])
-    out = np.empty(start + out_len, dtype=np.uint8)
-    if start:
-        out[:start] = hist
+    if out is None:
+        start = 0 if hist is None else int(hist.shape[0])
+        out = np.empty(start + out_len, dtype=np.uint8)
+        if start:
+            out[:start] = hist
+    else:
+        assert hist is None and out.shape[0] >= start + out_len
     got = lib.lz_expand(
         _ptr(np.ascontiguousarray(lit_lens, np.int64), _i64p),
         _ptr(np.ascontiguousarray(match_lens, np.int64), _i64p),
@@ -660,7 +674,7 @@ def lz_expand(lit_lens: np.ndarray, match_lens: np.ndarray,
     )
     if got != out_len:
         raise ValueError("LZ stream corrupt (expanded %d of %d)" % (got, out_len))
-    return out[start:]
+    return out[start : start + out_len]
 
 
 def lz_dist_mtf(dd: np.ndarray, ml: np.ndarray, encode: bool) -> np.ndarray:

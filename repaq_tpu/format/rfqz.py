@@ -178,47 +178,101 @@ class SeqLzHistory:
     """Rolling cross-section dictionary for MODE_SEQLZ (round 3): later
     seq sections match into the unpacked bases of earlier ones, closing
     the window gap vs whole-file LZMA (sections are ~16 Mbase; coverage
-    redundancy spans the whole run). Sections are stored PACKED (2 bit)
-    and unpacked on demand. The usable history is the newest whole
-    sections totalling <= cap bases — a pure function of the preceding
-    MODE_SEQLZ sections, so encoder and decoder stay in lockstep; ranks
-    of a sharded compress start empty, which only FORGOES matches (their
-    backward distances still resolve identically at decode, where the
-    history may be longer)."""
+    redundancy spans the whole run). The usable history is the newest
+    whole sections totalling <= cap bases — a pure function of the
+    preceding MODE_SEQLZ sections, so encoder and decoder stay in
+    lockstep; ranks of a sharded compress start empty, which only FORGOES
+    matches (their backward distances still resolve identically at
+    decode, where the history may be longer).
+
+    Round 5: one persistent UNPACKED rolling buffer. A section is
+    staged contiguously after the history (unpacked straight into the
+    buffer on encode; LZ-expanded in place on decode) so the parse and
+    the expand see [history | stream] without any per-section history
+    unpack or full-history concatenate (the old path transiently
+    allocated ~hist+stream+concat per 16-Mbase section —
+    VERDICT r4 item 9). commit() turns the staged stream into history;
+    an uncommitted stage is simply overwritten by the next one."""
 
     def __init__(self, cap_bases: int = 96 << 20):
         self.cap = cap_bases
-        self._packed: list[np.ndarray] = []
+        self._buf = np.empty(0, dtype=np.uint8)
+        self._start = 0  # usable history = _buf[_start:_end)
+        self._end = 0
+        self._spans: list[int] = []  # whole-section base counts, oldest..
+        self._staged = 0  # bases staged at _end (not yet history)
 
-    def add_packed(self, packed: np.ndarray, nbases: int) -> None:
-        self._packed.append(np.ascontiguousarray(packed[: (nbases + 3) // 4]))
-        # drop sections that can never be usable again
-        while len(self._packed) > 1 and sum(
-            4 * p.shape[0] for p in self._packed[1:]
-        ) >= self.cap:
-            self._packed.pop(0)
+    def _ensure(self, nbases: int) -> None:
+        """Room for nbases at _end: compact-in-place when the usable
+        history + stream fit the allocation, else grow geometrically
+        (bounded: usable <= cap, so capacity tops out near cap + max
+        staged stream)."""
+        if self._end + nbases <= self._buf.shape[0]:
+            return
+        used = self._end - self._start
+        if used + nbases <= self._buf.shape[0]:
+            self._buf[:used] = self._buf[self._start : self._end]
+        else:
+            newcap = used + nbases
+            newcap += newcap >> 2
+            nb = np.empty(newcap, dtype=np.uint8)
+            nb[:used] = self._buf[self._start : self._end]
+            self._buf = nb
+        self._start, self._end = 0, used
 
-    def bases(self) -> np.ndarray | None:
-        """Newest whole sections totalling <= cap bases, in stream order."""
-        take: list[np.ndarray] = []
-        total = 0
-        for p in reversed(self._packed):
-            nb = 4 * p.shape[0]
-            if total + nb > self.cap:
-                break
-            take.append(p)
-            total += nb
-        if not take:
-            return None
-        parts = [_np_unpack(p, None) for p in reversed(take)]
-        return parts[0] if len(parts) == 1 else np.concatenate(parts)
+    def stage(self, packed: np.ndarray, nbases: int):
+        """Unpack a packed-base section into the buffer after the current
+        history. Returns (parse_buf, parse_from, stream): parse_buf is the
+        contiguous [history | stream] view, stream its staged tail."""
+        self._ensure(nbases)
+        stream = _np_unpack(
+            packed[: (nbases + 3) // 4], nbases,
+            out=self._buf[self._end : self._end + nbases],
+        )
+        self._staged = nbases
+        return (
+            self._buf[self._start : self._end + nbases],
+            self._end - self._start,
+            stream,
+        )
+
+    def stage_raw(self, nbases: int):
+        """Reserve nbases after the history for in-place LZ expansion
+        (decode). Returns (full_buf_view, hist_len, stream_view)."""
+        self._ensure(nbases)
+        self._staged = nbases
+        return (
+            self._buf[self._start : self._end + nbases],
+            self._end - self._start,
+            self._buf[self._end : self._end + nbases],
+        )
+
+    def commit(self) -> None:
+        """The staged stream becomes history; evict oldest whole sections
+        while the total exceeds cap (matching the old newest-whole-
+        sections-totalling-<=cap rule)."""
+        self._end += self._staged
+        self._spans.append(self._staged)
+        self._staged = 0
+        total = self._end - self._start
+        while self._spans and total > self.cap:
+            drop = self._spans.pop(0)
+            self._start += drop
+            total -= drop
+
+    def hist_len(self) -> int:
+        return self._end - self._start
 
 
 def _encode_lz(arr: np.ndarray, mode: int, lanes: int,
-               hist_bases: np.ndarray | None = None) -> bytes | None:
+               seq_hist: "SeqLzHistory | None" = None) -> bytes | None:
     """MODE_LZ / MODE_SEQLZ record, or None when LZ does not apply (no
     native library) — never larger-than-raw gating here; the caller
-    compares against the rANS/store candidate."""
+    compares against the rANS/store candidate. For MODE_SEQLZ with a
+    history, the base stream is STAGED into the history's rolling buffer
+    (zero extra copies: [history | stream] is already contiguous there —
+    round 5, VERDICT r4 item 9); the caller commits it iff this
+    candidate wins."""
     from ..codec import _native
 
     if not _native.available():
@@ -227,11 +281,15 @@ def _encode_lz(arr: np.ndarray, mode: int, lanes: int,
 
     n = arr.shape[0]
     if mode == MODE_SEQLZ:
-        base_stream = _native.unpack_2bit(arr, 4 * n)
+        if seq_hist is not None:
+            parse_buf, pfrom, base_stream = seq_hist.stage(arr, 4 * n)
+        else:
+            base_stream = _native.unpack_2bit(arr, 4 * n)
+            parse_buf, pfrom = base_stream, 0
         stream, minm = base_stream, _LZ_MIN_BASES
     else:
         stream, minm = arr, _LZ_MIN_BYTES
-        hist_bases = None
+        parse_buf, pfrom = arr, 0
     # probe parse: data without cross-record redundancy (e.g. reads of a
     # random or unshared genome) finds no matches — detect that on a
     # prefix before paying the full hash-chain walk (the full parse runs
@@ -241,22 +299,14 @@ def _encode_lz(arr: np.ndarray, mode: int, lanes: int,
     # sections would read as incompressible.
     probe_n = min(4 << 20, max(256 << 10, stream.shape[0] // 4))
     if stream.shape[0] > 2 * probe_n:
-        if hist_bases is not None:
-            ht = hist_bases[-(4 << 20):]
-            _pl, pml, _pd = _native.lz_parse(
-                np.concatenate([ht, stream[:probe_n]]), minm,
-                parse_from=ht.shape[0],
-            )
-        else:
-            _pl, pml, _pd = _native.lz_parse(stream[:probe_n], minm)
+        ht_len = min(pfrom, 4 << 20)
+        _pl, pml, _pd = _native.lz_parse(
+            parse_buf[pfrom - ht_len : pfrom + probe_n], minm,
+            parse_from=ht_len,
+        )
         if int(pml.sum()) * 8 < probe_n:
             return None
-    if hist_bases is not None:
-        full = np.concatenate([hist_bases, stream])
-        ll, ml, dd = _native.lz_parse(full, minm,
-                                      parse_from=hist_bases.shape[0])
-    else:
-        ll, ml, dd = _native.lz_parse(stream, minm)
+    ll, ml, dd = _native.lz_parse(parse_buf, minm, parse_from=pfrom)
     if ml.shape[0] <= 1 or int(ml.sum()) * 2 < n // 8:
         return None  # too few matches to beat plain rANS — skip the work
     if mode == MODE_SEQLZ:
@@ -336,10 +386,15 @@ def _decode_lz(buf: memoryview, off: int, decode_section,
     dd = _native.lz_dist_mtf(dd, ml, False)
 
     if mode == MODE_SEQLZ:
-        hb = seq_hist.bases() if seq_hist is not None else None
-        out_bases = _lz_expand_py(
-            ll, ml, dd, _np_unpack(lits, None), 4 * n, hist=hb
-        )
+        if seq_hist is not None:
+            # expand in place after the rolling history (the dictionary
+            # is already contiguous there) and commit the bases directly
+            # — no per-section history unpack/copy (round 5)
+            full, hlen, out_bases = seq_hist.stage_raw(4 * n)
+            _lz_expand_py(ll, ml, dd, _np_unpack(lits), 4 * n,
+                          out=full, start=hlen)
+        else:
+            out_bases = _lz_expand_py(ll, ml, dd, _np_unpack(lits), 4 * n)
         if _native.available():
             packed = _native.pack_2bit(out_bases)
         else:
@@ -347,35 +402,43 @@ def _decode_lz(buf: memoryview, off: int, decode_section,
 
             packed = K.pack_2bit(out_bases)
         if seq_hist is not None:
-            seq_hist.add_packed(
-                np.frombuffer(packed.tobytes(), np.uint8), 4 * n
-            )
+            seq_hist.commit()
         return packed.tobytes(), off
     out = _lz_expand_py(ll, ml, dd, lits, n)
     return out.tobytes(), off
 
 
-def _np_unpack(packed: np.ndarray, _):
+def _np_unpack(packed: np.ndarray, length: int | None = None,
+               out: np.ndarray | None = None):
+    n = 4 * packed.shape[0] if length is None else length
     from ..codec import _native
 
     if _native.available():
-        return _native.unpack_2bit(packed, 4 * packed.shape[0])
+        return _native.unpack_2bit(packed, n, out=out)
     from ..codec import kernels_np as K
 
-    return K.unpack_2bit(packed, 4 * packed.shape[0])
+    res = K.unpack_2bit(packed, n)
+    if out is None:
+        return res
+    out[:n] = res
+    return out[:n]
 
 
 def _lz_expand_py(ll, ml, dd, lits: np.ndarray, out_len: int,
-                  hist: np.ndarray | None = None) -> np.ndarray:
+                  hist: np.ndarray | None = None,
+                  out: np.ndarray | None = None,
+                  start: int = 0) -> np.ndarray:
     from ..codec import _native
 
     if _native.available():
-        return _native.lz_expand(ll, ml, dd, lits, out_len, hist=hist)
+        return _native.lz_expand(ll, ml, dd, lits, out_len, hist=hist,
+                                 out=out, start=start)
     # pure-python fallback (decode must work everywhere)
-    start = 0 if hist is None else hist.shape[0]
-    out = np.empty(start + out_len, dtype=np.uint8)
-    if start:
-        out[:start] = hist
+    if out is None:
+        start = 0 if hist is None else hist.shape[0]
+        out = np.empty(start + out_len, dtype=np.uint8)
+        if start:
+            out[:start] = hist
     o, lp = start, 0
     end = start + out_len
     for t in range(ll.shape[0]):
@@ -396,7 +459,7 @@ def _lz_expand_py(ll, ml, dd, lits: np.ndarray, out_len: int,
             o += m
     if o != end:
         raise ValueError("LZ stream corrupt (short expand)")
-    return out[start:]
+    return out[start:end]
 
 
 def encode_block(data: bytes | np.ndarray, lanes: int = rans_np.DEFAULT_LANES,
@@ -440,12 +503,9 @@ def encode_block(data: bytes | np.ndarray, lanes: int = rans_np.DEFAULT_LANES,
     if arr.shape[0] >= _LZ_TRY_MIN and label in ("seq", "tail", "names",
                                                  None):
         lz_mode = MODE_SEQLZ if label == "seq" else MODE_LZ
-        hb = (
-            seq_hist.bases()
-            if (seq_hist is not None and label == "seq") else None
-        )
+        sh = seq_hist if label == "seq" else None
         try:
-            lz = _encode_lz(arr, lz_mode, lanes, hist_bases=hb)
+            lz = _encode_lz(arr, lz_mode, lanes, seq_hist=sh)
         except (OSError, ValueError) as e:
             # only expected unavailability errors; anything else (a real
             # defect in the native parse/pack path) must propagate, not be
@@ -465,8 +525,10 @@ def encode_block(data: bytes | np.ndarray, lanes: int = rans_np.DEFAULT_LANES,
         and best[0] == MODE_SEQLZ
     ):
         # history tracks CHOSEN seqlz sections only — the decoder mirrors
-        # this from the mode bytes it actually sees
-        seq_hist.add_packed(arr, 4 * arr.shape[0])
+        # this from the mode bytes it actually sees. The bases were staged
+        # into the rolling buffer by _encode_lz; a losing/failed candidate
+        # leaves its stage uncommitted (overwritten by the next section).
+        seq_hist.commit()
     return best
 
 
