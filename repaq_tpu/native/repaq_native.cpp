@@ -1047,13 +1047,15 @@ void scatter_pieces_rc(const uint8_t* src, const int64_t* p_starts,
 void quality_scan(const uint8_t* seq, const uint8_t* qual, int64_t n,
                   int64_t* seq_hist, int64_t* qual_hist,
                   int64_t* out_meta) {
-    static bool ok[256];
-    static bool init = false;
-    if (!init) {
-        memset(ok, 0, sizeof(ok));
-        ok['A'] = ok['T'] = ok['C'] = ok['G'] = ok['N'] = true;
-        init = true;
-    }
+    // magic-static init: thread-safe (the old check-then-write lazy init
+    // was a C++ data race under concurrent worker threads — TSAN r5)
+    struct OkTab { bool ok[256]; };
+    static const OkTab okt = [] {
+        OkTab t{};
+        t.ok['A'] = t.ok['T'] = t.ok['C'] = t.ok['G'] = t.ok['N'] = true;
+        return t;
+    }();
+    const bool* ok = okt.ok;
     // 4 sub-histograms per stream break the store-forwarding dependency
     // on runs of equal bytes (quality data is mostly one value)
     int64_t hs[4][256], hq[4][256];
@@ -1177,13 +1179,14 @@ int64_t assemble_fastq(const uint8_t* name_flat, const int64_t* name_off,
 
 // 2-bit base pack/unpack (reference rfqcodec.cpp:588-609, 832-853).
 void pack_2bit(const uint8_t* seq, int64_t n, uint8_t* out) {
-    static uint8_t table[256];
-    static bool init = false;
-    if (!init) {
-        memset(table, 0, 256);
-        table['G'] = 0; table['A'] = 1; table['T'] = 2; table['C'] = 3;
-        init = true;
-    }
+    // magic-static: workers call this concurrently (TSAN r5)
+    struct Tab { uint8_t t[256]; };
+    static const Tab tab = [] {
+        Tab x{};
+        x.t['G'] = 0; x.t['A'] = 1; x.t['T'] = 2; x.t['C'] = 3;
+        return x;
+    }();
+    const uint8_t* table = tab.t;
     int64_t nb = n / 4;
     int64_t b = 0;
 #ifdef REPAQ_AVX512_VBMI
@@ -1240,16 +1243,18 @@ void unpack_2bit(const uint8_t* buf, int64_t nbytes, uint8_t* out,
     static const char base[4] = {'G', 'A', 'T', 'C'};
     // 256-entry packed-byte -> 4-base-chars table: one u32 store per
     // input byte instead of four shift/mask/LUT steps
-    static uint32_t word[256];
-    static bool init = false;
-    if (!init) {
+    struct WTab { uint32_t w[256]; };
+    // magic-static: decode workers call this concurrently (TSAN r5)
+    static const WTab wt = [] {
+        WTab x{};
         for (int v = 0; v < 256; v++) {
             uint8_t c[4];
             for (int k = 0; k < 4; k++) c[k] = (uint8_t)base[(v >> (2 * k)) & 3];
-            memcpy(&word[v], c, 4);
+            memcpy(&x.w[v], c, 4);
         }
-        init = true;
-    }
+        return x;
+    }();
+    const uint32_t* word = wt.w;
     int64_t avail = nbytes * 4 < length ? nbytes * 4 : length;
     int64_t nb4 = avail / 4;
     int64_t b = 0;
