@@ -397,6 +397,198 @@ def bench_realistic_ratio(tmp: str) -> None:
             os.unlink(p)
 
 
+def _fastq_records(names, seqs, quals) -> bytes:
+    out = bytearray()
+    for nm, s, q in zip(names, seqs, quals):
+        out += b"@" + nm + b"\n" + s + b"\n+\n" + q + b"\n"
+    return bytes(out)
+
+
+def _matrix_corpora(tmp: str):
+    """Independent corpus families for the ratio matrix (VERDICT r4 item
+    4: every prior ratio claim was validated on ONE generator). Each
+    family uses its own generation model, not _pe_slab:
+
+      hiseq40   40-bin quality (per-cycle mean curve + noise, HiSeq-like)
+                over a 1.5Mb uniform genome at ~20x
+      rta3-2bin binary RTA3-style quality ('F'/'#') at ~35x
+      adapter   short inserts => 3' adapter read-through (a fixed 33bp
+                motif contaminates most read tails)
+      varlen    quality-trimmed variable-length reads (35-151bp),
+                BGI-style names (no lane/tile/x/y -> raw name path)
+      lowred    low-redundancy: ~0.06x coverage of a 120Mb genome, i.i.d.
+                40-bin quality — the judge's adversarial shape (no LZ
+                matches anywhere; the xz -9 head-to-head stresses pure
+                entropy coding)
+    """
+    rng = np.random.default_rng(42)
+    ACGT = np.frombuffer(b"ACGT", dtype=np.uint8)
+    fams = []
+
+    def sample_reads(genome, n, L):
+        start = rng.integers(0, genome.shape[0] - L, size=n)
+        return genome[start[:, None] + np.arange(L)[None, :]]
+
+    def ill_names(n, mate):
+        return [b"@M1:5:FC706VJ:1:%d:%d:%d %d:N:0:ATCACG"[1:]
+                % (1101 + i % 96, 1000 + (i * 37) % 25000,
+                   1000 + (i * 91) % 25000, mate) for i in range(n)]
+
+    def qual40(n, L):
+        # per-cycle mean curve (rises, plateaus, decays) + per-read shift
+        # + white noise, quantized to 40 phred33 chars '#'(2)..'J'(41)
+        cyc = np.arange(L)
+        mean = 30 + 8 * np.minimum(cyc, 12) / 12 - 10 * (cyc / L) ** 2
+        per_read = rng.normal(0, 2.5, size=(n, 1))
+        q = mean[None, :] + per_read + rng.normal(0, 3.5, size=(n, L))
+        return (np.clip(q, 2, 41) + 33).astype(np.uint8)
+
+    # hiseq40
+    L = 125
+    genome = rng.choice(ACGT, size=1_500_000)
+    n = 120_000  # ~20x
+    seqs = sample_reads(genome, n, L)
+    quals = qual40(n, L)
+    err = rng.random((n, L)) < 0.002
+    seqs = seqs.copy()
+    seqs[err] = ACGT[rng.integers(0, 4, size=int(err.sum()))]
+    fams.append(("hiseq40", _fastq_records(
+        ill_names(n, 1), [r.tobytes() for r in seqs],
+        [r.tobytes() for r in quals])))
+
+    # rta3-2bin
+    L = 150
+    genome = rng.choice(ACGT, size=900_000)
+    n = 210_000  # ~35x
+    seqs = sample_reads(genome, n, L)
+    q = np.where(rng.random((n, L)) < 0.04, ord("#"),
+                 ord("F")).astype(np.uint8)
+    fams.append(("rta3-2bin", _fastq_records(
+        ill_names(n, 1), [r.tobytes() for r in seqs],
+        [r.tobytes() for r in q])))
+
+    # adapter read-through
+    L = 100
+    adapter = np.frombuffer(b"AGATCGGAAGAGCACACGTCTGAACTCCAGTCA",
+                            dtype=np.uint8)
+    genome = rng.choice(ACGT, size=2_000_000)
+    n = 150_000
+    insert = rng.integers(40, 120, size=n)
+    seqs = np.empty((n, L), dtype=np.uint8)
+    base = sample_reads(genome, n, L)
+    for i in range(n):
+        ins = int(insert[i])
+        if ins >= L:
+            seqs[i] = base[i]
+        else:
+            seqs[i, :ins] = base[i, :ins]
+            tail = L - ins
+            ad = np.tile(adapter, tail // adapter.shape[0] + 1)[:tail]
+            seqs[i, ins:] = ad
+    quals = qual40(n, L)
+    fams.append(("adapter", _fastq_records(
+        ill_names(n, 1), [r.tobytes() for r in seqs],
+        [r.tobytes() for r in quals])))
+
+    # varlen / BGI names
+    genome = rng.choice(ACGT, size=1_200_000)
+    n = 160_000
+    lens = np.clip(rng.normal(120, 30, size=n), 35, 151).astype(np.int64)
+    names = [b"E100024251L1C%03dR%03d%07d" % (
+        1 + i % 4, 1 + (i // 4) % 100, i) for i in range(n)]
+    seq_l, q_l = [], []
+    full = sample_reads(genome, n, 151)
+    q40 = qual40(n, 151)
+    for i in range(n):
+        li = int(lens[i])
+        seq_l.append(full[i, :li].tobytes())
+        q_l.append(q40[i, :li].tobytes())
+    fams.append(("varlen-bgi", _fastq_records(names, seq_l, q_l)))
+
+    # low-redundancy (judge-shape): big genome, tiny coverage
+    genome = rng.choice(ACGT, size=120_000_000)
+    L = 150
+    n = 50_000
+    seqs = sample_reads(genome, n, L)
+    quals = qual40(n, L)
+    fams.append(("lowred", _fastq_records(
+        ill_names(n, 1), [r.tobytes() for r in seqs],
+        [r.tobytes() for r in quals])))
+    del genome
+
+    paths = []
+    for name, data in fams:
+        p = os.path.join(tmp, "mx_%s.fq" % name)
+        with open(p, "wb") as f:
+            f.write(data)
+        paths.append((name, p, len(data)))
+    return paths
+
+
+def bench_ratio_matrix(tmp: str) -> None:
+    """Ratio matrix over independent corpus families: .rfq, .rfqz and
+    xz -6/-9 OF THE SAME .rfq (the reference's published pipeline,
+    main.cpp:141-149) — sizes and single-core times, wins AND losses
+    (VERDICT r4 items 4/5)."""
+    import shutil
+    import subprocess
+
+    from repaq_tpu.format.rfqz import RfqzReader, RfqzWriter
+
+    have_xz = bool(shutil.which("xz"))
+    matrix = {}
+    for name, fq, total in _matrix_corpora(tmp):
+        rfq = fq + ".rfq"
+        pipeline.compress_se(fq, rfq, chunk_size=16_000_000)
+        rfq_b = os.path.getsize(rfq)
+        zpath = fq + ".rfqz"
+        t0 = time.time()
+        w = RfqzWriter(zpath)
+        pipeline.compress_se(fq, "", out_stream=w, chunk_size=16_000_000)
+        w.close()
+        z_s = time.time() - t0
+        z_b = os.path.getsize(zpath)
+        # roundtrip gate: the matrix is only meaningful for lossless output
+        back = fq + ".back"
+        pipeline.decompress("", back, in_stream=RfqzReader(zpath))
+        import filecmp
+
+        assert filecmp.cmp(fq, back, shallow=False), \
+            "rfqz roundtrip mismatch on %s" % name
+        os.unlink(back)
+        row = {
+            "fastq_mb": round(total / 1e6, 1),
+            "rfq_pct": round(100.0 * rfq_b / total, 2),
+            "rfqz_pct": round(100.0 * z_b / total, 3),
+            "rfqz_enc_mbps": round(total / 1e6 / z_s, 1),
+        }
+        if have_xz:
+            for lvl in (6, 9):
+                t0 = time.time()
+                subprocess.run(["xz", "-%d" % lvl, "-T", "1", "-k", "-f",
+                                rfq], check=True)
+                xz_s = time.time() - t0
+                xz_b = os.path.getsize(rfq + ".xz")
+                os.unlink(rfq + ".xz")
+                row["xz%d_pct" % lvl] = round(100.0 * xz_b / total, 3)
+                row["xz%d_enc_mbps" % lvl] = round(total / 1e6 / xz_s, 1)
+            verdict = ("rfqz WINS" if row["rfqz_pct"] <= row["xz9_pct"]
+                       else "xz -9 wins by %.1f%%"
+                       % (100.0 * (row["rfqz_pct"] / row["xz9_pct"] - 1)))
+        else:
+            verdict = "no xz"
+        log("ratio-matrix %-10s %5.1f MB | .rfq %6.2f%% | .rfqz %7.3f%% "
+            "(%.0f MB/s) | xz6 %s xz9 %s | %s"
+            % (name, row["fastq_mb"], row["rfq_pct"], row["rfqz_pct"],
+               row["rfqz_enc_mbps"],
+               row.get("xz6_pct", "-"), row.get("xz9_pct", "-"), verdict))
+        matrix[name] = row
+        for p in (fq, rfq, zpath):
+            if os.path.exists(p):
+                os.unlink(p)
+    record(ratio_matrix=matrix)
+
+
 def bench_scaling(f1: str, total_bytes_hint: int, tmp: str) -> None:
     """2-process vs 1-process wall clock over jax.distributed transport
     (VERDICT r1 item 4). This VM exposes ONE physical core, so the upper
@@ -1307,6 +1499,12 @@ def main() -> None:
         bench_realistic_ratio(tmp)
     except Exception as e:
         log("realistic-corpus diagnostics unavailable: %r" % (e,))
+
+    if os.environ.get("REPAQ_BENCH_MATRIX", "1") != "0":
+        try:
+            bench_ratio_matrix(tmp)
+        except Exception as e:
+            log("ratio-matrix diagnostics unavailable: %r" % (e,))
 
     try:
         bench_scaling(f1, total_bytes, tmp)

@@ -64,10 +64,16 @@ def _enable_compile_cache(jax) -> None:
     if _CACHE_ENABLED or os.environ.get("REPAQ_NO_COMPILE_CACHE"):
         return
     try:
-        path = os.environ.get(
-            "JAX_COMPILATION_CACHE_DIR",
-            os.path.expanduser("~/.cache/repaq_tpu_xla"),
-        )
+        path = os.environ.get("JAX_COMPILATION_CACHE_DIR")
+        if path is None:
+            # namespace by backend: CPU AOT entries are machine-feature
+            # specific, and a cache written by a different host CPU makes
+            # XLA log feature-mismatch errors on load (ADVICE r4)
+            try:
+                backend = jax.default_backend()
+            except Exception:
+                backend = "unknown"
+            path = os.path.expanduser("~/.cache/repaq_tpu_xla_%s" % backend)
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
