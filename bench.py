@@ -1272,8 +1272,14 @@ def bench_device_production() -> float | None:
     ys = rng.integers(1000, 40000, size=B).astype(np.int32)
 
     def bucket(x, cap):
+        # 2^k / 1.5*2^k steps like the engine's _bucket: sort and buffer
+        # costs scale with the cap, and a pow2-only bucket pads a 8.4 MB
+        # stream to 16 MB (round 5)
         c = 1024
         while c < x:
+            if c + (c >> 1) >= x:
+                c += c >> 1
+                break
             c *= 2
         return min(c, cap)
 

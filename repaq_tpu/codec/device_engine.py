@@ -394,7 +394,7 @@ class DeviceEngine:
         import jax.numpy as jnp
 
         from ..ops.device_streams import (
-            coords_encode_device,
+            coords_encode2_device,
             encode_positions_from_meta32,
             qualcol_encode_device,
         )
@@ -417,20 +417,17 @@ class DeviceEngine:
                 npos_out = jnp.zeros(npfetch, dtype=jnp.uint8)
                 npos_len = jnp.int32(0)
             if has_xy:
-                x_out, x_len = coords_encode_device(
-                    xs, 3 * b_cap + 8, n_valid=n_reads
-                )
-                y_out, y_len = coords_encode_device(
-                    ys, 3 * b_cap + 8, n_valid=n_reads
+                xy_out, x_len, y_len = coords_encode2_device(
+                    jnp.stack([xs, ys]), 3 * b_cap + 8, n_valid=n_reads
                 )
             else:
-                x_out = y_out = jnp.zeros(0, dtype=jnp.uint8)
+                xy_out = jnp.zeros(0, dtype=jnp.uint8)
                 x_len = y_len = jnp.int32(0)
             lens = jnp.stack(
                 [qual_len, npos_len, x_len, y_len]
             ).astype(jnp.int32)
             return self._pack_payload([
-                packed, qual_out[:qfetch], npos_out, x_out, y_out,
+                packed, qual_out[:qfetch], npos_out, xy_out,
                 self._lens_bytes(lens),
             ])
 
@@ -537,7 +534,7 @@ class DeviceEngine:
         import jax.numpy as jnp
 
         from ..ops.device_streams import (
-            coords_encode_device,
+            coords_encode2_device,
             encode_positions_from_mask,
             overlap_pairs_device,
             qualcol_encode_device,
@@ -616,14 +613,11 @@ class DeviceEngine:
                 npos_out = jnp.zeros(npfetch, dtype=jnp.uint8)
                 npos_len = jnp.int32(0)
             if has_xy:
-                x_out, x_len = coords_encode_device(
-                    xs, 3 * p_cap + 8, n_valid=n_pairs
-                )
-                y_out, y_len = coords_encode_device(
-                    ys, 3 * p_cap + 8, n_valid=n_pairs
+                xy_out, x_len, y_len = coords_encode2_device(
+                    jnp.stack([xs, ys]), 3 * p_cap + 8, n_valid=n_pairs
                 )
             else:
-                x_out = y_out = jnp.zeros(0, dtype=jnp.uint8)
+                xy_out = jnp.zeros(0, dtype=jnp.uint8)
                 x_len = y_len = jnp.int32(0)
 
             ov_store = ((ov + shift) & 0xFF).astype(jnp.uint8)
@@ -631,7 +625,7 @@ class DeviceEngine:
                 [qual_len, npos_len, x_len, y_len, total_stored, ncoll]
             ).astype(jnp.int32)
             return self._pack_payload([
-                packed, qual_out[:qfetch], npos_out, x_out, y_out,
+                packed, qual_out[:qfetch], npos_out, xy_out,
                 ov_store, self._lens_bytes(lens),
             ])
 
@@ -749,8 +743,12 @@ class DeviceEngine:
         def geo(x, lo=1024):
             if universal:
                 return n_cap + lo
-            for f in (16, 8, 4, 2, 1):
-                c = max(lo, n_cap // f)
+            # 1.5x mid-steps added in round 5: the decode compaction sort
+            # scales with these caps, and the coarse ladder padded an
+            # ~0.7*n qual stream all the way to n
+            for num, den in ((1, 16), (3, 32), (1, 8), (3, 16), (1, 4),
+                             (3, 8), (1, 2), (3, 4), (1, 1)):
+                c = max(lo, (n_cap * num) // den)
                 if c >= x:
                     return c
             return n_cap + lo  # above n_cap (e.g. + table/record slack)

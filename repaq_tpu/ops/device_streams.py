@@ -157,6 +157,56 @@ def _emit_sort(planes: jnp.ndarray, counts: jnp.ndarray, out_size: int,
 _emit_gather = _emit_sort  # compaction strategy alias
 
 
+def _emit_sort_pay(b0: jnp.ndarray, counts: jnp.ndarray, out_size: int,
+                   offsets: jnp.ndarray, total, multi_cap: int,
+                   fields: jnp.ndarray, w: int,
+                   extra=None,
+                   first_mask: jnp.ndarray | None = None):
+    """_emit_sort_lazy with the multi-byte token FIELDS carried through
+    the compaction sort as a payload operand instead of gathered
+    afterwards (round 5: the five ~multi_cap-sized gathers of the lazy
+    path serialize on the VPU at ~0.1 Gelem/s and dominated the emission
+    stage — ~14 ms of a 23 ms stage at 12 Mbase; a two-operand lax.sort
+    moves the same data at sort speed).
+
+    fields: (n,) int32 = (delta << 2) | ttype for gap/run tokens —
+    everything the tail lanes need (ttype 0/1/2 = 1/2/4-byte token).
+    Elements with counts >= 2 are compacted by sorting (key = dest
+    offset, payload = fields); tail byte values and lane offsets are then
+    pure elementwise functions of the sorted pair. Token order within
+    the compacted set is dest order — irrelevant, every byte lands at an
+    absolute offset. Escape tokens (5-byte, ttype 3) are NOT supported
+    here — callers with escapes use _emit_sort_lazy."""
+    wide = out_size >= _WIDE_THRESHOLD
+    assert out_size < (1 << 30), "emission output beyond int32 offsets"
+    inf = jnp.int32(2**31 - 1)
+    n = b0.shape[0]
+    multi_cap = max(1, min(multi_cap, n))
+    first = counts >= 1 if first_mask is None else first_mask
+    mkey = jnp.where(counts >= 2, offsets, inf)
+    skey, sfield = jax.lax.sort((mkey, fields), num_keys=1)
+    skey = skey[:multi_cap]
+    sfield = sfield[:multi_cap]
+    svalid = skey < inf
+    st = sfield & 3
+    v = (sfield >> 2) - 1
+    scount = jnp.where(st == 1, 2, jnp.where(st == 2, 4, 1))
+    b1 = jnp.where(st == 1, v & 0xFF,
+                   jnp.where(st == 2, (v >> 16) & 0xFF, 0))
+    b2 = jnp.where(st == 2, (v >> 8) & 0xFF, 0)
+    b3 = jnp.where(st == 2, v & 0xFF, 0)
+    lanes = jnp.arange(1, w, dtype=jnp.int32)[None, :]
+    mvalid = svalid[:, None] & (lanes < scount[:, None])
+    offs = [jnp.where(first, offsets, inf),
+            jnp.where(mvalid, skey[:, None] + lanes, inf).reshape(-1)]
+    tail_bytes = jnp.stack([b1, b2, b3][: w - 1], axis=1)
+    bytes_ = [b0.astype(jnp.int32), tail_bytes.reshape(-1)]
+    if extra is not None:
+        offs.insert(0, extra[0])
+        bytes_.insert(0, extra[1])
+    return _sorted_stream(offs, bytes_, out_size, total, wide)
+
+
 def _emit_sort_lazy(b0: jnp.ndarray, counts: jnp.ndarray, out_size: int,
                     offsets: jnp.ndarray, total, multi_cap: int,
                     tail_fn, w: int,
@@ -324,9 +374,9 @@ def _positions_from_gpos(g_pos, n: int, out_size: int, pos_cap: int):
     )
     b0, counts, ttype = _stream_b0(delta, emits_run, covered, g1, g2, g4)
     cum, total = _exclusive_cumsum(counts)
-    return _emit_sort_lazy(
+    return _emit_sort_pay(
         b0, counts, out_size, cum - counts, total,
-        min(pos_cap, n // 64 + 4), _stream_tail_fn(delta, ttype), w=4,
+        min(pos_cap, n // 64 + 4), fields=(delta << 2) | ttype, w=4,
     )
 
 
@@ -339,8 +389,25 @@ def encode_positions_from_meta32(meta32: jnp.ndarray, n: int, out_size: int,
     if pos_cap is None:
         pos_cap = n
     pos_cap = max(1, min(pos_cap, n))
-    # word compaction is always safe: words containing an N <= npos <=
-    # pos_cap, so the pos_cap-word slice never drops one
+    # compaction granularity: a GROUP of 4 words (16 bases) when the mask
+    # is very sparse — the compaction sort then runs over nw/4 keys
+    # instead of nw (round 5: the word-granular sort was ~5 ms of the
+    # 12-Mbase encode step at 0.1% N); groups containing an N <= npos <=
+    # pos_cap, so a pos_cap-group slice never drops one (same argument
+    # as the word granularity)
+    if nw % 4 == 0 and 32 * pos_cap < n:
+        ng = nw // 4
+        m4 = meta32.reshape(ng, 4)
+        i_g = jnp.arange(ng, dtype=jnp.int32)
+        has_g = ((m4 & jnp.uint32(0x80808080)) != 0).any(axis=1)
+        gidx = jnp.sort(jnp.where(has_g, i_g, jnp.int32(ng)))[:pos_cap]
+        mg = jnp.concatenate([m4, jnp.zeros((1, 4), m4.dtype)])[gidx]
+        lanes = jnp.arange(16, dtype=jnp.int32)[None, :]
+        mb = ((mg[:, lanes[0] // 4] >> (8 * (lanes % 4) + 7)) & 1) == 1
+        cand = gidx[:, None] * 16 + lanes
+        keys = jnp.where(mb & (cand < n), cand, jnp.int32(n)).reshape(-1)
+        g_pos = jnp.sort(keys)[:pos_cap]
+        return _positions_from_gpos(g_pos, n, out_size, pos_cap)
     i_w = jnp.arange(nw, dtype=jnp.int32)
     has = (meta32 & jnp.uint32(0x80808080)) != 0
     widx = jnp.sort(jnp.where(has, i_w, jnp.int32(nw)))[:pos_cap]
@@ -542,6 +609,16 @@ def qualcol_encode_device(qual: jnp.ndarray, bins: jnp.ndarray, major: jnp.ndarr
         out_size = 4 * nbins + n + 8
     # callers with an exact host-side stream-size bound (the engine's
     # qfetch) shrink the emission buffer from ~n to the compressed size
+    if esc_cap == 0:
+        # no escapes (the host-proven common case): the multi-byte fields
+        # ride the compaction sort as payload — no serializing gathers
+        out, _ = _emit_sort_pay(
+            b0, counts, out_size, dest, total, multi_cap,
+            fields=(delta << 2) | ttype, w=w,
+            extra=(hdr_off, hdr),
+            first_mask=counts >= 1,
+        )
+        return out, total
     out, _ = _emit_sort_lazy(
         b0, counts, out_size, dest, total, multi_cap, tail, w=w,
         extra=(jnp.concatenate([hdr_off, esc_off]),
@@ -615,6 +692,105 @@ def coords_encode_device(values: jnp.ndarray, out_size: int,
     third_b = jnp.where(is_abs3, vu & 0xFF, 0)
     planes = jnp.stack([first_b, second_b, third_b], axis=1).astype(jnp.uint8)
     return _emit_gather(planes, counts, out_size)
+
+
+def coords_encode2_device(values2: jnp.ndarray, out_cap: int,
+                          n_valid: jnp.ndarray | None = None):
+    """Both coordinate streams (X and Y) of a chunk in ONE pass: the two
+    coders are independent instances of the same grammar, so batching the
+    scans on axis 1 and giving each row its own output region in one
+    emission sort halves the fixed per-stream costs (round 5: two
+    separate coords calls measured ~6 ms of the 12-Mbase encode step —
+    mostly fixed pass overheads at B~78K).
+
+    values2: (2, B) int32 (row 0 = X, row 1 = Y); per-row bytes identical
+    to coords_encode_device. Returns (out (2*out_cap,) u8 — X stream at
+    [0, x_len), Y stream at [out_cap, out_cap + y_len) — x_len, y_len).
+    """
+    R, n = values2.shape
+    v = values2.astype(jnp.int32)
+    i = jnp.arange(n, dtype=jnp.int32)[None, :]
+    prev = jnp.concatenate(
+        [jnp.full((R, 1), 1000, jnp.int32), v[:, :-1]], axis=1
+    )
+    diff = v - prev
+    is_rep = diff == 0
+    is_delta = (diff > 0) & (diff <= 64)
+    is_abs2 = ~is_rep & ~is_delta & (v <= 32767)
+    is_abs3 = ~is_rep & ~is_delta & (v > 32767)
+    if n_valid is not None:
+        valid = i < n_valid
+        is_rep = is_rep & valid
+        is_delta = is_delta & valid
+        is_abs2 = is_abs2 & valid
+        is_abs3 = is_abs3 & valid
+
+    rep_prev = jnp.concatenate(
+        [jnp.zeros((R, 1), bool), is_rep[:, :-1]], axis=1
+    )
+    rep_start = is_rep & ~rep_prev
+    rs_idx = jax.lax.cummax(jnp.where(rep_start, i, -1), axis=1)
+    off_in_rep = jnp.where(is_rep, i - rs_idx, 0)
+    nonrep_pos = jnp.where(~is_rep, i, n)
+    end_idx = jnp.flip(
+        jax.lax.cummin(jnp.flip(nonrep_pos, axis=1), axis=1), axis=1
+    )
+    rep_len = jnp.where(is_rep, end_idx - rs_idx, 0)
+
+    kk = off_in_rep + 1
+    full32 = is_rep & (kk % 32 == 0)
+    is_last = is_rep & (kk == rep_len) & (rep_len % 32 != 0)
+
+    counts = (
+        is_delta.astype(jnp.int32)
+        + 2 * is_abs2.astype(jnp.int32)
+        + 3 * is_abs3.astype(jnp.int32)
+        + full32.astype(jnp.int32)
+        + is_last.astype(jnp.int32)
+    )
+    rem = rep_len % 32
+    vu = v.astype(jnp.uint32)
+    first_b = jnp.where(
+        full32,
+        jnp.uint32(0xC0 | 31),
+        jnp.where(
+            is_last,
+            (rem - 1).astype(jnp.uint32) | 0xC0,
+            jnp.where(
+                is_delta,
+                (diff - 1).astype(jnp.uint32) | 0x80,
+                jnp.where(is_abs2, vu >> 8,
+                          jnp.where(is_abs3, (vu >> 16) | 0xE0, 0)),
+            ),
+        ),
+    )
+    second_b = jnp.where(is_abs2, vu & 0xFF,
+                         jnp.where(is_abs3, (vu >> 8) & 0xFF, 0))
+    third_b = jnp.where(is_abs3, vu & 0xFF, 0)
+
+    cum = jnp.cumsum(counts, axis=1)
+    totals = cum[:, -1]
+    row_base = (out_cap * jnp.arange(R, dtype=jnp.int32))[:, None]
+    offsets = row_base + cum - counts
+    planes = jnp.stack(
+        [first_b, second_b, third_b], axis=2
+    ).astype(jnp.uint8).reshape(R * n, 3)
+    # the layout sort places bytes by RANK, which equals the offset only
+    # when every slot below the total is covered — fill each row's tail
+    # [total_row, out_cap) with zero-byte filler keys so the two regions
+    # stay hole-free (also reproduces the per-call zero padding)
+    inf = jnp.int32(2**31 - 1)
+    kk = jnp.arange(out_cap, dtype=jnp.int32)[None, :]
+    filler = jnp.where(
+        kk >= totals[:, None], ((row_base + kk) << 8), inf
+    ).reshape(-1)
+    out, _ = _emit_sort(
+        planes, counts.reshape(-1), R * out_cap,
+        offsets=offsets.reshape(-1), total=jnp.int32(R * out_cap),
+        extra_keys=filler,
+    )
+    assert R == 2
+    return out, totals[0], totals[1]
 
 
 # ---------------------------------------------------------------------------
