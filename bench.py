@@ -1386,27 +1386,51 @@ def bench_device_production() -> float | None:
     nd2 = jax.device_put(npad)
     ql2 = jnp.int32(qbuf.shape[0])
     nl2 = jnp.int32(npbuf.shape[0])
-    g = jax.jit(lambda p, qb, ql_, nb, nl_: device_decode_block(
-        p, qb, ql_, nb, nl_, bd, major, B, L,
-        np_cap=npc, qualcol_caps=(tok_cap, pos_cap, 0)))
+
+    # the engine's flat decode step (codec/device_engine._build_decode
+    # _flat): flat seq/qual + payload pack — no (B, L) reshape (the
+    # unaligned relayout belongs to the mesh batch kernel, not the
+    # production serial path this section reports)
+    from repaq_tpu.ops.device_streams import (
+        decode_positions_device,
+        qualcol_decode_device,
+    )
+    from repaq_tpu.ops.pallas_tpu import unpack_words_pallas
+
+    def dec_step(p, qb, ql_, nb, nl_):
+        # word-space end to end, exactly like the engine's flat decode
+        seq_w = jax.lax.bitcast_convert_type(
+            unpack_words_pallas(p)[: n // 4], jnp.int32)
+        pos, _c = decode_positions_device(nb, nl_, npc)
+        ok = pos >= 0
+        seq_w = seq_w.at[jnp.where(ok, pos >> 2, n // 4)].add(
+            jnp.where(ok, jnp.int32(ord("N") - ord("G")), 0)
+            << (8 * (pos & 3)), mode="drop")
+        qual_w = qualcol_decode_device(
+            qb, 3, bd, major, n, ql_,
+            tok_cap=tok_cap, pos_cap=pos_cap, esc_cap=0, words_out=True,
+            run_cap=bucket(max(64, cnts[1] - cnts[0] + 2), n))
+        return jnp.concatenate([seq_w, qual_w]).reshape(-1, 128)
+
+    g = jax.jit(dec_step)
     t0 = time.time()
-    sq, qq = g(pd, qd2, ql2, nd2, nl2)
-    _ = int(jnp.sum(sq[0].astype(jnp.int32)))
+    payload = g(pd, qd2, ql2, nd2, nl2)
+    _ = int(payload[0, 0])
+    raw = np.asarray(payload).view(np.uint8).reshape(-1)
+    sq, qq = raw[:n], raw[n : 2 * n]
     log("device production decode: compile+first %.1fs" % (time.time() - t0))
-    assert np.array_equal(np.asarray(qq).reshape(-1), rq), \
-        "production decode qual mismatch"
-    assert np.array_equal(np.asarray(sq).reshape(-1), rs), \
-        "production decode seq mismatch"
+    assert np.array_equal(qq, rq), "production decode qual mismatch"
+    assert np.array_equal(sq, rs), "production decode seq mismatch"
     t0 = time.time()
     decs = [g(pd, qd2, ql2, nd2, nl2) for _ in range(n_steps)]
-    for sq, _q in decs:
-        _ = int(jnp.sum(sq[0].astype(jnp.int32)))
+    for pay in decs:
+        _ = int(pay[0, 0])
     dt = (time.time() - t0) / n_steps
     log("device decode (production, 12-Mbase realistic): %.4fs/step -> "
         "%.0f MB/s per chip" % (dt, 2 * n / 1e6 / dt))
     dt = sustained(
         lambda: g(pd, qd2, ql2, nd2, nl2),
-        lambda t2: int(jnp.sum(t2[0][0].astype(jnp.int32))),
+        lambda t2: int(t2[0, 0]),
     )
     dec_sus = 2 * n / 1e6 / dt
     log("device decode sustained (production, 4 dispatch threads): "

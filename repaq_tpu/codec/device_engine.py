@@ -142,18 +142,18 @@ class DeviceEngine:
 
     @staticmethod
     def _pack_payload(parts):
-        """Concat u8 parts -> (rows, 128) i32 (1-D u8 D2H is pathological
-        on tunneled backends; 2-D i32 moves at wire speed)."""
-        import jax
+        """Concat u8 parts -> (rows, 512) u8. 2-D keeps the tunneled D2H
+        path off the pathological 1-D u8 route; round 5 dropped the
+        u8->i32 bitcast that used to follow — it cost ~7 ms of device
+        relayout per 12-Mbase step and the 2-D u8 fetch is no slower
+        (measured faster: 590 vs 938 ms for 11.9 MB over this tunnel)."""
         import jax.numpy as jnp
 
         flat = jnp.concatenate(parts)
         pad = (-flat.shape[0]) % 512
         if pad:
             flat = jnp.concatenate([flat, jnp.zeros(pad, jnp.uint8)])
-        return jax.lax.bitcast_convert_type(
-            flat.reshape(-1, 4), jnp.int32
-        ).reshape(-1, 128)
+        return flat.reshape(-1, 512)
 
     @staticmethod
     def _lens_bytes(lens_i32):
@@ -760,6 +760,7 @@ class DeviceEngine:
             tok_cap = n_cap + 8192  # tokens <= positions <= n
             pos_cap = n_cap + 4096
             esc_cap = qb_cap // 5 + 1
+            run_cap = None  # legacy slot-space path (run count unknown)
         else:
             from . import kernels_np as K
 
@@ -772,11 +773,22 @@ class DeviceEngine:
             tok_cap = geo(t, lo=512)
             pos_cap = geo(c, lo=512)
             esc_cap = 0 if esc == 0 else geo(esc, lo=8)
+            # run tokens (coverage >= 2) number exactly <= positions -
+            # tokens; the token-space decode (round 5) extends them via a
+            # (run, 4, 31) grid — profitable while that grid stays small
+            # relative to the slot-space scatters it replaces. Run-heavy
+            # chunks (2-bin RTA-style data) keep the legacy path.
+            run_cnt = max(0, c - t)
+            if run_cnt * 31 <= max(4096, c):
+                run_cap = geo(run_cnt + 2, lo=64)
+            else:
+                run_cap = None
         if pos_cap == tok_cap:
             # equal shapes fuse the token- and slot-space pipelines into
             # one catastrophic loop (180 vs 45 ms at 1M, measured r3)
             pos_cap += 4096
-        return qb_cap, nb_cap, np_cap, (tok_cap, pos_cap, esc_cap)
+        return qb_cap, nb_cap, np_cap, (tok_cap, pos_cap, esc_cap,
+                                        run_cap)
 
     def _log_compile(self, key) -> None:
         import sys as _sys
@@ -795,27 +807,75 @@ class DeviceEngine:
             decode_positions_device,
             qualcol_decode_device,
         )
-        from ..ops.pallas_tpu import unpack_bases_pallas
+        from ..ops.pallas_tpu import unpack_words_pallas
 
-        tok_cap, pos_cap, esc_cap = qcaps
+        tok_cap, pos_cap, esc_cap, run_cap = qcaps
+
+        if run_cap is None:
+            # run-heavy chunk (or universal clamp): the token-space
+            # extension grid would outgrow the slot-space scatters it
+            # replaces — keep the legacy u8 composition
+            from ..ops.pallas_tpu import unpack_bases_pallas
+
+            def step_legacy(packed, qual_buf, qual_len, npos_buf,
+                            npos_len, bins, major):
+                seq = unpack_bases_pallas(packed)[:n_cap]
+                if has_npos:
+                    pos, _cnt = decode_positions_device(
+                        npos_buf, npos_len, np_cap
+                    )
+                    tgt = jnp.where(pos >= 0, pos, n_cap)
+                    seq = jnp.concatenate([seq, jnp.zeros(1, jnp.uint8)])
+                    seq = seq.at[tgt].set(_N, mode="drop")[:n_cap]
+                qual = qualcol_decode_device(
+                    qual_buf, nbins, bins, major, n_cap, qual_len,
+                    tok_cap=tok_cap, pos_cap=pos_cap, esc_cap=esc_cap,
+                )
+                if not has_npos and nbq < 128:
+                    seq = jnp.where(qual == nbq, jnp.uint8(_N), seq)
+                return self._pack_payload([seq, qual])
+
+            return jax.jit(step_legacy)
 
         def step(packed, qual_buf, qual_len, npos_buf, npos_len, bins,
                  major):
-            seq = unpack_bases_pallas(packed)[:n_cap]
+            # round 5: the whole flat decode stays in u32 WORD space —
+            # no u8<->u32 relayout anywhere (payload bytes are the words'
+            # little-endian bytes, which IS the wire order)
+            nwq = n_cap // 4
+            seq_w = jax.lax.bitcast_convert_type(
+                unpack_words_pallas(packed)[:nwq], jnp.int32
+            )
             if has_npos:
                 pos, _cnt = decode_positions_device(
                     npos_buf, npos_len, np_cap
                 )
-                tgt = jnp.where(pos >= 0, pos, n_cap)
-                seq = jnp.concatenate([seq, jnp.zeros(1, jnp.uint8)])
-                seq = seq.at[tgt].set(_N, mode="drop")[:n_cap]
-            qual = qualcol_decode_device(
+                ok = pos >= 0
+                # N positions hold 'G' after unpack; +('N'-'G') per byte
+                # lane (one add per byte: positions are unique)
+                seq_w = seq_w.at[jnp.where(ok, pos >> 2, nwq)].add(
+                    jnp.where(ok, jnp.int32(_N - _G), 0)
+                    << (8 * (pos & 3)),
+                    mode="drop",
+                )
+            qual_w = qualcol_decode_device(
                 qual_buf, nbins, bins, major, n_cap, qual_len,
                 tok_cap=tok_cap, pos_cap=pos_cap, esc_cap=esc_cap,
+                words_out=True, run_cap=run_cap,
             )
             if not has_npos and nbq < 128:
-                seq = jnp.where(qual == nbq, jnp.uint8(_N), seq)
-            return self._pack_payload([seq, qual])
+                for kk in range(4):
+                    is_nbq = ((qual_w >> (8 * kk)) & 0xFF) == nbq
+                    lane_mask = jnp.bitwise_not(
+                        jnp.int32(0xFF) << (8 * kk)
+                    )  # literal ~(0xFF<<24) overflows a python->i32 weave
+                    seq_w = jnp.where(
+                        is_nbq,
+                        (seq_w & lane_mask) | (_N << (8 * kk)),
+                        seq_w,
+                    )
+            pay = jnp.concatenate([seq_w, qual_w])
+            return pay.reshape(-1, 128)
 
         return jax.jit(step)
 
@@ -914,7 +974,7 @@ class DeviceEngine:
     def _build_decode(self, key):
         (_tag, b_cap, L, nbins, qb_cap, nb_cap, np_cap, qcaps, expand, pe,
          has_npos, nbq) = key
-        tok_cap, pos_cap, esc_cap = qcaps
+        tok_cap, pos_cap, esc_cap = qcaps[:3]
         jax = self._jax
         import jax.numpy as jnp
 
