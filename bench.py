@@ -1395,22 +1395,20 @@ def bench_device_production() -> float | None:
         decode_positions_device,
         qualcol_decode_device,
     )
-    from repaq_tpu.ops.pallas_tpu import unpack_words_pallas
+    from repaq_tpu.ops.pallas_tpu import unpack_bases_pallas
 
     def dec_step(p, qb, ql_, nb, nl_):
-        # word-space end to end, exactly like the engine's flat decode
-        seq_w = jax.lax.bitcast_convert_type(
-            unpack_words_pallas(p)[: n // 4], jnp.int32)
+        # exactly the engine's flat decode composition
+        seq = unpack_bases_pallas(p)[:n]
         pos, _c = decode_positions_device(nb, nl_, npc)
-        ok = pos >= 0
-        seq_w = seq_w.at[jnp.where(ok, pos >> 2, n // 4)].add(
-            jnp.where(ok, jnp.int32(ord("N") - ord("G")), 0)
-            << (8 * (pos & 3)), mode="drop")
-        qual_w = qualcol_decode_device(
+        tgt = jnp.where(pos >= 0, pos, n)
+        seq = jnp.concatenate([seq, jnp.zeros(1, jnp.uint8)])
+        seq = seq.at[tgt].set(ord("N"), mode="drop")[:n]
+        qual = qualcol_decode_device(
             qb, 3, bd, major, n, ql_,
-            tok_cap=tok_cap, pos_cap=pos_cap, esc_cap=0, words_out=True,
+            tok_cap=tok_cap, pos_cap=pos_cap, esc_cap=0,
             run_cap=bucket(max(64, cnts[1] - cnts[0] + 2), n))
-        return jnp.concatenate([seq_w, qual_w]).reshape(-1, 128)
+        return device_engine.DeviceEngine._pack_payload([seq, qual])
 
     g = jax.jit(dec_step)
     t0 = time.time()

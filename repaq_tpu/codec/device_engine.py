@@ -807,75 +807,28 @@ class DeviceEngine:
             decode_positions_device,
             qualcol_decode_device,
         )
-        from ..ops.pallas_tpu import unpack_words_pallas
+        from ..ops.pallas_tpu import unpack_bases_pallas
 
         tok_cap, pos_cap, esc_cap, run_cap = qcaps
 
-        if run_cap is None:
-            # run-heavy chunk (or universal clamp): the token-space
-            # extension grid would outgrow the slot-space scatters it
-            # replaces — keep the legacy u8 composition
-            from ..ops.pallas_tpu import unpack_bases_pallas
-
-            def step_legacy(packed, qual_buf, qual_len, npos_buf,
-                            npos_len, bins, major):
-                seq = unpack_bases_pallas(packed)[:n_cap]
-                if has_npos:
-                    pos, _cnt = decode_positions_device(
-                        npos_buf, npos_len, np_cap
-                    )
-                    tgt = jnp.where(pos >= 0, pos, n_cap)
-                    seq = jnp.concatenate([seq, jnp.zeros(1, jnp.uint8)])
-                    seq = seq.at[tgt].set(_N, mode="drop")[:n_cap]
-                qual = qualcol_decode_device(
-                    qual_buf, nbins, bins, major, n_cap, qual_len,
-                    tok_cap=tok_cap, pos_cap=pos_cap, esc_cap=esc_cap,
-                )
-                if not has_npos and nbq < 128:
-                    seq = jnp.where(qual == nbq, jnp.uint8(_N), seq)
-                return self._pack_payload([seq, qual])
-
-            return jax.jit(step_legacy)
-
         def step(packed, qual_buf, qual_len, npos_buf, npos_len, bins,
                  major):
-            # round 5: the whole flat decode stays in u32 WORD space —
-            # no u8<->u32 relayout anywhere (payload bytes are the words'
-            # little-endian bytes, which IS the wire order)
-            nwq = n_cap // 4
-            seq_w = jax.lax.bitcast_convert_type(
-                unpack_words_pallas(packed)[:nwq], jnp.int32
-            )
+            seq = unpack_bases_pallas(packed)[:n_cap]
             if has_npos:
                 pos, _cnt = decode_positions_device(
                     npos_buf, npos_len, np_cap
                 )
-                ok = pos >= 0
-                # N positions hold 'G' after unpack; +('N'-'G') per byte
-                # lane (one add per byte: positions are unique)
-                seq_w = seq_w.at[jnp.where(ok, pos >> 2, nwq)].add(
-                    jnp.where(ok, jnp.int32(_N - _G), 0)
-                    << (8 * (pos & 3)),
-                    mode="drop",
-                )
-            qual_w = qualcol_decode_device(
+                tgt = jnp.where(pos >= 0, pos, n_cap)
+                seq = jnp.concatenate([seq, jnp.zeros(1, jnp.uint8)])
+                seq = seq.at[tgt].set(_N, mode="drop")[:n_cap]
+            qual = qualcol_decode_device(
                 qual_buf, nbins, bins, major, n_cap, qual_len,
                 tok_cap=tok_cap, pos_cap=pos_cap, esc_cap=esc_cap,
-                words_out=True, run_cap=run_cap,
+                run_cap=run_cap,
             )
             if not has_npos and nbq < 128:
-                for kk in range(4):
-                    is_nbq = ((qual_w >> (8 * kk)) & 0xFF) == nbq
-                    lane_mask = jnp.bitwise_not(
-                        jnp.int32(0xFF) << (8 * kk)
-                    )  # literal ~(0xFF<<24) overflows a python->i32 weave
-                    seq_w = jnp.where(
-                        is_nbq,
-                        (seq_w & lane_mask) | (_N << (8 * kk)),
-                        seq_w,
-                    )
-            pay = jnp.concatenate([seq_w, qual_w])
-            return pay.reshape(-1, 128)
+                seq = jnp.where(qual == nbq, jnp.uint8(_N), seq)
+            return self._pack_payload([seq, qual])
 
         return jax.jit(step)
 

@@ -1020,7 +1020,6 @@ def qualcol_decode_device(buf: jnp.ndarray, nbins: int, bins: jnp.ndarray,
                           pos_cap: int | None = None,
                           esc_cap: int | None = None,
                           pallas_ok: bool = True,
-                          words_out: bool = False,
                           run_cap: int | None = None):
     """By-column quality decode (reference rfqcodec.cpp:1009-1047) on
     device, in COMPACT token/slot space (round 3 — the decode dual of the
@@ -1146,33 +1145,27 @@ def qualcol_decode_device(buf: jnp.ndarray, nbins: int, bins: jnp.ndarray,
     pos_end = raw - seg_base - 1
     pos_first = pos_end - npos + 1
 
-    if words_out:
-        # round 5: build the output as u32 WORDS, scattering DIRECTLY
-        # from token space — most tokens cover exactly one position, and
-        # the tokens covering >= 2 (runs; their count is bounded by
-        # pos_cnt - tok_cnt, host-known and tiny on real data) extend via
-        # a small compacted (run, lane) grid. Replaces the slot-space
-        # delta-scatter + cumsum + position scatter (two ~pos_cap
-        # scatters, ~10 ms each at 2M on v5e) with one + epsilon.
-        # Scatter-ADD semantics: every byte is written at most once and
-        # chars are nonzero, so adds never carry across lanes; untouched
-        # bytes become the major via one elementwise fill.
-        assert length % 4 == 0, length
-        nwq = length // 4
+    if run_cap is not None:
+        # round 5: scatter DIRECTLY from token space with u8 .set — most
+        # tokens cover exactly ONE position; tokens covering >= 2 (runs,
+        # their count bounded by pos_cnt - tok_cnt, host-known) extend via
+        # a small compacted (run, 4-lane, 31) grid. Replaces the
+        # slot-space delta-scatter + cumsum + position scatter: scatter
+        # cost is per index (~0.17 Gelem/s for u8 .set on v5e; .add is
+        # 2x worse), so ONE ~tok-sized scatter beats two ~pos-sized ones.
+        # Run-heavy chunks (2-bin RTA data) must keep the legacy path —
+        # callers gate run_cap on (pos - tok) staying small.
         if nbins <= 16:
             val_t = jnp.full(tok_i.shape[0], bins[0], dtype=jnp.uint8)
             for j in range(1, nbins):
                 val_t = jnp.where(tok_bin == j, bins[j], val_t)
         else:
             val_t = bins[tok_bin]
-        val_t = val_t.astype(jnp.int32)
         ok_t = valid & (npos >= 1) & (pos_first >= 0) & (
             pos_first < length)
-        qw = jnp.zeros(nwq, jnp.int32)
-        qw = qw.at[jnp.where(ok_t, pos_first >> 2, nwq)].add(
-            jnp.where(ok_t, val_t, 0) << (8 * (pos_first & 3)),
-            mode="drop",
-        )
+        qual = jnp.full(length, major, dtype=jnp.uint8)
+        qual = qual.at[jnp.where(ok_t, pos_first, length)].set(
+            val_t, mode="drop")
         # run extension: 4-granule compaction of tokens with npos >= 2
         m_tok = tok_i.shape[0]
         pad4 = (-m_tok) % 4
@@ -1183,52 +1176,48 @@ def qualcol_decode_device(buf: jnp.ndarray, nbins: int, bins: jnp.ndarray,
             rmask_f = jnp.concatenate([rmask_f, jnp.zeros(pad4, bool)])
             pos_first_p = jnp.concatenate([pos_first_p, zi])
             npos_p = jnp.concatenate([npos_p, zi])
-            val_t_p = jnp.concatenate([val_t_p, zi])
+            val_t_p = jnp.concatenate(
+                [val_t_p, jnp.zeros(pad4, val_t_p.dtype)])
         m_tok += pad4
-        run_cap_eff = max(1, min(run_cap if run_cap is not None else m_tok,
-                                 m_tok // 4 + 1))
+        run_cap_eff = max(1, min(run_cap, m_tok // 4 + 1))
         rmask = rmask_f.reshape(-1, 4)
         ng = rmask.shape[0]
         i_g = jnp.arange(ng, dtype=jnp.int32)
         g_has = rmask.any(axis=1)
         gidx = jnp.sort(jnp.where(g_has, i_g, jnp.int32(ng)))[
             :run_cap_eff]
+
         def _g4(x, fill):
             return jnp.concatenate(
                 [x.reshape(-1, 4),
                  jnp.full((1, 4), fill, x.dtype)])[gidx]
+
         rp = _g4(pos_first_p, 0)
         rn = _g4(npos_p, 0)
         rv = _g4(val_t_p, 0)
-        rm = _g4(rmask.reshape(-1).astype(jnp.int32), 0) == 1
+        rm = _g4(rmask_f.astype(jnp.int32), 0) == 1
         lanes31 = jnp.arange(1, 32, dtype=jnp.int32)[None, None, :]
         cand = rp[:, :, None] + lanes31
         cv = rm[:, :, None] & (lanes31 < rn[:, :, None]) & (
             cand >= 0) & (cand < length)
-        qw = qw.at[jnp.where(cv, cand >> 2, nwq).reshape(-1)].add(
-            (jnp.where(cv, rv[:, :, None], 0)
-             << (8 * (cand & 3))).reshape(-1),
-            mode="drop",
-        )
+        qual = qual.at[jnp.where(cv, cand, length).reshape(-1)].set(
+            jnp.broadcast_to(rv[:, :, None], cv.shape).reshape(-1),
+            mode="drop")
         if esc_cap > 0:
             esc_idx = jnp.arange(esc_cap, dtype=jnp.int32)
             rec = stream_end + 5 * esc_idx
             rec_ok = (rec + 4) < total_len
             recc = jnp.minimum(rec, m - 5)
             we = jnp.concatenate([w32, jnp.zeros(3, jnp.int32)])[recc]
-            ch = we & 0xFF
+            ch = (we & 0xFF).astype(jnp.uint8)
             pos = ((we >> 8) & 0xFFFFFF) | (
                 buf[jnp.minimum(recc + 4, m - 1)].astype(jnp.int32) << 24
             )
             ok = rec_ok & (pos < length)
-            qw = qw.at[jnp.where(ok, pos >> 2, nwq)].add(
-                jnp.where(ok, ch, 0) << (8 * (pos & 3)), mode="drop"
+            qual = qual.at[jnp.where(ok, pos, length)].set(
+                jnp.where(ok, ch, 0), mode="drop"
             )
-        maj = major.astype(jnp.int32)
-        for kk in range(4):
-            b = (qw >> (8 * kk)) & 0xFF
-            qw = qw | jnp.where(b == 0, maj << (8 * kk), 0)
-        return qw
+        return qual
 
     cum_np = jnp.cumsum(npos)
     slot_start = cum_np - npos
