@@ -325,8 +325,19 @@ class DeviceEngine:
         # esc == 0 proven host-side skips the escape compaction sort
         esc_cap = 0 if esc == 0 else _bucket(esc, lo=8)
         np_cap = _bucket(npos, lo=8)
-        qfetch = min(_bucket(4 * nbins + 4 * nonmajor + 5 * esc + 8),
-                     4 * nbins + n_cap + 8)
+        # optimistic emission buffer (round 5): with dense non-major
+        # positions (mean gap <= 16) virtually every token is 1 byte, so
+        # ~1.25 bytes/token covers the stream and the buffer stays under
+        # the 2^23 packed-key threshold (single-operand layout sort). An
+        # overflow is detected by qual_len > qfetch and falls back to the
+        # byte-identical host path; sparse-qual chunks keep the safe
+        # 4-bytes/token bound so they never lose the device path.
+        if nonmajor * 16 >= n_cap:
+            qfetch = _bucket(
+                4 * nbins + nonmajor + nonmajor // 4 + 5 * esc + 4096)
+        else:
+            qfetch = min(_bucket(4 * nbins + 4 * nonmajor + 5 * esc + 8),
+                         4 * nbins + n_cap + 8)
         # positions stream bound: 1 byte per match + <n/128 two-byte gaps
         # + <n/16384 four-byte gaps (deltas sum to <= n)
         npfetch = _bucket(min(4 * npos, npos + n_cap // 64) + 16, lo=64)
@@ -376,7 +387,7 @@ class DeviceEngine:
         lens = raw[off : off + 16].view("<i4")
         qual_len, npos_len, x_len, y_len = (int(v) for v in lens)
         if qual_len > qfetch or npos_len > npfetch:
-            return None  # cap accounting violated — impossible by math
+            return None  # optimistic qfetch overflow: host path (bytes identical)
 
         return vectorized.assemble_chunk(
             header, block, a, np.zeros(0, dtype=np.int64),
@@ -460,8 +471,19 @@ class DeviceEngine:
         # esc == 0 proven host-side skips the escape compaction sort
         esc_cap = 0 if esc == 0 else _bucket(esc, lo=8)
         np_cap = _bucket(npos, lo=8)
-        qfetch = min(_bucket(4 * nbins + 4 * nonmajor + 5 * esc + 8),
-                     4 * nbins + n_cap + 8)
+        # optimistic emission buffer (round 5): with dense non-major
+        # positions (mean gap <= 16) virtually every token is 1 byte, so
+        # ~1.25 bytes/token covers the stream and the buffer stays under
+        # the 2^23 packed-key threshold (single-operand layout sort). An
+        # overflow is detected by qual_len > qfetch and falls back to the
+        # byte-identical host path; sparse-qual chunks keep the safe
+        # 4-bytes/token bound so they never lose the device path.
+        if nonmajor * 16 >= n_cap:
+            qfetch = _bucket(
+                4 * nbins + nonmajor + nonmajor // 4 + 5 * esc + 4096)
+        else:
+            qfetch = min(_bucket(4 * nbins + 4 * nonmajor + 5 * esc + 8),
+                         4 * nbins + n_cap + 8)
         npfetch = _bucket(min(4 * npos, npos + n_cap // 64) + 16, lo=64)
         has_xy = header.has_x()
         want_npos = header.encode_n_pos() and npos > 0

@@ -498,10 +498,18 @@ def encode_block(data: bytes | np.ndarray, lanes: int = rans_np.DEFAULT_LANES,
             )
         else:
             best = enc
-    # qual is deliberately absent: order-1 rANS beats byte-LZ on quality
-    # streams in every measurement, so the parse there was pure overhead
-    if arr.shape[0] >= _LZ_TRY_MIN and label in ("seq", "tail", "names",
-                                                 None):
+    # qual normally skips the LZ try: order-1 rANS beats byte-LZ on
+    # ordinary quality streams in every measurement, so the parse there
+    # was pure overhead. EXCEPTION (round 5, ratio matrix): run-heavy
+    # by-col streams from tiny quality alphabets (2-bin RTA3 style) are
+    # dominated by repeated run tokens — a tiny distinct-byte alphabet is
+    # the cheap tell (the histogram is already computed), and byte-LZ
+    # closed a 7.2% loss to xz -9 there while ordinary 40-bin qual
+    # streams (many distinct gap bytes) keep skipping the parse.
+    qual_lz = label == "qual" and int((counts0 > 0).sum()) <= 8
+    if arr.shape[0] >= _LZ_TRY_MIN and (
+        label in ("seq", "tail", "names", None) or qual_lz
+    ):
         lz_mode = MODE_SEQLZ if label == "seq" else MODE_LZ
         sh = seq_hist if label == "seq" else None
         try:
