@@ -1475,24 +1475,25 @@ def bench_mesh_overhead(tmp: str) -> None:
 
     eng = pipeline.get_engine("device")
     out_serial = os.path.join(tmp, "mesh_ovh_serial.rfq")
+    # 3 Mbase chunks: inside the mesh batcher's 4-Mbase device window.
     # warm both paths once (compiles), then time
-    pipeline.compress_se(fq, out_serial, chunk_size=16_000_000, engine=eng)
+    pipeline.compress_se(fq, out_serial, chunk_size=3_000_000, engine=eng)
     t_ser = 1e30
     for _ in range(2):
         t0 = time.time()
-        pipeline.compress_se(fq, out_serial, chunk_size=16_000_000,
+        pipeline.compress_se(fq, out_serial, chunk_size=3_000_000,
                              engine=eng)
         t_ser = min(t_ser, time.time() - t0)
 
     out_mesh = os.path.join(tmp, "mesh_ovh_mesh.rfq")
     devices = jax.devices()[:1]
-    stats = compress_se_mesh(fq, out_mesh, chunk_size=16_000_000,
-                             devices=devices)
+    stats = compress_se_mesh(fq, out_mesh, chunk_size=3_000_000,
+                             devices=devices, force_mesh=True)
     t_mesh = 1e30
     for _ in range(2):
         t0 = time.time()
-        stats = compress_se_mesh(fq, out_mesh, chunk_size=16_000_000,
-                                 devices=devices)
+        stats = compress_se_mesh(fq, out_mesh, chunk_size=3_000_000,
+                                 devices=devices, force_mesh=True)
         t_mesh = min(t_mesh, time.time() - t0)
     import filecmp
 
@@ -1523,10 +1524,10 @@ def bench_mesh_overhead(tmp: str) -> None:
     with open(vfq, "wb") as f:
         f.write(b"".join(recs))
     vout = os.path.join(tmp, "mesh_varlen.rfq")
-    vstats = compress_se_mesh(vfq, vout, chunk_size=4_000_000,
-                              devices=devices)
+    vstats = compress_se_mesh(vfq, vout, chunk_size=3_000_000,
+                              devices=devices, force_mesh=True)
     vser = os.path.join(tmp, "mesh_varlen_serial.rfq")
-    pipeline.compress_se(vfq, vser, chunk_size=4_000_000, engine=eng)
+    pipeline.compress_se(vfq, vser, chunk_size=3_000_000, engine=eng)
     vsame = filecmp.cmp(vser, vout, shallow=False)
     log("mesh eligibility (varlen corpus): %s | bytes %s"
         % (vstats, "identical" if vsame else "DIFFER"))

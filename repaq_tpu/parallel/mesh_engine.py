@@ -948,18 +948,22 @@ def compress_se_mesh(
     devices=None,
     verify: bool = False,
     fast_verify: bool = False,
+    force_mesh: bool = False,
 ) -> dict:
     """SE compress with chunks fanned over a device mesh; output bytes
     are identical to the serial pipeline. Returns stats (mesh batches /
     fallback chunks). Non-conforming chunks (ragged, shape change, tiny,
     trailing partial batch, non-by-col quality modes) flush through the
     single-device engine in order. verify/fast_verify re-decode emitted
-    chunks exactly like the serial path (reference repaq.cpp:430-528)."""
+    chunks exactly like the serial path (reference repaq.cpp:430-528).
+    force_mesh: run the mesh machinery even on ONE device (a 1-device
+    mesh is normally shorted to the serial pipeline) — used to isolate
+    the batching/marshalling overhead on single-chip hosts."""
     import jax
 
     devices = list(devices) if devices else list(jax.devices())
     engine = engine or get_engine("device")
-    if len(devices) < 2:
+    if len(devices) < 2 and not force_mesh:
         from .. import pipeline
 
         pipeline.compress_se(in1, out1, chunk_size=chunk_size,
