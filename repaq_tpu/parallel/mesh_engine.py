@@ -87,6 +87,10 @@ class _MeshBatchEncoder:
                 esc_cap=esc, nonmajor_cap=nm, npos_cap=npc,
                 qual_out_size=qos, npos_out_size=nos,
                 check_counts=False, n_valid_reads=nv[0],
+                # pallas_call inside shard_map trips jax's vma check on
+                # the real TPU backend (the CPU mesh never took this
+                # branch — found by the forced 1-device mesh bench, r5)
+                use_pallas=False,
             )
             return {
                 k: (v.reshape(1) if v.ndim == 0 else v)
