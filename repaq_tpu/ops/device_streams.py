@@ -427,8 +427,7 @@ def qualcol_encode_device(qual: jnp.ndarray, bins: jnp.ndarray, major: jnp.ndarr
                           out_size: int | None = None,
                           meta32: jnp.ndarray | None = None,
                           qual32: jnp.ndarray | None = None,
-                          n: int | None = None,
-                          keys_g: jnp.ndarray | None = None):
+                          n: int | None = None):
     """Full by-column quality encode (reference rfqcodec.cpp:712-765):
     u32le per-bin lengths, concatenated per-bin streams, 5-byte escape
     records — compacted on device in one gather pass.
@@ -471,12 +470,7 @@ def qualcol_encode_device(qual: jnp.ndarray, bins: jnp.ndarray, major: jnp.ndarr
         "packing); split the block"
     )
     i = jnp.arange(m, dtype=jnp.int32)
-    if keys_g is not None:
-        # keys prebuilt by the pallas frontend (encode_frontend_keys):
-        # one dense buffer, no concatenate — a concat feeding lax.sort
-        # takes a pathological ~27 ms relayout at 12 Mbase (round 5)
-        pass
-    elif meta32 is not None:
+    if meta32 is not None:
         j4 = 4 * jnp.arange(meta32.shape[0], dtype=jnp.int32)
         planes = []
         for k in range(4):

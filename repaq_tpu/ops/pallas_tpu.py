@@ -335,92 +335,6 @@ def encode_frontend_pallas(seq: jnp.ndarray, qual: jnp.ndarray,
     )
 
 
-def _frontend_keys_kernel(nbins, seq_ref, qual_ref, bins_ref, major_ref,
-                          packed_ref, meta_ref, keys_ref):
-    """_frontend_kernel plus direct emission of the qualcol grouping-sort
-    keys (bid << 24 | pos, major -> INT32_MAX) as ONE contiguous i32
-    buffer. Round 5: building these keys in XLA from meta32 requires a
-    4-plane concatenate, and a concatenate feeding lax.sort measured
-    ~27 ms at 12 Mbase on v5e (the sort itself is ~1.3 ms) — the materi-
-    alization takes a pathological relayout path. The kernel writes the
-    planes as block rows of one output instead, so the sort's operand is
-    already one dense buffer. Key order is plane-major within each tile —
-    irrelevant, keys are unique and the consumer sorts them."""
-    _frontend_kernel(nbins, seq_ref, qual_ref, bins_ref, major_ref,
-                     packed_ref, meta_ref)
-    rows = meta_ref.shape[0]
-    meta = meta_ref[:]
-    i = pl.program_id(0)
-    # global word index of (row r, lane l) = (i*rows + r) * 128 + l
-    r_iota = jax.lax.broadcasted_iota(jnp.int32, (rows, _LANES), 0)
-    l_iota = jax.lax.broadcasted_iota(jnp.int32, (rows, _LANES), 1)
-    j = (i * rows + r_iota) * _LANES + l_iota
-    inf = jnp.int32(2**31 - 1)
-    for k in range(4):
-        bid_k = ((meta >> (8 * k)) & 0x7F).astype(jnp.int32)
-        pos_k = 4 * j + k
-        keys_ref[k * rows : (k + 1) * rows, :] = jnp.where(
-            bid_k <= nbins, (bid_k << 24) | pos_k, inf
-        )
-
-
-def encode_frontend_keys(seq32: jnp.ndarray, qual32: jnp.ndarray,
-                         bins: jnp.ndarray, major) -> tuple[
-                             jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """encode_frontend_meta32 + grouping-key emission: returns
-    (packed (n/4,) u8, meta32 (n/4,) u32, keys (n,) i32). keys hold
-    (bid << 24 | position) for every non-major byte and INT32_MAX for
-    major bytes, in plane-major-within-tile order (sort-invariant)."""
-    nbins = int(bins.shape[0])
-    assert nbins <= 63, nbins
-    assert _byte_shifts() == (0, 8, 16, 24)
-    nw = seq32.shape[0]
-    assert nw % _LANES == 0 and nw == qual32.shape[0]
-    rows = nw // _LANES
-    seq_rows = seq32.reshape(rows, _LANES)
-    qual_rows = qual32.reshape(rows, _LANES)
-    bins_pad = jnp.asarray(bins, dtype=jnp.uint32)
-    major_arr = jnp.asarray(major, dtype=jnp.uint32).reshape(1)
-    # tile must DIVIDE rows: the keys output interleaves 4 plane rows per
-    # tile, so a trimmed final block would silently drop planes 1-3 of
-    # the tail (found by a byte-exactness gate on chip, round 5)
-    tile = _TILE_ROWS
-    while tile > 1 and rows % tile:
-        tile //= 2
-    assert tile >= 8, (
-        "encode_frontend_keys needs rows %% tile == 0 with tile >= 8; "
-        "pad the block (rows=%d)" % rows
-    )
-    grid = rows // tile
-    kernel = functools.partial(_frontend_keys_kernel, nbins)
-    packed, meta, keys = pl.pallas_call(
-        kernel,
-        grid=(grid,),
-        in_specs=[
-            pl.BlockSpec((tile, _LANES), lambda i: (i, 0)),
-            pl.BlockSpec((tile, _LANES), lambda i: (i, 0)),
-            pl.BlockSpec(memory_space=pltpu.SMEM)
-            if _HAS_PLTPU and not _interpret()
-            else pl.BlockSpec((nbins,), lambda i: (0,)),
-            pl.BlockSpec(memory_space=pltpu.SMEM)
-            if _HAS_PLTPU and not _interpret()
-            else pl.BlockSpec((1,), lambda i: (0,)),
-        ],
-        out_specs=[
-            pl.BlockSpec((tile, _LANES), lambda i: (i, 0)),
-            pl.BlockSpec((tile, _LANES), lambda i: (i, 0)),
-            pl.BlockSpec((4 * tile, _LANES), lambda i: (i, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((rows, _LANES), jnp.uint8),
-            jax.ShapeDtypeStruct((rows, _LANES), jnp.uint32),
-            jax.ShapeDtypeStruct((4 * rows, _LANES), jnp.int32),
-        ],
-        interpret=_interpret(),
-    )(seq_rows, qual_rows, bins_pad, major_arr)
-    return packed.reshape(-1), meta.reshape(-1), keys.reshape(-1)
-
-
 def encode_frontend_meta32(seq32: jnp.ndarray, qual32: jnp.ndarray,
                            bins: jnp.ndarray, major) -> tuple[
                                jnp.ndarray, jnp.ndarray]:
